@@ -1,0 +1,153 @@
+"""Deterministic synthetic Common-Crawl-style pages (FIXTURES.md §1).
+
+Input shape per BASELINE.json input_hint:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+The generator wraps each row of the driver's ``documents`` table in a
+templated HTML page: head noise (title/style/script), link-dense nav +
+header boilerplate, ONE article with the document text as content
+paragraphs, a share box and a link-dense footer.  Because the template
+is fixed, the golden extraction is *derivable*: the kernel must emit
+exactly the whitespace-collapsed document text (repeated K times with
+the block separator for megadoc rows) and drop every boilerplate
+block.  That invariant is what the DuckDB oracle in ``__ray_entry__``
+checks end-to-end.
+
+Determinism rules (mirrored in oracle SQL — keep in sync):
+  - domain: ``hot.example.com`` when ``doc_id % 10 < 3`` (a Zipf-ish hot
+    domain holding ~30% of rows, exercising salted groupby), else
+    ``site{doc_id % 10}.example.com``;
+  - url: ``https://{domain}/doc-{doc_id}``;
+  - warc_ts: ``2024-01-01T00:00:00Z + doc_id seconds`` (never now());
+  - megadoc: ``doc_id % 101 == 0`` repeats the content paragraph K=8
+    times (skew / repartition-by-size test at bench scale).
+"""
+
+from __future__ import annotations
+
+import html as _html
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+MEGADOC_MOD = 101
+MEGADOC_REPEAT = 8
+HOT_DOMAIN = "hot.example.com"
+
+_HEAD = (
+    "<!doctype html><html><head><meta charset=\"utf-8\">"
+    "<title>Synthetic page</title>"
+    "<style>body{{margin:0;font:16px serif}}nav a{{color:#06c}}</style>"
+    "<script>window.__page={doc_id};console.log('boot');</script>"
+    "</head><body>"
+)
+_NAV = (
+    "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/archive\">Archive</a></li>"
+    "<li><a href=\"/tags\">Tags</a></li><li><a href=\"/about\">About us</a></li></ul></nav>"
+    "<header><h1><a href=\"/\">Synthetic Corpus</a></h1></header>"
+)
+_SHARE = (
+    "<div class=\"share\"><a href=\"#s\">Share</a> <a href=\"#t\">Tweet</a> "
+    "<a href=\"#l\">Like</a></div>"
+)
+_FOOT = (
+    "<footer><p><a href=\"/privacy\">Privacy policy</a> | <a href=\"/terms\">Terms"
+    "</a> | <a href=\"/contact\">Contact</a> | (c) 2024 synthetic corpus</p>"
+    "</footer></body></html>"
+)
+
+
+def domain_for(doc_id: int) -> str:
+    if doc_id % 10 < 3:
+        return HOT_DOMAIN
+    return f"site{doc_id % 10}.example.com"
+
+
+def url_for(doc_id: int) -> str:
+    return f"https://{domain_for(doc_id)}/doc-{doc_id}"
+
+
+def html_for(doc_id: int, text: str) -> bytes:
+    """Template one page. Content paragraphs carry the document text."""
+    k = MEGADOC_REPEAT if doc_id % MEGADOC_MOD == 0 else 1
+    para = f"<p>{_html.escape(text)}</p>"
+    body = f"<article>{para * k}</article>"
+    page = _HEAD.format(doc_id=doc_id) + _NAV + body + _SHARE + _FOOT
+    return page.encode("utf-8")
+
+
+def pages_batch(batch: pa.Table) -> pa.Table:
+    """documents batch (doc_id, text, lang, ...) -> pages batch.
+
+    Used inside ``map_batches`` so page synthesis streams and scales
+    with the input instead of materializing on the driver.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls = [url_for(d) for d in doc_ids]
+    ts = np.asarray(doc_ids, dtype="int64") * 1_000_000  # us since EPOCH
+    ts_arr = pa.Array.from_pandas(ts).cast(pa.timestamp("us"))
+    # shift to the fixed epoch
+    base = int(EPOCH.timestamp()) * 1_000_000
+    ts_arr = pa.compute.add(ts_arr.cast(pa.int64()), base).cast(pa.timestamp("us"))
+    htmls = [html_for(d, t or "") for d, t in zip(doc_ids, texts)]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": ts_arr,
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def read_pages(sf_dir: str):
+    """Streaming pages Dataset synthesized from {sf_dir}/documents.parquet."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(pages_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Edge-case fixture pages (FIXTURES.md §1 edge rows) — pytest-only, tiny.
+# ---------------------------------------------------------------------------
+def edge_case_pages() -> pa.Table:
+    rows = []
+
+    def add(slug: str, html: bytes, text: str = "", lang: str = "en"):
+        rows.append(
+            {
+                "url": f"https://edge.example.com/{slug}",
+                "warc_ts": EPOCH.replace(tzinfo=None),
+                "html": html,
+                "text": text,
+                "lang": lang,
+            }
+        )
+
+    add("empty", b"")
+    add("whitespace-only", b"   \n\t  ")
+    add("comment-only", b"<!-- nothing here --><!-- still nothing -->")
+    add("no-body", b"<p>fragment without body wrapper but long enough</p>")
+    add("megadoc", b"<article>" + b"<p>repeated paragraph content block here</p>" * 50_000 + b"</article>")
+    add("deep-nest", b"<div>" * 200 + b"<p>deeply nested content paragraph text</p>" + b"</div>" * 200)
+    add("pure-nav", b'<ul><li><a href="/a">One</a></li><li><a href="/b">Two</a></li><li><a href="/c">Three four five six</a></li></ul>')
+    add("malformed", b"<div><p>unclosed <b>tags here with plenty of text</div><//p>")
+    add("entities", b"<p>Fish &amp; chips &#8212; cost &lt;5&gt; &quot;euros&quot; total</p>")
+    add("latin1-declared", "<meta charset=\"latin-1\"><p>café au lait près de la gare</p>".encode("latin-1"))
+    # duplicate url pair (dedup test): same url, different warc_ts
+    dup_html = b"<p>duplicate page first fetch content body</p>"
+    rows.append({"url": "https://edge.example.com/dup", "warc_ts": EPOCH.replace(tzinfo=None),
+                 "html": dup_html, "text": "", "lang": "en"})
+    rows.append({"url": "https://edge.example.com/dup", "warc_ts": EPOCH.replace(tzinfo=None).replace(hour=1),
+                 "html": b"<p>duplicate page second fetch content body</p>", "text": "", "lang": "en"})
+    from bb_ocr_ray.schema import PAGES_SCHEMA
+
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
