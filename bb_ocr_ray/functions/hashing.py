@@ -1,0 +1,111 @@
+"""Deterministic hashing primitives: content hash, rolling fingerprint,
+minhash, simhash.  All seeds fixed; NEVER Python's builtin hash() (it is
+salted per process and would break distributed determinism).
+
+The reference's only hashing is the seen-set dedup keys
+(``pipeline_demo/pricing_api/pricing_api/core/aggregator.py:61-69``);
+the sketch family here is the scale path SURVEY.md §2.7 calls out as a
+design slot (near-dup: simhash + banded minhash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+MERSENNE = (1 << 61) - 1
+
+
+def md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def crc32(s: str) -> int:
+    """Deterministic 32-bit hash for salting / bucketing."""
+    return zlib.crc32(s.encode("utf-8"))
+
+
+def stable_u64(s: str) -> int:
+    """64-bit stable hash from md5 (for shingle/minhash input)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def rolling_fingerprint(text: str, base: int = 257, mod: int = MERSENNE) -> int:
+    """Polynomial rolling hash over the whole text (document fingerprint).
+
+    Deterministic O(n) Karp-Rabin style fold; used as a cheap content
+    identity independent of md5.
+    """
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * base + b) % mod
+    return h
+
+
+def _shingles(tokens: list, k: int) -> set:
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+# Fixed minhash permutation parameters (seeded once at import).
+_RNG = np.random.RandomState(0xB0CC)
+_N_PERM = 128
+_PERM_A = _RNG.randint(1, MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _RNG.randint(0, MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def minhash_signature(text: str, k: int = 3, n_perm: int = _N_PERM) -> np.ndarray:
+    """MinHash signature over word k-shingles (uint64[n_perm]).
+
+    Vectorized: one (n_shingles, n_perm) universal-hash matrix min-reduce.
+    """
+    tokens = text.split()
+    sh = _shingles(tokens, k)
+    if not sh:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    base = np.fromiter((stable_u64(s) for s in sh), dtype=np.uint64, count=len(sh))
+    # (a*x + b) mod p, elementwise outer over permutations
+    vals = (base[:, None] * _PERM_A[None, :n_perm] + _PERM_B[None, :n_perm]) % MERSENNE
+    return vals.min(axis=0)
+
+
+def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list:
+    """Split a signature into LSH band digests: list of (band_id, band_hash)."""
+    rows = len(sig) // n_bands
+    out = []
+    for b in range(n_bands):
+        chunk = sig[b * rows : (b + 1) * rows]
+        digest = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+        out.append((b, digest))
+    return out
+
+
+_SIMHASH_BITS = 64
+
+
+def simhash(text: str, k: int = 2) -> int:
+    """64-bit SimHash over word k-shingles (Charikar sketch)."""
+    tokens = text.split()
+    sh = _shingles(tokens, k)
+    if not sh:
+        return 0
+    hashes = np.fromiter((stable_u64(s) for s in sh), dtype=np.uint64, count=len(sh))
+    bits = ((hashes[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    counts = bits.sum(axis=0)
+    vec = counts * 2 > len(sh)
+    return int(np.packbits(vec[::-1]).view(">u8")[0])
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard_tokens(a: set, b: set) -> tuple:
+    """Exact token-set Jaccard as an (intersection, union) integer pair —
+    integers avoid cross-engine float-rounding drift in oracles."""
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter, union

@@ -1,0 +1,202 @@
+"""DuckDB oracle SQL for every SQL-expressible query in the registry.
+
+Column names and value semantics are mirrored EXACTLY against
+``bb_ocr_ray.pipelines.queries`` (the driver sorts columns by name and
+hashes values).  Conventions:
+  - float aggregates rounded to the same decimals as the Ray side;
+  - ratios emitted as integer (numerator, denominator) pairs;
+  - whitespace collapse uses the ASCII class ``[ \\t\\n\\r\\f\\v]+`` —
+    the same class the kernel's ``collapse_ws`` compiles;
+  - the q_extract_pages / q_domain_stats oracles invert the pages
+    template from ``bb_ocr_ray.sources.pages`` (url layout, megadoc
+    K=8 repeat with '\\n\\n' separators) — keep in sync with it.
+
+Queries with NO entry here (minhash/simhash/embedding-LSH candidates,
+langid, fingerprint) are probabilistic-recall or non-SQL-expressible;
+the driver records a rows-only check and unit tests cover their
+semantics on fixtures.
+"""
+
+# Shared SQL fragments (template inversion — see sources/pages.py)
+_URL = (
+    "'https://' || CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com' "
+    "ELSE 'site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' END "
+    "|| '/doc-' || CAST(doc_id AS VARCHAR)"
+)
+_DOMAIN = (
+    "CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com' "
+    "ELSE 'site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' END"
+)
+_NORM = r"trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))"
+_NTOK = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)        AS sum_qty,
+               round(sum(l_extendedprice), 2)   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*)                         AS count_order,
+               round(sum(l_quantity) / count(*), 4) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "q_filter_project": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_totalprice > 400000.0
+    """,
+    "q_topk_per_group": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority, rank FROM (
+            SELECT o_orderkey, o_totalprice, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders) WHERE rank <= 3
+    """,
+    "q_distinct": """
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+    "q_count_distinct": """
+        SELECT c_mktsegment,
+               count(DISTINCT c_nationkey) AS n_nations,
+               count(*) AS n_customers
+        FROM customer GROUP BY 1
+    """,
+    "q_hash_join": """
+        SELECT o_orderstatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "q_broadcast_join_nation": """
+        SELECT r_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """,
+    "q5_revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+    "q_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+    """,
+    "q_semi_join": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+    """,
+    "q_union": """
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000.0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000.0
+    """,
+    "q_events_hourly": """
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_sessionize": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+            FROM events)
+        SELECT user_id,
+               count(*) AS n_events,
+               count(CASE WHEN gap > 1800 THEN 1 END) + 1 AS n_sessions
+        FROM g GROUP BY user_id
+    """,
+    "q_json_extract": r"""
+        WITH x AS (
+            SELECT event_type,
+                   TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+            FROM events)
+        SELECT event_type,
+               CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+               count(k) AS n_parsed,
+               count(*) AS n_rows
+        FROM x GROUP BY 1
+    """,
+    "q_doc_stats": f"""
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum({_NTOK}) AS BIGINT) AS sum_tokens,
+               max(n_chars) AS max_chars, min(n_chars) AS min_chars
+        FROM documents GROUP BY 1
+    """,
+    "q_doc_quality": f"""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum({_NTOK}) AS BIGINT) AS sum_tokens,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','and','of','to','in','is')))) AS BIGINT) AS sum_stop_tokens,
+               CAST(sum(length(regexp_replace(text, '[\\w\\s]', '', 'g'))) AS BIGINT) AS sum_punct
+        FROM documents GROUP BY 1
+    """,
+    "q_dedup_exact": """
+        SELECT md5(text) AS content_md5,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "q_jaccard_pairs": """
+        WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.toks, b.toks)) AS inter,
+               len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE 2 * len(list_intersect(a.toks, b.toks))
+              >= len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+          AND len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) > 0
+    """,
+    "q_ann_topk": """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+             pairs AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS score
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id),
+             ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS rank
+                FROM pairs)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+    """,
+    "q_extract_pages": f"""
+        WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+        SELECT {_URL} AS url,
+               CASE WHEN doc_id % 101 = 0
+                    THEN norm || repeat(chr(10) || chr(10) || norm, 7)
+                    ELSE norm END AS text,
+               'ok' AS status,
+               CAST(CASE WHEN doc_id % 101 = 0 THEN 8 ELSE 1 END AS INTEGER) AS n_blocks_kept
+        FROM d
+    """,
+    "q_domain_stats": f"""
+        WITH d AS (SELECT doc_id, {_DOMAIN} AS domain,
+                          length({_NORM}) AS L,
+                          CASE WHEN doc_id % 101 = 0 THEN 8 ELSE 1 END AS K
+                   FROM documents)
+        SELECT domain, count(*) AS n_docs,
+               CAST(sum(K * L + 2 * (K - 1)) AS BIGINT) AS extracted_chars,
+               CAST(0 AS BIGINT) AS n_errors
+        FROM d GROUP BY 1
+    """,
+    "q_dedup_pages": f"""
+        SELECT {_URL} AS url, lang FROM documents
+    """,
+}

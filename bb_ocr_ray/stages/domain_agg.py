@@ -1,0 +1,62 @@
+"""Per-domain aggregation with salting — the north_rule's skew-handled
+grouped aggregate (SURVEY.md §2.5 gap: the reference has no grouped
+aggregates; this is new design).
+
+Two-phase pattern:
+  1. ``map_batches`` partial aggregation: each batch collapses to one
+     row per (domain, salt) — the combiner.  Salt = crc32(url) % S
+     spreads a hot domain (the synthetic corpus gives one domain ~30%
+     of rows) over S reducers.
+  2. ``groupby(domain, salt).aggregate(Sum…)`` merges partials, then a
+     second tiny ``groupby(domain)`` strips the salt.
+
+At 10^12 rows the first groupby's input is ≤ batches × domains × S
+partial rows — orders of magnitude below row count — and no single
+reducer sees more than 1/S of the hot domain.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from ray.data.aggregate import Sum
+
+from bb_ocr_ray.functions.hashing import crc32
+
+
+def _partial(batch: pd.DataFrame, salt_buckets: int) -> pd.DataFrame:
+    df = pd.DataFrame(
+        {
+            "domain": batch["domain"],
+            "salt": [crc32(u) % salt_buckets for u in batch["url"]],
+            "n_docs": 1,
+            "html_bytes": batch["html_bytes"],
+            "extracted_chars": batch["text"].str.len(),
+            "n_errors": (batch["status"] != "ok").astype("int64"),
+        }
+    )
+    return (
+        df.groupby(["domain", "salt"], as_index=False, sort=True)
+        .sum(numeric_only=True)
+        .astype({"n_docs": "int64", "html_bytes": "int64",
+                 "extracted_chars": "int64", "n_errors": "int64"})
+    )
+
+
+def domain_stats(extracted_ds, salt_buckets: int = 16):
+    """extracted Dataset -> per-domain stats Dataset (DOMAIN_STATS_SCHEMA)."""
+    partials = extracted_ds.map_batches(
+        lambda b: _partial(b, salt_buckets), batch_format="pandas"
+    )
+    salted = partials.groupby(["domain", "salt"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("html_bytes", alias_name="html_bytes"),
+        Sum("extracted_chars", alias_name="extracted_chars"),
+        Sum("n_errors", alias_name="n_errors"),
+    )
+    final = salted.groupby("domain").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("html_bytes", alias_name="html_bytes"),
+        Sum("extracted_chars", alias_name="extracted_chars"),
+        Sum("n_errors", alias_name="n_errors"),
+    )
+    return final

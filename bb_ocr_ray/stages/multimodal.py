@@ -1,0 +1,86 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The reference's data path IS multimodal (page images -> preprocess ->
+OCR); this module re-expresses the *plumbing* for Ray Data: binary
+columns travel zero-copy through Arrow batches, decode/resize/feature
+stages are actor-pool map_batches with small batch sizes.
+
+The image/audio codec libraries are NOT in this container, so the
+decode step is STUBBED: ``DecodeImageStub`` raises NotImplementedError
+unless ``fake=True``, in which case it produces a deterministic fake
+"decode" (dims + pixel stats derived from the bytes) so the Ray-side
+plumbing — schema, batch size, actor signature, output layout — is
+real and tested.  ``byte_histogram_features`` is NOT a stub: it is a
+real vectorized feature extractor over arbitrary binary payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class DecodeImageStub:
+    """Actor stage: binary -> (width, height, mean_px) metadata.
+
+    Real decode (PIL/libvips) is unavailable offline; ``fake=True``
+    derives deterministic pseudo-dimensions from a digest of the bytes.
+    The actor signature, batch flow and output schema match what a real
+    decoder stage would use (swap the body, keep the pipeline).
+    """
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codecs unavailable in this environment; "
+                "construct with fake=True for the deterministic stub"
+            )
+        payloads = batch.column("payload").to_pylist()
+        widths, heights, means = [], [], []
+        for p in payloads:
+            p = p or b""
+            d = hashlib.md5(p).digest()
+            widths.append(64 + d[0] % 192)          # deterministic 64..255
+            heights.append(64 + d[1] % 192)
+            means.append(float(np.frombuffer(p, dtype=np.uint8).mean()) if p else 0.0)
+        out = batch.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height", pa.array(heights, pa.int32()))
+        out = out.append_column("mean_px", pa.array(means, pa.float64()))
+        return out
+
+
+def resize_stub(batch: pa.Table, max_side: int = 1600) -> pa.Table:
+    """Oversize gate analog of the reference's OCR downscale
+    (``enhanced_extractor.py:487-512``): flags rows whose pseudo-dims
+    exceed the cap; a real implementation would re-encode the payload."""
+    w = batch.column("width").to_numpy()
+    h = batch.column("height").to_numpy()
+    return batch.append_column(
+        "needs_resize", pa.array((np.maximum(w, h) > max_side), pa.bool_())
+    )
+
+
+def byte_histogram_features(batch: pd.DataFrame, payload_col: str = "payload") -> pd.DataFrame:
+    """REAL binary feature extraction: 16-bin byte histogram + entropy per
+    payload, vectorized with numpy (frombuffer + bincount)."""
+    ent, hists = [], []
+    for p in batch[payload_col]:
+        arr = np.frombuffer(p or b"", dtype=np.uint8)
+        if arr.size == 0:
+            hists.append([0] * 16)
+            ent.append(0.0)
+            continue
+        hist = np.bincount(arr >> 4, minlength=16)
+        probs = hist / arr.size
+        nz = probs[probs > 0]
+        ent.append(float(-(nz * np.log2(nz)).sum()))
+        hists.append(hist.astype("int64").tolist())
+    batch["byte_hist"] = hists
+    batch["byte_entropy"] = pd.Series(ent, dtype="float64")
+    return batch

@@ -1,0 +1,167 @@
+"""Per-partition lineage + idempotent resume (north_rule checkpointing).
+
+The reference has NO resume — re-running re-processes everything; the
+only prior-art is the output-file existence check
+(``pipeline_demo/i2j_ui/app/main.py:851-857``) and the design doc's
+local-cache-before-API decision (SURVEY.md J6).  This module supplies
+the real thing for a batch engine:
+
+  - output is written in named partitions, each to a temp dir that is
+    atomically renamed to ``part-{pid:05d}`` on success;
+  - each completed partition writes ``manifest/part-{pid:05d}.json``
+    (atomic write-temp-rename) holding FIXTURES.md §3 lineage fields:
+    partition_id, fragment_ids, row_count, digest, completed_ts;
+  - on restart, completed partitions are skipped (the anti-join of
+    planned work against the manifest), so a killed run resumes with
+    no duplicate and no missing rows;
+  - manifest writes are idempotent per pid, so Ray task retries that
+    re-run a partition converge to the same state (digest equality is
+    asserted on rewrite).
+
+Partition planning: with many input fragments (the real 10^12-doc
+layout), partitions are contiguous chunks of the sorted fragment list —
+each partition reads ONLY its own files.  With fewer fragments than
+partitions (single-file test tables), planning falls back to url-hash
+buckets: every partition scans the input but filters to its bucket —
+correct, resumable, and documented as the small-input degenerate case.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+
+@dataclass(frozen=True)
+class PartitionPlan:
+    partition_id: int
+    fragment_ids: tuple     # input files this partition covers
+    hash_bucket: int | None  # set in hash-bucket fallback mode
+    n_buckets: int | None
+
+
+def plan_partitions(fragments: list, n_partitions: int) -> list:
+    """Deterministic partition plan from the sorted input fragment list."""
+    frags = sorted(fragments)
+    if len(frags) >= n_partitions:
+        chunks = [[] for _ in range(n_partitions)]
+        for i, f in enumerate(frags):   # round-robin keeps sizes balanced
+            chunks[i % n_partitions].append(f)
+        return [
+            PartitionPlan(pid, tuple(c), None, None)
+            for pid, c in enumerate(chunks)
+        ]
+    return [
+        PartitionPlan(pid, tuple(frags), pid, n_partitions)
+        for pid in range(n_partitions)
+    ]
+
+
+def output_digest(urls: list, text_lens: list) -> str:
+    """sha256 over sorted (url, len(text)) pairs — the lineage digest."""
+    h = hashlib.sha256()
+    for u, n in sorted(zip(urls, text_lens)):
+        h.update(f"{u}\x1f{n}\x1e".encode("utf-8"))
+    return h.hexdigest()
+
+
+class RunManifest:
+    """Filesystem-backed manifest: one JSON file per completed partition."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, "manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _path(self, pid: int) -> str:
+        return os.path.join(self.manifest_dir, f"part-{pid:05d}.json")
+
+    def completed(self) -> dict:
+        out = {}
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("part-") and name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    rec = json.load(f)
+                out[rec["partition_id"]] = rec
+        return out
+
+    def record(self, plan: PartitionPlan, row_count: int, digest: str) -> dict:
+        rec = {
+            "partition_id": plan.partition_id,
+            "fragment_ids": list(plan.fragment_ids),
+            "row_count": row_count,
+            "digest": digest,
+            "completed_ts": datetime.now(timezone.utc).isoformat(),
+        }
+        prior = self.completed().get(plan.partition_id)
+        if prior is not None and prior["digest"] != digest:
+            raise RuntimeError(
+                f"partition {plan.partition_id}: non-idempotent rerun, digest "
+                f"{prior['digest'][:12]} != {digest[:12]}"
+            )
+        tmp = self._path(plan.partition_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._path(plan.partition_id))   # atomic
+        return rec
+
+
+def run_resumable_extract(sf_dir: str, out_root: str, n_partitions: int = 8,
+                          pipeline_cfg=None):
+    """Resumable flagship run: pages(sf_dir) -> extract -> partitioned parquet.
+
+    Returns (n_run, n_skipped).  Kill it at any point and call again:
+    completed partitions are skipped via the manifest anti-join.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from bb_ocr_ray.config import DEFAULT_PIPELINE
+    from bb_ocr_ray.functions.hashing import crc32
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
+    from bb_ocr_ray.sources.pages import pages_batch
+
+    cfg = pipeline_cfg or DEFAULT_PIPELINE
+    fragments = [os.path.join(sf_dir, "documents.parquet")]
+    plans = plan_partitions(fragments, n_partitions)
+    manifest = RunManifest(out_root)
+    done = manifest.completed()
+
+    n_run = n_skipped = 0
+    for plan in plans:
+        part_dir = os.path.join(out_root, f"part-{plan.partition_id:05d}")
+        if plan.partition_id in done and os.path.isdir(part_dir):
+            n_skipped += 1
+            continue
+        docs = rd.read_parquet(list(plan.fragment_ids),
+                               columns=["doc_id", "text", "lang"])
+        if plan.hash_bucket is not None:
+            bucket, nb = plan.hash_bucket, plan.n_buckets
+            docs = docs.map_batches(
+                lambda b, bucket=bucket, nb=nb: b[
+                    [crc32(str(d)) % nb == bucket for d in b["doc_id"]]
+                ],
+                batch_format="pandas",
+            )
+        pages = docs.map_batches(pages_batch, batch_format="pyarrow")
+        extracted = extract_pages(pages, cfg)
+
+        tmp_dir = part_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        extracted.write_parquet(tmp_dir)
+        out_tbl = pq.read_table(tmp_dir, columns=["url", "text"])
+        digest = output_digest(
+            out_tbl.column("url").to_pylist(),
+            [len(t) for t in out_tbl.column("text").to_pylist()],
+        )
+        shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp_dir, part_dir)                    # atomic publish
+        manifest.record(plan, out_tbl.num_rows, digest)
+        n_run += 1
+    return n_run, n_skipped

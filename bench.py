@@ -1,0 +1,164 @@
+"""Benchmark driver — prints ONE JSON line with headline timings.
+
+Plain mode:
+    python bench.py
+        runs the headline pipelines over $GRAFT_SF_DIR (default
+        /root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS
+        or 32) and prints
+        {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+         "sf": ..., "num_cpus": N, "docs_per_sec": ..., ...}
+
+Scaling mode (the sandbox stand-in for N- vs 4N-node clusters):
+    python bench.py --scaling
+        runs the SAME headline pipeline in two fresh processes at
+        num_cpus=8 and num_cpus=32 and reports both throughputs plus
+        scaling efficiency ((t8/t32)/4; 1.0 = perfectly linear).
+
+The headline pipeline is the flagship extraction: synthesize
+Common-Crawl-style pages from the documents table (replicated
+BENCH_REPLICATION× with distinct urls so actor-pool startup doesn't
+dominate), run DOM segmentation + boilerplate classification +
+reading-order emission in an actor pool, and consume with an
+aggregate (no driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "8"))
+
+
+def _replicated_pages(sf_dir: str, replication: int):
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.sources.pages import pages_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        if replication <= 1:
+            return batch
+        parts = []
+        for r in range(replication):
+            p = batch.copy()
+            p["doc_id"] = p["doc_id"] + r * 10_000_000
+            parts.append(p)
+        return pd.concat(parts, ignore_index=True)
+
+    docs = docs.map_batches(replicate, batch_format="pandas", batch_size=1024)
+    return docs.map_batches(pages_batch, batch_format="pyarrow")
+
+
+def bench_extract(sf_dir: str) -> dict:
+    from ray.data.aggregate import Count, Sum
+
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
+
+    pages = _replicated_pages(sf_dir, REPLICATION)
+    t0 = time.time()
+    extracted = extract_pages(pages)
+    agg = extracted.aggregate(Count(alias_name="n"),
+                              Sum("html_bytes", alias_name="html_bytes"),
+                              Sum("n_blocks_kept", alias_name="blocks"))
+    dt = time.time() - t0
+    return {"sec": dt, "docs": int(agg["n"]),
+            "html_mb": round(agg["html_bytes"] / 1e6, 1),
+            "docs_per_sec": round(agg["n"] / dt, 1),
+            "html_mb_per_sec": round(agg["html_bytes"] / 1e6 / dt, 1)}
+
+
+def bench_query(fn, sf_dir: str) -> float:
+    import ray.data
+
+    t0 = time.time()
+    res = fn(sf_dir)
+    if isinstance(res, ray.data.Dataset):
+        res.count()
+    return round(time.time() - t0, 3)
+
+
+def run_plain() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    # warm OS page cache (untimed) so we measure compute+shuffle not disk
+    for t in ("documents", "lineitem", "orders", "customer", "embeddings",
+              "events"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            f.read()
+
+    from bb_ocr_ray.pipelines import queries as Q
+
+    ext = bench_extract(SF_DIR)
+    qtimes = {
+        "extract": round(ext["sec"], 3),
+        "q1_pricing_summary": bench_query(Q.q1_pricing_summary, SF_DIR),
+        "q_hash_join": bench_query(Q.q_hash_join, SF_DIR),
+        "q5_revenue_by_nation": bench_query(Q.q5_revenue_by_nation, SF_DIR),
+        "q_dedup_exact": bench_query(Q.q_dedup_exact, SF_DIR),
+        "q_minhash_candidates": bench_query(Q.q_minhash_candidates, SF_DIR),
+        "q_ann_topk": bench_query(Q.q_ann_topk, SF_DIR),
+        "q_domain_stats": bench_query(Q.q_domain_stats, SF_DIR),
+        "q_events_hourly": bench_query(Q.q_events_hourly, SF_DIR),
+    }
+    out = {
+        "metric": "headline extraction wall time (docs->text, actor pool)",
+        "value": round(ext["sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replication": REPLICATION,
+        "docs": ext["docs"],
+        "docs_per_sec": ext["docs_per_sec"],
+        "html_mb_per_sec": ext["html_mb_per_sec"],
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (extraction, 8 vs 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "sf": SF_DIR,
+        "replication": REPLICATION,
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_plain()))

@@ -1,0 +1,65 @@
+"""Dedup stage tests on hand-built fixtures with known duplicates."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},                               # exact dup of 0
+        {"doc_id": 2, "text": base.replace("dog", "cat")},         # near dup of 0
+        {"doc_id": 3, "text": "completely different content about query engines and shuffles"},
+        {"doc_id": 4, "text": "another unrelated document mentioning vectors and embeddings"},
+        {"doc_id": 5, "text": base},                               # exact dup of 0
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_dedup_keeps_min(ray_session, dup_docs):
+    from bb_ocr_ray.stages.dedup import add_content_hash, dedup_exact
+
+    hashed = dup_docs.map_batches(add_content_hash, batch_format="pyarrow")
+    out = dedup_exact(hashed, key="content_hash", order_col="doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]   # 1 and 5 deduped into 0
+
+
+def test_minhash_finds_near_dups(ray_session, dup_docs):
+    from bb_ocr_ray.stages.dedup import minhash_candidates
+
+    pairs = minhash_candidates(dup_docs).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    # exact dups always collide; the one-word-changed near-dup must too
+    assert (0, 1) in found and (0, 5) in found and (1, 5) in found
+    assert (0, 2) in found
+    # unrelated docs must not pair with everything
+    assert (3, 4) not in found
+
+
+def test_simhash_finds_near_dups(ray_session, dup_docs):
+    from bb_ocr_ray.stages.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(dup_docs, max_hamming=8).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in found and (0, 5) in found
+    assert (3, 4) not in found
+
+
+def test_pages_url_dedup(ray_session):
+    """Duplicate-url pair from the edge fixtures -> exactly one survivor,
+    deterministically the earliest warc_ts."""
+    import ray.data as rd
+
+    from bb_ocr_ray.sources.pages import edge_case_pages
+    from bb_ocr_ray.stages.dedup import dedup_exact
+
+    pages = rd.from_arrow(edge_case_pages())
+    deduped = dedup_exact(pages, key="url", order_col="warc_ts").to_pandas()
+    dup_rows = deduped[deduped["url"] == "https://edge.example.com/dup"]
+    assert len(dup_rows) == 1
+    assert dup_rows.iloc[0]["warc_ts"] == pd.Timestamp("2024-01-01 00:00:00")
+    assert deduped["url"].is_unique

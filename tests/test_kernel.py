@@ -1,0 +1,157 @@
+"""Pure-kernel unit + property tests (no Ray).
+
+Analog of the reference's validation-schema unit tests
+(``pipeline_components/img_to_json/ollama+ocr_to_json/test_pipeline.py:70-120``)
+applied to the extraction kernel: hand-built HTML fixtures + span
+invariants (SURVEY.md §5).
+"""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bb_ocr_ray.kernel.extract import domain_of, extract_page
+from bb_ocr_ray.kernel.normalize import collapse_ws, decode_html, sniff_charset
+
+FULL_PAGE = b"""<!doctype html><html><head><meta charset="utf-8"><title>T</title>
+<style>body{color:red}</style><script>var x="<p>fake</p>";</script></head>
+<body>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li></ul></nav>
+<header><h1>Site Title Here</h1></header>
+<article><p>First main paragraph with plenty of content text.</p>
+<p>Second &amp; paragraph <b>with bold</b> and <a href="x">a link</a> inline.</p></article>
+<div class="share"><a href="c">Share</a> <a href="d">Tweet</a></div>
+<footer><a href="/p">Privacy</a> | <a href="/t">Terms</a></footer>
+</body></html>"""
+
+
+def test_full_page_extraction():
+    r = extract_page("https://a.example.com/x", FULL_PAGE)
+    assert r["status"] == "ok"
+    assert r["n_blocks_kept"] == 2
+    assert r["text"] == (
+        "First main paragraph with plenty of content text.\n\n"
+        "Second & paragraph with bold and a link inline."
+    )
+    # nav/header/footer/share never leak
+    for bad in ("Home", "About", "Site Title", "Share", "Tweet", "Privacy", "Terms"):
+        assert bad not in r["text"]
+    # script/style content never leaks
+    assert "fake" not in r["text"]
+    assert "color:red" not in r["text"]
+
+
+def test_span_invariants():
+    r = extract_page("https://a.example.com/x", FULL_PAGE)
+    text, spans = r["text"], r["spans"]
+    kept = [b for b in r["blocks"] if b["is_content"]]
+    assert len(spans) == len(kept) == r["n_blocks_kept"]
+    prev_stop = -1
+    for span, blk in zip(spans, kept):
+        assert span["start"] > prev_stop           # sorted, non-overlapping
+        assert text[span["start"]:span["stop"]] == blk["text"]  # round-trip
+        prev_stop = span["stop"]
+
+
+def test_deterministic_and_idempotent():
+    a = extract_page("https://a.example.com/x", FULL_PAGE)
+    b = extract_page("https://a.example.com/x", FULL_PAGE)
+    assert a == b
+    # re-extracting the emitted text (wrapped as trivial html) is stable
+    again = extract_page("u", ("<p>" + a["text"] + "</p>").encode())
+    assert collapse_ws(again["text"]) == collapse_ws(a["text"].replace("\n\n", " "))
+
+
+def test_error_as_data_never_raises():
+    for html in (None, b"", b"\xff\xfe\x00garbage", b"<" * 1000,
+                 b"<p>" + b"\x00" * 100 + b"</p>", b"</div></div>",
+                 b"<!doctype html>"):
+        r = extract_page("https://x.com/y", html)
+        assert r["status"] in ("ok", "empty", "truncated", "parse_error")
+        assert isinstance(r["text"], str)
+
+
+def test_megadoc_truncation_flag():
+    from bb_ocr_ray.config import ExtractConfig
+
+    cfg = ExtractConfig(max_html_bytes=1024)
+    big = b"<p>" + b"word " * 1000 + b"</p>"
+    r = extract_page("https://x.com/mega", big, cfg)
+    assert r["status"] == "truncated"
+    assert any(s.startswith("truncated:") for s in r["steps_applied"])
+
+
+def test_charset_declared_latin1():
+    html = "<meta charset='latin-1'><p>café au lait près de la gare</p>".encode("latin-1")
+    r = extract_page("https://x.com/l1", html)
+    assert "café" in r["text"]
+    assert sniff_charset(html) == "latin-1"
+
+
+def test_charset_bom_utf16():
+    import codecs
+
+    html = codecs.BOM_UTF16_LE + "<p>utf sixteen content here totally</p>".encode("utf-16-le")
+    text, steps = decode_html(html)
+    assert "utf sixteen" in text
+    assert steps == ["decode:utf-16-le"]
+
+
+def test_entity_decode():
+    r = extract_page("u", b"<p>Fish &amp; chips &#8212; &lt;tasty&gt; &quot;good&quot;</p>")
+    assert r["text"] == 'Fish & chips — <tasty> "good"'
+
+
+def test_link_density_drops_nav():
+    r = extract_page("u", b'<ul><li><a href="/a">One two</a></li>'
+                          b'<li><a href="/b">Three four</a></li></ul>')
+    assert r["text"] == ""
+    assert r["status"] == "empty"
+
+
+def test_drop_ancestor_subtree():
+    r = extract_page("u", b"<footer><p>this footer paragraph is long enough to pass "
+                          b"the length rule but must still be dropped</p></footer>")
+    assert r["text"] == ""
+
+
+def test_domain_of():
+    assert domain_of("https://Sub.Example.COM:8443/p?q=1") == "sub.example.com"
+    assert domain_of("http://user:pw@host.net/x") == "host.net"
+    assert domain_of("not a url") == ""
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=400))
+def test_property_arbitrary_text_roundtrip(s):
+    """Any text wrapped in <p> comes back whitespace-collapsed; spans
+    always round-trip."""
+    import html as h
+
+    r = extract_page("u", ("<p>" + h.escape(s) + "</p>").encode("utf-8"))
+    assert r["status"] in ("ok", "empty")
+    if r["text"]:
+        for span in r["spans"]:
+            assert r["text"][span["start"]:span["stop"]]
+    expected = collapse_ws(s)
+    if len(expected) >= 10:
+        assert r["text"] == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(max_size=2048))
+def test_property_arbitrary_bytes_total(data):
+    """extract_page is total: arbitrary bytes never raise."""
+    r = extract_page("https://f.com/x", data)
+    assert r["status"] in ("ok", "empty", "truncated", "parse_error")
+
+
+def test_arrow_schema_roundtrip():
+    from bb_ocr_ray.schema import EXTRACTED_SCHEMA
+
+    recs = [extract_page("https://a.com/1", FULL_PAGE),
+            extract_page("https://a.com/2", b"")]
+    tbl = pa.Table.from_pylist(recs, schema=EXTRACTED_SCHEMA)
+    assert tbl.num_rows == 2
+    back = tbl.to_pylist()
+    assert back[0]["text"] == recs[0]["text"]

@@ -1,0 +1,116 @@
+"""Pipeline-level tests: stages composed on real Ray Datasets."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_domain_stats_salting_invariant(ray_session, sf_tiny):
+    """Salted and unsalted per-domain aggregation must agree exactly
+    (FIXTURES.md §4: the hot domain must produce identical results with
+    and without salting)."""
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_from_sf_dir
+    from bb_ocr_ray.stages.domain_agg import domain_stats
+
+    a = domain_stats(extract_from_sf_dir(sf_tiny), salt_buckets=16).to_pandas()
+    b = domain_stats(extract_from_sf_dir(sf_tiny), salt_buckets=1).to_pandas()
+    a = a.sort_values("domain").reset_index(drop=True)
+    b = b.sort_values("domain").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # hot domain holds ~30% of rows
+    hot = a.set_index("domain").loc["hot.example.com", "n_docs"]
+    assert hot == a["n_docs"].sum() * 3 // 10
+
+
+def test_ann_topk_matches_numpy_oracle(ray_session, sf_tiny):
+    import duckdb
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.ann import ann_topk
+
+    vecs = rd.read_parquet(f"{sf_tiny}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    got = ann_topk(vecs, query_ids=[0, 1, 2], k=3).to_pandas()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_tiny}/embeddings.parquet'"
+    ).df()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    for q in (0, 1, 2):
+        qv = mat[ids == q][0]
+        sims = mat @ qv
+        order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+        expect = [int(i) for s, i in order if i != q][:3]
+        mine = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == expect
+
+
+def test_extract_stage_preserves_row_count(ray_session, sf_tiny):
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_from_sf_dir
+
+    ds = extract_from_sf_dir(sf_tiny)
+    assert ds.count() == 500
+
+
+def test_broadcast_join_matches_pandas(ray_session, sf_tiny):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import broadcast_join
+
+    nation = pd.read_parquet(f"{sf_tiny}/nation.parquet")[["n_nationkey", "n_name"]]
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    cust_ds = rd.read_parquet(f"{sf_tiny}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    got = broadcast_join(cust_ds, nation, on="c_nationkey").to_pandas()
+    exp = pd.read_parquet(f"{sf_tiny}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]].merge(nation, on="c_nationkey")
+    assert len(got) == len(exp)
+    g = got.sort_values("c_custkey").reset_index(drop=True)
+    e = exp.sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.multimodal import (
+        DecodeImageStub,
+        byte_histogram_features,
+        resize_stub,
+    )
+
+    rows = [{"item_id": i, "payload": bytes([i] * (100 + i))} for i in range(8)]
+    ds = rd.from_items(rows)
+    decoded = ds.map_batches(
+        DecodeImageStub, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    )
+    resized = decoded.map_batches(resize_stub, batch_format="pyarrow")
+    feats = resized.map_batches(byte_histogram_features, batch_format="pandas")
+    out = feats.to_pandas()
+    assert {"width", "height", "mean_px", "needs_resize",
+            "byte_hist", "byte_entropy"} <= set(out.columns)
+    assert (out["byte_entropy"] == 0.0).all()     # constant-byte payloads
+    # deterministic fake decode
+    out2 = ds.map_batches(
+        DecodeImageStub, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    pd.testing.assert_series_equal(
+        out.sort_values("item_id")["width"].reset_index(drop=True),
+        out2.sort_values("item_id")["width"].reset_index(drop=True),
+        check_names=False,
+    )
+
+
+def test_multimodal_stub_raises_without_fake(ray_session):
+    from bb_ocr_ray.stages.multimodal import DecodeImageStub
+
+    import pyarrow as pa
+
+    stub = DecodeImageStub(fake=False)
+    with pytest.raises(NotImplementedError):
+        stub(pa.table({"payload": pa.array([b"x"], pa.binary())}))

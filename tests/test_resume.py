@@ -1,0 +1,104 @@
+"""Lineage manifest + kill/restart resume test (FIXTURES.md §3)."""
+
+import json
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from bb_ocr_ray.state.manifest import (
+    PartitionPlan,
+    RunManifest,
+    output_digest,
+    plan_partitions,
+    run_resumable_extract,
+)
+
+
+def test_plan_partitions_file_mode():
+    frags = [f"/in/part-{i}.parquet" for i in range(10)]
+    plans = plan_partitions(frags, 4)
+    assert len(plans) == 4
+    covered = [f for p in plans for f in p.fragment_ids]
+    assert sorted(covered) == sorted(frags)
+    assert all(p.hash_bucket is None for p in plans)
+
+
+def test_plan_partitions_hash_fallback():
+    plans = plan_partitions(["/in/one.parquet"], 4)
+    assert len(plans) == 4
+    assert all(p.hash_bucket == p.partition_id for p in plans)
+    assert all(p.n_buckets == 4 for p in plans)
+
+
+def test_digest_order_insensitive():
+    d1 = output_digest(["b", "a"], [2, 1])
+    d2 = output_digest(["a", "b"], [1, 2])
+    assert d1 == d2
+    assert output_digest(["a"], [1]) != output_digest(["a"], [2])
+
+
+def test_manifest_idempotent_rerun(tmp_path):
+    m = RunManifest(str(tmp_path))
+    plan = PartitionPlan(0, ("f1",), None, None)
+    m.record(plan, 10, "abc")
+    m.record(plan, 10, "abc")            # same digest: fine
+    with pytest.raises(RuntimeError):
+        m.record(plan, 10, "DIFFERENT")  # divergent rerun: refused
+    assert m.completed()[0]["row_count"] == 10
+
+
+def test_kill_restart_no_dupes_no_missing(ray_session, sf_tiny, tmp_path):
+    out_root = str(tmp_path / "run")
+
+    # phase 1: run only the first 3 partitions, then "crash"
+    n_parts = 6
+    from bb_ocr_ray.state import manifest as mod
+
+    orig = mod.plan_partitions
+
+    def truncated_plan(fragments, n):
+        return orig(fragments, n)[:3]
+
+    mod.plan_partitions = truncated_plan
+    try:
+        n_run, n_skipped = run_resumable_extract(sf_tiny, out_root, n_parts)
+    finally:
+        mod.plan_partitions = orig
+    assert (n_run, n_skipped) == (3, 0)
+
+    # phase 2: restart — completed partitions skipped, rest run
+    n_run2, n_skipped2 = run_resumable_extract(sf_tiny, out_root, n_parts)
+    assert (n_run2, n_skipped2) == (3, 3)
+
+    # invariant: output urls are EXACTLY the input urls (no dupes/missing)
+    part_dirs = [os.path.join(out_root, d) for d in sorted(os.listdir(out_root))
+                 if d.startswith("part-") and not d.endswith(".tmp")]
+    assert len(part_dirs) == n_parts
+    urls = []
+    for d in part_dirs:
+        urls.extend(pq.read_table(d, columns=["url"]).column("url").to_pylist())
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_tiny}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(urls) == n_docs
+    assert len(set(urls)) == n_docs
+
+    # manifest digests are stable across a full re-run of one partition
+    man = RunManifest(out_root).completed()
+    assert len(man) == n_parts
+    first = man[0]
+    assert set(first) == {"partition_id", "fragment_ids", "row_count",
+                          "digest", "completed_ts"}
+
+    # phase 3: delete one partition's output (keep manifest), re-run —
+    # it is rebuilt with an identical digest (idempotency under retry)
+    import shutil
+
+    victim = part_dirs[0]
+    shutil.rmtree(victim)
+    n_run3, n_skipped3 = run_resumable_extract(sf_tiny, out_root, n_parts)
+    assert (n_run3, n_skipped3) == (1, 5)
+    man2 = RunManifest(out_root).completed()
+    assert man2[0]["digest"] == man[0]["digest"]

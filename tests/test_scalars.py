@@ -1,0 +1,105 @@
+"""Scalar-extractor + validation unit tests (operator parity with the
+reference's regex heuristics layer and business rules, SURVEY.md §2.8/M12)."""
+
+from bb_ocr_ray.functions.scalars import (
+    extract_dates,
+    extract_emails,
+    extract_isbns,
+    extract_phones,
+    extract_price,
+    extract_publisher,
+    extract_title_author,
+    extract_year,
+    parse_amount,
+    slugify,
+)
+from bb_ocr_ray.functions.validate import validate_record
+
+
+def test_isbn13():
+    i13, _ = extract_isbns("ISBN-13: 978-0-306-40615-7 listed")
+    assert i13 == "9780306406157"
+
+
+def test_isbn10():
+    _, i10 = extract_isbns("ISBN: 0-306-40615-2")
+    assert i10 == "0306406152"
+
+
+def test_isbn10_x_checkdigit():
+    _, i10 = extract_isbns("ISBN 043942089X hardback")
+    assert i10 == "043942089X"
+
+
+def test_year_priority_copyright():
+    assert extract_year("first printed 1950, © 1987 Books Inc") == 1987
+
+
+def test_year_labeled_and_bare():
+    assert extract_year("Published in 1923 by someone") == 1923
+    assert extract_year("the 1844 edition") == 1844
+    assert extract_year("page 123 of 456") is None
+
+
+def test_publisher_suffix_and_gazetteer():
+    assert extract_publisher("printed by Acme Press in Boston") == "Acme Press"
+    assert extract_publisher("a penguin classic") == "Penguin"
+    assert extract_publisher("no publisher here") is None
+
+
+def test_price_parse_separators():
+    assert parse_amount("1.234,56") == 1234.56
+    assert parse_amount("1,234.56") == 1234.56
+    assert parse_amount("15") == 15.0
+    assert parse_amount("not a number") is None
+
+
+def test_price_currency_forms():
+    assert extract_price("costs $12.50 new") == ("USD", 12.5)
+    assert extract_price("price: 9,99 eur") == ("EUR", 9.99)
+    assert extract_price("free!") == (None, None)
+
+
+def test_title_author_lines():
+    t, a = extract_title_author("The Great Book\nby John Smith\n1999")
+    assert t == "The Great Book"
+    assert a == "John Smith"
+
+
+def test_generic_field_extractors():
+    text = ("reach me at a.b+c@example.org or (555) 123-4567, "
+            "meeting 2024-01-15 or Mar 3, 2021")
+    assert extract_emails(text) == ["a.b+c@example.org"]
+    assert extract_phones(text) == ["(555) 123-4567"]
+    dates = extract_dates(text)
+    assert "2024-01-15" in dates and "Mar 3, 2021" in dates
+
+
+def test_slugify():
+    assert slugify("Hello, World! (2nd Ed.)") == "hello_world_2nd_ed."
+    assert len(slugify("x" * 200)) == 80
+
+
+def test_validate_valid_record():
+    r = validate_record({"title": "A Book", "authors": ["X"], "isbn_10": "0306406152",
+                         "isbn_13": "9780306406157", "page_count": 200})
+    assert r["valid"] is True
+    assert r["validation_error"] is None
+
+
+def test_validate_missing_title_fails():
+    r = validate_record({"title": None})
+    assert r["valid"] is False
+    assert "title" in r["validation_error"]
+
+
+def test_validate_bad_isbn_length_fails():
+    r = validate_record({"title": "T", "isbn_10": "123"})
+    assert r["valid"] is False
+    assert "isbn_10" in r["validation_error"]
+
+
+def test_validate_null_arrays_coerced():
+    r = validate_record({"title": "T", "authors": None, "categories": None})
+    assert r["authors"] == [] and r["categories"] == []
+    assert r["valid"] is True
