@@ -1,0 +1,103 @@
+"""CLI entry point — runnable standalone or via ``ray job submit``.
+
+    python -m bb_ocr_ray.cli extract --sf-dir /root/testdata/sf0.001 \
+        --out /tmp/run1 --partitions 8
+    python -m bb_ocr_ray.cli extract --resume ...   (same cmd: resume IS rerun)
+    python -m bb_ocr_ray.cli domain-stats --sf-dir ... [--out csv path]
+    ray job submit -- python -m bb_ocr_ray.cli extract --sf-dir ... --out ...
+
+Replaces the reference's CLI batch processor
+(``pipeline_demo/extractor/batch_processor_enhanced.py:272-318``:
+argparse -> thread pool -> per-book JSON files) with a resumable
+partitioned Ray Data run.  Owns its Ray session (guarded init, always
+shuts down) — the only module allowed to besides bench.py and tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_extract(args) -> int:
+    from bb_ocr_ray.state.manifest import run_resumable_extract
+
+    n_run, n_skipped = run_resumable_extract(
+        args.sf_dir, args.out, n_partitions=args.partitions
+    )
+    print(json.dumps({"cmd": "extract", "out": args.out,
+                      "partitions_run": n_run,
+                      "partitions_skipped": n_skipped}))
+    return 0
+
+
+def cmd_domain_stats(args) -> int:
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_from_sf_dir
+    from bb_ocr_ray.stages.domain_agg import domain_stats
+
+    stats = domain_stats(extract_from_sf_dir(args.sf_dir)).to_pandas()
+    stats = stats.sort_values("domain")
+    if args.out:
+        stats.to_csv(args.out, index=False)
+    print(stats.to_string(index=False))
+    return 0
+
+
+def cmd_bench_entry(args) -> int:
+    """Smoke the driver contract the way the driver does."""
+    sys.path.insert(0, args.repo)
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    print(json.dumps({"cmd": "entry", "rows": ds.count(),
+                      "columns": ds.schema().names}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="bb_ocr_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="resumable extraction run")
+    pe.add_argument("--sf-dir", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--partitions", type=int, default=8)
+    pe.set_defaults(fn=cmd_extract)
+
+    pdm = sub.add_parser("domain-stats", help="salted per-domain aggregate")
+    pdm.add_argument("--sf-dir", required=True)
+    pdm.add_argument("--out", default=None)
+    pdm.set_defaults(fn=cmd_domain_stats)
+
+    pb = sub.add_parser("entry-smoke", help="run the driver entry() contract")
+    pb.add_argument("--repo", default="/root/repo")
+    pb.set_defaults(fn=cmd_bench_entry)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -200,3 +200,71 @@ ORACLES = {
         SELECT {_URL} AS url, lang FROM documents
     """,
 }
+
+ORACLES.update({
+    "q_global_topk": """
+        SELECT o_orderkey, o_totalprice, rank FROM (
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders) WHERE rank <= 20
+    """,
+    "q_offer_ranking": """
+        WITH scored AS (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   3.0 * (CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END)
+                 + 1.5 * (CASE WHEN p_type LIKE 'ECONOMY%' THEN 1 ELSE 0 END)
+                 + 1.0 * (CASE WHEN p_size BETWEEN 10 AND 20 THEN 1 ELSE 0 END)
+                   AS score
+            FROM part),
+             ranked AS (
+            SELECT p_brand, p_partkey, score, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY score DESC, p_retailprice, p_partkey)
+                   AS rank
+            FROM scored)
+        SELECT p_brand, p_partkey, score, p_retailprice, rank
+        FROM ranked WHERE rank <= 2
+    """,
+    "q_keyword_genre": """
+        WITH scored AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('data','table','column','row')))   AS s_data,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('query','filter','join','sort')))  AS s_query,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ('stream','window','batch','event'))) AS s_stream
+            FROM documents),
+             labeled AS (
+            SELECT CASE
+                     WHEN s_data = 0 AND s_query = 0 AND s_stream = 0 THEN 'none'
+                     WHEN s_data >= s_query AND s_data >= s_stream THEN 'data'
+                     WHEN s_query >= s_stream THEN 'query'
+                     ELSE 'stream' END AS genre
+            FROM scored)
+        SELECT genre, count(*) AS n_docs FROM labeled GROUP BY 1
+    """,
+    "q_asof_join": """
+        SELECT e.event_id,
+               coalesce(CAST(floor(epoch(max(c.ts))) AS BIGINT), -1) AS last_click_epoch
+        FROM events e
+        LEFT JOIN events c
+          ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id
+    """,
+    "q_events_sliding": """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT a.event_type, a.hour_epoch,
+               CAST(sum(b.n) AS BIGINT) AS n_events_6h
+        FROM hourly a JOIN hourly b
+          ON a.event_type = b.event_type
+         AND b.hour_epoch > a.hour_epoch - 6 * 3600
+         AND b.hour_epoch <= a.hour_epoch
+        GROUP BY 1, 2
+    """,
+})

@@ -184,9 +184,16 @@ def q_hash_join(sf_dir: str):
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderstatus"])
     joined = hash_join(li, orders, on="o_orderkey")
-    out = joined.groupby("o_orderstatus").aggregate(
+    # partial agg per joined block — the final groupby shuffles a few
+    # hundred partial rows instead of re-shuffling every joined row
+    partials = joined.map_batches(
+        lambda b: b.groupby("o_orderstatus", as_index=False).agg(
+            revenue=("revenue", "sum"), n_lineitems=("revenue", "size")),
+        batch_format="pandas",
+    )
+    out = partials.groupby("o_orderstatus").aggregate(
         Sum("revenue", alias_name="revenue"),
-        Count(alias_name="n_lineitems"),
+        Sum("n_lineitems", alias_name="n_lineitems"),
     ).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     out["n_lineitems"] = out["n_lineitems"].astype("int64")
@@ -250,9 +257,14 @@ def q5_revenue_by_nation(sf_dir: str):
     nation = pd.read_parquet(_t(sf_dir, "nation"))[["n_nationkey", "n_name"]]
     nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
     joined = broadcast_join(joined, nation, on="s_nationkey")
-    out = joined.groupby("n_name").aggregate(
+    partials = joined.map_batches(
+        lambda b: b.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum"), n_lineitems=("revenue", "size")),
+        batch_format="pandas",
+    )
+    out = partials.groupby("n_name").aggregate(
         Sum("revenue", alias_name="revenue"),
-        Count(alias_name="n_lineitems"),
+        Sum("n_lineitems", alias_name="n_lineitems"),
     ).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     out["n_lineitems"] = out["n_lineitems"].astype("int64")
@@ -682,3 +694,168 @@ QUERIES = {
     "q_domain_stats": q_domain_stats,
     "q_dedup_pages": q_dedup_pages,
 }
+
+
+# ---------------------------------------------------------------------------
+# Additional relational operators (round-1 widening)
+# ---------------------------------------------------------------------------
+def q_global_topk(sf_dir: str):
+    """Global sort + limit: top-20 orders by (o_totalprice desc,
+    o_orderkey) — ds.sort is the all-to-all range shuffle; limit
+    truncates the stream."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["rank"] = pd.Series(range(1, len(out) + 1), dtype="int64")
+    return out
+
+
+def q_offer_ranking(sf_dir: str):
+    """Scored top-k per key — re-expression of the reference's offer
+    scoring+ranking (abebooks_html.py:149-161, 311-312: keyword hits
+    3.0/1.5/1.0, sort by (score, -price), top-10): parts scored by
+    deterministic feature hits, top-2 per brand by (score desc,
+    p_retailprice asc, p_partkey)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            3.0 * batch["p_type"].str.contains("BRASS").astype("float64")
+            + 1.5 * batch["p_type"].str.startswith("ECONOMY").astype("float64")
+            + 1.0 * batch["p_size"].between(10, 20).astype("float64")
+        )
+        batch = batch.assign(score=s)
+        # local top-k combiner bounds shuffle input
+        return (
+            batch.sort_values(["p_brand", "score", "p_retailprice", "p_partkey"],
+                              ascending=[True, False, True, True],
+                              kind="mergesort")
+            .groupby("p_brand", as_index=False)
+            .head(2)
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "p_retailprice", "p_partkey"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(2)
+        g = g.assign(rank=pd.Series(range(1, len(g) + 1), dtype="int64").values)
+        return g[["p_brand", "p_partkey", "score", "p_retailprice", "rank"]]
+
+    return (
+        ds.map_batches(score, batch_format="pandas")
+        .groupby("p_brand")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_keyword_genre(sf_dir: str):
+    """Per-doc keyword-list argmax — the genre scoring heuristic
+    (hueristics/book_extractor.py:149-178) over documents: count hits
+    per keyword set, argmax with fixed tie order, aggregate counts."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    genres = [
+        ("data", ("data", "table", "column", "row")),
+        ("query", ("query", "filter", "join", "sort")),
+        ("stream", ("stream", "window", "batch", "event")),
+    ]
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.split(" ")
+        scores = {}
+        for name, kws in genres:
+            kwset = frozenset(kws)
+            scores[name] = toks.map(lambda ws: sum(1 for w in ws if w in kwset))
+        df = pd.DataFrame(scores)
+        # argmax with fixed tie order = first max in genre declaration order
+        best = df.idxmax(axis=1)
+        best[df.max(axis=1) == 0] = "none"
+        return pd.DataFrame({"genre": best, "one": 1}).groupby(
+            "genre", as_index=False
+        ).agg(n_docs=("one", "sum"))
+
+    out = (
+        ds.map_batches(classify, batch_format="pandas")
+        .groupby("genre")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (SURVEY.md §2.4 custom-operator slot): for every
+    'error' event, the most recent 'click' by the same user at or
+    before it.  Partitioning assumption: one user's events fit one
+    group; within the group pd.merge_asof does the ordered match."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        errors = group[group["event_type"] == "error"].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        clicks = group[group["event_type"] == "click"].sort_values(
+            "ts", kind="mergesort")
+        if errors.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "last_click_epoch": pd.Series([], dtype="int64")})
+        merged = pd.merge_asof(
+            errors[["event_id", "ts"]], clicks[["ts"]].assign(click_ts=clicks["ts"]),
+            on="ts", direction="backward")
+        # floor explicitly: sub-second ts fractions truncate the same
+        # way in both engines (DuckDB CAST(double AS BIGINT) rounds)
+        epoch = np.floor(
+            (merged["click_ts"] - pd.Timestamp("1970-01-01"))
+            .dt.total_seconds()
+        )
+        return pd.DataFrame(
+            {"event_id": merged["event_id"].astype("int64"),
+             "last_click_epoch": epoch.fillna(-1).astype("int64")}
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding window (6h window, 1h hop) per event_type: rolling sum
+    over the hourly pre-aggregate — windows computed per-type in one
+    ordered group pass (hourly partials shuffle, not raw events)."""
+    hourly = q_events_hourly(sf_dir)   # event_type, hour_epoch, n_events, ...
+
+    def windows(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("hour_epoch", kind="mergesort").reset_index(drop=True)
+        hours = g["hour_epoch"].to_numpy()
+        counts = g["n_events"].to_numpy()
+        out_n = []
+        for h in hours:
+            mask = (hours > h - 6 * 3600) & (hours <= h)
+            out_n.append(int(counts[mask].sum()))
+        return pd.DataFrame(
+            {"event_type": g["event_type"],
+             "hour_epoch": g["hour_epoch"].astype("int64"),
+             "n_events_6h": pd.Series(out_n, dtype="int64")}
+        )
+
+    return (
+        rd.from_pandas(hourly)
+        .groupby("event_type")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+QUERIES.update(
+    {
+        "q_global_topk": q_global_topk,
+        "q_offer_ranking": q_offer_ranking,
+        "q_keyword_genre": q_keyword_genre,
+        "q_asof_join": q_asof_join,
+        "q_events_sliding": q_events_sliding,
+    }
+)

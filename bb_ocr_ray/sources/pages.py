@@ -105,14 +105,30 @@ def pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str):
-    """Streaming pages Dataset synthesized from {sf_dir}/documents.parquet."""
+def read_pages(sf_dir: str, num_blocks: int | None = None):
+    """Streaming pages Dataset synthesized from {sf_dir}/documents.parquet.
+
+    ``num_blocks``: fan-out for the downstream parse stage.  A small
+    single-file input arrives as ONE block and would serialize the whole
+    extract pipeline (the actor pool gets one giant task); an explicit
+    repartition before the parse stage restores parallelism.  At real
+    scale the input is thousands of fragments and this is a no-op
+    (pass num_blocks=None to skip).  Defaults to 2× available CPUs.
+    """
+    import ray
     import ray.data as rd
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return docs.map_batches(pages_batch, batch_format="pyarrow")
+    if num_blocks is None:
+        num_blocks = 2 * int(ray.cluster_resources().get("CPU", 4))
+    if num_blocks > 0:
+        docs = docs.repartition(num_blocks)
+    # batch_size=None: one task per block (a positive batch_size would
+    # re-bundle the fanned-out blocks into few big tasks)
+    return docs.map_batches(pages_batch, batch_format="pyarrow",
+                            batch_size=None)
 
 
 # ---------------------------------------------------------------------------

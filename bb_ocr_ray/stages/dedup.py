@@ -83,23 +83,51 @@ def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     pathological buckets (cap at 64 here) the way salted groupby caps
     hot keys.
     """
-    exploded = docs_ds.map_batches(
-        lambda b: minhash_explode(b, id_col, text_col, n_bands),
-        batch_format="pandas",
-    )
+    import zlib
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].tolist())[:64]   # pathological-bucket cap
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    # Shuffle-cardinality design: grouping directly on (band, hash)
+    # means ~n_docs×n_bands mostly-singleton groups, and Ray's grouped
+    # ops pay per-GROUP overhead (measured 25 s for 153k groups).
+    # Instead shuffle ONCE on a coarse integer key (hash(bucket) %
+    # coarse_buckets, one group per reducer slot) and find colliding
+    # buckets INSIDE each task with vectorized pandas — per-row cost,
+    # not per-group.  Identical output, ~10× faster here, and at scale
+    # coarse_buckets just grows with the cluster.
+    coarse_buckets = 64
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # dedup identical pairs found in multiple bands
+    def to_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = minhash_explode(b, id_col, text_col, n_bands)
+        bucket = out["band_id"].astype(str) + ":" + out["band_hash"]
+        return pd.DataFrame(
+            {"bucket": bucket,
+             "coarse": [zlib.crc32(s.encode()) % coarse_buckets
+                        for s in bucket],
+             id_col: out[id_col]}
+        )
+
+    exploded = docs_ds.map_batches(to_rows, batch_format="pandas")
+
+    def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # colliding buckets only (vectorized duplicate mask)
+        dup = group[group.duplicated("bucket", keep=False)]
+        out_a, out_b = [], []
+        for _, g in dup.groupby("bucket", sort=True):
+            ids = sorted(set(g[id_col]))[:64]   # pathological-bucket cap
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64")}
+        )
+
+    pairs = exploded.groupby("coarse").map_groups(coarse_pairs,
+                                                  batch_format="pandas")
+    # dedup pairs found in multiple bands — vectorized per block, then
+    # one tiny grouped pass over the (small) pair set
+    pairs = pairs.map_batches(lambda b: b.drop_duplicates(),
+                              batch_format="pandas")
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
@@ -148,6 +176,8 @@ def simhash_near_dups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     pairs = exploded.groupby(["table_id", "band"]).map_groups(
         verify, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )

@@ -1,0 +1,53 @@
+"""Sink-layer tests: partitioned writes + audit flattening."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def test_partitioned_write_by_decision(ray_session, sf_tiny, tmp_path):
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_from_sf_dir
+    from bb_ocr_ray.stages.sinks import add_decision, write_partitioned
+
+    ds = extract_from_sf_dir(sf_tiny).map_batches(
+        add_decision, batch_format="pandas"
+    ).select_columns(["url", "text", "status", "decision"])
+    out = str(tmp_path / "decided")
+    write_partitioned(ds, out, ["decision"])
+    subdirs = sorted(os.listdir(out))
+    assert any(d.startswith("decision=accepted") for d in subdirs)
+    back = pq.read_table(out)
+    assert back.num_rows == 500
+
+
+def test_flatten_metadata_audit_row():
+    from bb_ocr_ray.stages.sinks import AUDIT_COLUMNS, flatten_metadata
+
+    batch = pd.DataFrame(
+        {
+            "url": ["https://a.com/1"],
+            "domain": ["a.com"],
+            "title": ["A Book"],
+            "authors": [["Jane Doe", "John Roe"]],
+            "publication_date": ["First published 1987 in Boston"],
+            "text": ["some extracted text"],
+            "n_blocks_kept": [3],
+            "status": ["ok"],
+            "error": [None],
+        }
+    )
+    flat = flatten_metadata(batch)
+    assert list(flat.columns) == AUDIT_COLUMNS
+    assert flat.loc[0, "authors_csv"] == "Jane Doe, John Roe"
+    assert flat.loc[0, "year"] == 1987
+    assert flat.loc[0, "n_chars"] == len("some extracted text")
+    assert flat.loc[0, "n_blocks"] == 3
+
+
+def test_flatten_handles_missing_fields():
+    from bb_ocr_ray.stages.sinks import flatten_metadata
+
+    flat = flatten_metadata(pd.DataFrame({"text": ["abc"], "status": ["ok"]}))
+    assert flat.loc[0, "title"] is None
+    assert flat.loc[0, "n_chars"] == 3
