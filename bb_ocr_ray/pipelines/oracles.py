@@ -268,3 +268,24 @@ ORACLES.update({
         GROUP BY 1, 2
     """,
 })
+
+ORACLES.update({
+    "q6_revenue_delta": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 25
+    """,
+    "q_running_total": """
+        WITH c AS (SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) >= 8)
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        FROM orders WHERE o_custkey IN (SELECT o_custkey FROM c)
+    """,
+})

@@ -859,3 +859,77 @@ QUERIES.update(
         "q_events_sliding": q_events_sliding,
     }
 )
+
+
+def q6_revenue_delta(sf_dir: str):
+    """TPC-H Q6 shape: pure filter + scalar aggregate (single row) —
+    the simplest partial+final reduction."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (batch["l_shipdate"] >= pd.Timestamp("1995-01-01"))
+            & (batch["l_shipdate"] < pd.Timestamp("1997-01-01"))
+            & (batch["l_discount"].between(0.03, 0.07))
+            & (batch["l_quantity"] < 25)
+        )
+        sel = batch[m]
+        return pd.DataFrame(
+            {"revenue": [float((sel["l_extendedprice"] * sel["l_discount"]).sum())],
+             "n_rows": [int(m.sum())]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    return pd.DataFrame(
+        {"revenue": [round(parts["revenue"].sum(), 2)],
+         "n_rows": pd.Series([parts["n_rows"].sum()], dtype="int64")}
+    )
+
+
+def q_running_total(sf_dir: str):
+    """Windowed running aggregate per group: cumulative order value per
+    customer in o_orderdate order (groupby(cust).map_groups cumsum) —
+    output restricted to customers with ≥ 8 orders to keep rows bounded."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 8:
+            return pd.DataFrame(
+                {"o_custkey": pd.Series([], dtype="int64"),
+                 "o_orderkey": pd.Series([], dtype="int64"),
+                 "running_total": pd.Series([], dtype="float64")}
+            )
+        g = group.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        return pd.DataFrame(
+            {"o_custkey": g["o_custkey"].astype("int64"),
+             "o_orderkey": g["o_orderkey"].astype("int64"),
+             "running_total": g["o_totalprice"].cumsum().round(2)}
+        )
+
+    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF approximate ANN (coarse k-means + inverted-list probing) —
+    rows-only: approximation is by construction; recall vs the exact
+    baseline is asserted in tests/test_ann_ivf.py."""
+    from bb_ocr_ray.stages.ann import ivf_topk
+
+    vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"])
+    return ivf_topk(vecs, query_ids=list(range(10)), k=5)
+
+
+QUERIES.update(
+    {
+        "q6_revenue_delta": q6_revenue_delta,
+        "q_running_total": q_running_total,
+        "q_ivf_topk": q_ivf_topk,
+    }
+)

@@ -169,3 +169,114 @@ def embedding_near_dups(vectors_ds, threshold: float = 0.95,
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF variant (scale path #2): coarse quantizer + inverted lists
+# ---------------------------------------------------------------------------
+def kmeans_fit(vectors_ds, k: int = 16, iters: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic distributed Lloyd iterations on normalized vectors.
+
+    Init: the k rows with the smallest ids (fixed, seedless).  Each
+    iteration is ONE map_batches pass emitting per-batch partial sums
+    (sum_vec, count per centroid) reduced on the driver — the classic
+    mergeable-aggregate shape; no shuffle of the vectors themselves.
+    """
+    import ray
+
+    init = vectors_ds.map_batches(
+        lambda b: b.nsmallest(k, id_col), batch_format="pandas"
+    ).to_pandas().nsmallest(k, id_col)
+    centroids = _normalize(_to_matrix(init[vec_col]))
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)                       # (k, d)
+            mat = _normalize(_to_matrix(batch[vec_col]))
+            assign = np.argmax(mat @ c.T, axis=1)
+            rows = []
+            for ci in range(c.shape[0]):
+                mask = assign == ci
+                if mask.any():
+                    rows.append({"centroid": ci,
+                                 "vec_sum": mat[mask].sum(axis=0),
+                                 "count": int(mask.sum())})
+            return pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"centroid": pd.Series([], dtype="int64"),
+                 "vec_sum": pd.Series([], dtype="object"),
+                 "count": pd.Series([], dtype="int64")})
+
+        parts = vectors_ds.map_batches(partials, batch_format="pandas").to_pandas()
+        new_c = centroids.copy()
+        for ci, g in parts.groupby("centroid"):
+            total = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0)
+            n = g["count"].sum()
+            if n > 0:
+                new_c[int(ci)] = total / n
+        centroids = _normalize(new_c)
+    return centroids
+
+
+def ivf_topk(vectors_ds, query_ids, k: int = 5, n_lists: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """IVF approximate top-k: assign vectors to their nearest centroid
+    (inverted lists), probe only the ``n_probe`` closest lists per
+    query.  Recall < 1 by construction; the exact baseline is ann_topk.
+    Returns (query_id, rank, neighbor_id)."""
+    import ray
+
+    centroids = kmeans_fit(vectors_ds, k=n_lists)
+    cref = ray.put(centroids)
+
+    qset = set(int(q) for q in query_ids)
+    qrows = vectors_ds.map_batches(
+        lambda b: b[b[id_col].isin(qset)], batch_format="pandas"
+    ).to_pandas().sort_values(id_col)
+    qmat = _normalize(_to_matrix(qrows[vec_col]))
+    # lists to probe per query
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    probe_sets = {int(qid): frozenset(int(x) for x in probe[i])
+                  for i, qid in enumerate(qrows[id_col])}
+    qref = ray.put((qrows[id_col].tolist(), qmat, probe_sets))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        qids, qm, probes = ray.get(qref)
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        assign = np.argmax(mat @ c.T, axis=1)
+        sims = qm @ mat.T                      # (Q, B)
+        out = {"query_id": [], "neighbor_id": [], "score": []}
+        for qi, qid in enumerate(qids):
+            mask = np.isin(assign, list(probes[qid])) & (ids != qid)
+            if not mask.any():
+                continue
+            cand = np.where(mask)[0]
+            take = cand[np.argsort(-sims[qi, cand])[: k]]
+            for j in take:
+                out["query_id"].append(qid)
+                out["neighbor_id"].append(int(ids[j]))
+                out["score"].append(float(sims[qi, j]))
+        return pd.DataFrame(
+            {"query_id": pd.Series(out["query_id"], dtype="int64"),
+             "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+             "score": pd.Series(out["score"], dtype="float64")}
+        )
+
+    partials = vectors_ds.map_batches(partial_topk, batch_format="pandas")
+
+    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nsmallest(k, group.itertuples(index=False),
+                              key=lambda r: (-r.score, r.neighbor_id))
+        return pd.DataFrame(
+            {"query_id": pd.Series([t.query_id for t in top], dtype="int64"),
+             "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+             "neighbor_id": pd.Series([t.neighbor_id for t in top], dtype="int64")}
+        )
+
+    return partials.groupby("query_id").map_groups(reduce_topk,
+                                                   batch_format="pandas")

@@ -135,3 +135,71 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int = 16,
 
     return both.groupby("__bucket").map_groups(merge_bucket,
                                                batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi/anti join (scale path for big key sets)
+# ---------------------------------------------------------------------------
+class BloomFilter:
+    """Plain numpy Bloom filter: deterministic double hashing (crc32 +
+    md5-derived), mergeable by OR — built per batch, merged on the
+    driver, broadcast once.  For key sets too big to ship as a frozenset
+    (at 10^9 urls a 1%-fp filter is ~1.2 GB vs ~60 GB of raw keys)."""
+
+    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 5):
+        import numpy as np
+
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, key) -> list:
+        import hashlib
+        import zlib
+
+        data = str(key).encode()
+        h1 = zlib.crc32(data)
+        h2 = int.from_bytes(hashlib.md5(data).digest()[:4], "little") | 1
+        return [((h1 + i * h2) % self.n_bits) for i in range(self.n_hashes)]
+
+    def add(self, key) -> None:
+        for p in self._positions(key):
+            self.bits[p >> 3] |= 1 << (p & 7)
+
+    def __contains__(self, key) -> bool:
+        return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(key))
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self.bits |= other.bits
+        return self
+
+
+def build_bloom(keys_ds, col: str, n_bits: int = 1 << 20) -> BloomFilter:
+    """Distributed build: one partial filter per batch, OR-merged."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(n_bits)
+        for k in batch[col]:
+            bf.add(k)
+        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    import numpy as np
+
+    merged = BloomFilter(n_bits)
+    for part in keys_ds.map_batches(partial, batch_format="pandas").to_pandas()["bits"]:
+        merged.bits |= np.frombuffer(part, dtype=np.uint8)
+    return merged
+
+
+def semi_join_bloom(big_ds, bloom: BloomFilter, col: str):
+    """Approximate semi-join: keeps all true matches (no false
+    negatives) plus ~fp-rate of non-matches; follow with an exact
+    filter where exactness matters."""
+    import ray
+
+    ref = ray.put(bloom)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = ray.get(ref)
+        return batch[[k in bf for k in batch[col]]]
+
+    return big_ds.map_batches(fn, batch_format="pandas")

@@ -157,6 +157,9 @@ def run_plain() -> dict:
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY_EXTRACT="1")
+        # scaling needs a compute-dominated workload: default to a larger
+        # replication than plain mode unless the caller pinned one
+        env.setdefault("BENCH_REPLICATION", "64")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
@@ -175,7 +178,7 @@ def run_scaling() -> dict:
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
         "sf": SF_DIR,
-        "replication": REPLICATION,
+        "replication": r_hi.get("replication", REPLICATION),
     }
 
 

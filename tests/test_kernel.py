@@ -155,3 +155,43 @@ def test_arrow_schema_roundtrip():
     assert tbl.num_rows == 2
     back = tbl.to_pylist()
     assert back[0]["text"] == recs[0]["text"]
+
+
+def test_fast_and_stdlib_segmenters_agree():
+    """Differential: the regex tokenizer and html.parser front-ends drive
+    the same handlers — outputs must be identical on the whole fixture
+    corpus (template pages + edge cases)."""
+    import duckdb
+
+    from bb_ocr_ray.kernel.normalize import decode_html
+    from bb_ocr_ray.kernel.segment import segment
+    from bb_ocr_ray.sources.pages import edge_case_pages, html_for
+
+    def rep(bs):
+        return [(b.tag_path, b.depth, b.ancestor_dropped, b.finalize(),
+                 b.raw_chars, b.link_chars, b.n_tags) for b in bs]
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    for d, t in zip(docs.doc_id, docs.text):
+        pg = html_for(int(d), t).decode()
+        assert rep(segment(pg, engine="fast")) == rep(segment(pg, engine="stdlib"))
+    ep = edge_case_pages()
+    for h in ep.column("html").to_pylist():
+        t, _ = decode_html(h)
+        assert rep(segment(t, engine="fast")) == rep(segment(t, engine="stdlib"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="<>/ab c&;!-=\"'p", max_size=300))
+def test_property_segmenters_never_crash_on_tag_soup(s):
+    from bb_ocr_ray.kernel.segment import segment
+
+    fast = segment(s, engine="fast")
+    std = segment(s, engine="stdlib")
+    # both engines are total; on pathological soup they may tokenize
+    # differently, but emitted text is always a string and flags sane
+    for b in fast + std:
+        assert isinstance(b.finalize(), str)
+        assert b.raw_chars >= b.link_chars >= 0
