@@ -289,3 +289,16 @@ ORACLES.update({
         FROM orders WHERE o_custkey IN (SELECT o_custkey FROM c)
     """,
 })
+
+ORACLES.update({
+    "q_reading_order": """
+        SELECT l_orderkey AS page, l_linenumber AS item_id,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY (l_linenumber * 40) // 40,
+                            (l_partkey % 7) * 140,
+                            l_linenumber * 40,
+                            l_linenumber) AS reading_rank
+        FROM lineitem
+    """,
+})

@@ -933,3 +933,34 @@ QUERIES.update(
         "q_ivf_topk": q_ivf_topk,
     }
 )
+
+
+def q_reading_order(sf_dir: str):
+    """Bounding-box reading-order sort (the layout/PDF branch core,
+    reference: bbox region ordering enhanced_extractor.py:289-337):
+    synthetic page layouts derived deterministically from lineitem
+    (page = orderkey; one box per line item), banded reading order
+    computed per page after one shuffle on the page key."""
+    from bb_ocr_ray.stages.layout_stage import reading_order_stage
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+
+    def to_boxes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"page": batch["l_orderkey"].astype("int64"),
+             "item_id": batch["l_linenumber"].astype("int64"),
+             "x": ((batch["l_partkey"] % 7) * 140).astype("int64"),
+             "y": (batch["l_linenumber"] * 40).astype("int64"),
+             "w": 120, "h": 30}
+        )
+
+    boxes = ds.map_batches(to_boxes, batch_format="pandas")
+    out = reading_order_stage(boxes, page_col="page", strategy="banded",
+                              band_h=40)
+    return out.select_columns(["page", "item_id", "reading_rank"])
+
+
+QUERIES.update({"q_reading_order": q_reading_order})
