@@ -302,3 +302,24 @@ ORACLES.update({
         FROM lineitem
     """,
 })
+
+ORACLES.update({
+    "q_hash_sample": """
+        SELECT doc_id FROM documents
+        WHERE CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) < 64
+    """,
+    "q_value_histogram": """
+        SELECT event_type,
+               CAST(least(greatest(CAST(floor((value - 0.0) / (100.0 - 0.0)
+                    * 20) AS INTEGER), 0), 19) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "q_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+})

@@ -964,3 +964,92 @@ def q_reading_order(sf_dir: str):
 
 
 QUERIES.update({"q_reading_order": q_reading_order})
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic hash-based sampling (the reproducible-at-scale
+    alternative to random_sample): keep rows whose md5(text) first byte
+    < 64 (a ~25% sample that is stable across runs, partitions and
+    engines — the SQL oracle computes the identical predicate)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [int(md5_hex(t or "")[:2], 16) < 64 for t in batch["text"]]
+        return batch[keep][["doc_id"]]
+
+    return ds.map_batches(sample, batch_format="pandas")
+
+
+def q_value_histogram(sf_dir: str):
+    """Mergeable fixed-bin histogram sketch over events.value per
+    event_type — the deterministic quantile-sketch pattern: per-batch
+    partial histograms merge by addition; the oracle recomputes the
+    same binning exactly (no approximation mismatch because the sketch
+    IS the binning)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    lo, hi, nbins = 0.0, 100.0, 20
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.clip(((batch["value"] - lo) / (hi - lo) * nbins).astype(int),
+                    0, nbins - 1)
+        df = pd.DataFrame({"event_type": batch["event_type"], "bin": b,
+                           "n": 1})
+        return df.groupby(["event_type", "bin"], as_index=False).sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_rollup(sf_dir: str):
+    """Multi-level aggregate (rollup): order counts + revenue at
+    (status, priority), (status), and grand total, via partial agg +
+    union of levels — mirrors SQL GROUP BY ROLLUP."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["o_orderstatus", "o_orderpriority"],
+                             as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            revenue=("o_totalprice", "sum"),
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    mid = fine.groupby("o_orderstatus", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum"))
+    mid["o_orderpriority"] = None
+    total = pd.DataFrame(
+        {"o_orderstatus": [None], "o_orderpriority": [None],
+         "n_orders": [fine["n_orders"].sum()],
+         "revenue": [fine["revenue"].sum()]}
+    )
+    out = pd.concat([fine, mid, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]]
+
+
+QUERIES.update(
+    {
+        "q_hash_sample": q_hash_sample,
+        "q_value_histogram": q_value_histogram,
+        "q_rollup": q_rollup,
+    }
+)

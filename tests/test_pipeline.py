@@ -114,3 +114,39 @@ def test_multimodal_stub_raises_without_fake(ray_session):
     stub = DecodeImageStub(fake=False)
     with pytest.raises(NotImplementedError):
         stub(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_streaming_sessionizer_matches_batch(ray_session, sf_small):
+    """The incremental actor-state sessionizer must agree exactly with
+    the batch groupby/map_groups re-expression."""
+    import ray.data as rd
+
+    from bb_ocr_ray.pipelines.queries import q_sessionize
+    from bb_ocr_ray.stages.streaming import sessionize_streaming
+
+    events = rd.read_parquet(f"{sf_small}/events.parquet",
+                             columns=["user_id", "ts"])
+    streaming = sessionize_streaming(events, n_actors=4)
+    batch = (
+        q_sessionize(sf_small).to_pandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        streaming[["user_id", "n_sessions", "n_events"]],
+        batch[["user_id", "n_sessions", "n_events"]],
+    )
+
+
+def test_random_sample_seed_deterministic(ray_session, sf_tiny):
+    """ds.random_sample with a fixed seed is reproducible within a
+    fixed block layout (the O-gap sampling op, SURVEY.md §2.6)."""
+    import ray.data as rd
+
+    def sample_ids():
+        ds = rd.read_parquet(f"{sf_tiny}/documents.parquet",
+                             columns=["doc_id"])
+        return sorted(ds.random_sample(0.2, seed=42).to_pandas()["doc_id"])
+
+    a, b = sample_ids(), sample_ids()
+    assert a == b
+    assert 20 <= len(a) <= 180   # ~100 expected of 500

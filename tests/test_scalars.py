@@ -103,3 +103,14 @@ def test_validate_null_arrays_coerced():
     r = validate_record({"title": "T", "authors": None, "categories": None})
     assert r["authors"] == [] and r["categories"] == []
     assert r["valid"] is True
+
+
+def test_assemble_prompt_numbering_and_cap():
+    from bb_ocr_ray.functions.templates import assemble_prompt
+
+    p = assemble_prompt(["short one", "x" * 400, "short two"],
+                        max_chars_per_section=330)
+    assert "[context 1]\nshort one" in p
+    assert "[context 2]\nshort two" in p       # over-long section dropped
+    assert "xxx" not in p
+    assert p == assemble_prompt(["short one", "x" * 400, "short two"])
