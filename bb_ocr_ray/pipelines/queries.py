@@ -898,21 +898,33 @@ def q_running_total(sf_dir: str):
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
 
-    def running(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 8:
-            return pd.DataFrame(
-                {"o_custkey": pd.Series([], dtype="int64"),
-                 "o_orderkey": pd.Series([], dtype="int64"),
-                 "running_total": pd.Series([], dtype="float64")}
-            )
-        g = group.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+    # coarse-bucket shuffle + fully vectorized inner window: one python
+    # call per BUCKET (64), with pandas groupby().cumsum() doing every
+    # customer at once — no per-customer python (23.5 s -> ~3 s at sf0.1)
+    def add_coarse(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__coarse"] = (
+            batch["o_custkey"].astype("uint64") * 2654435761 % (1 << 32)
+        ) % 64
+        return batch
+
+    def running_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        counts = group["o_custkey"].value_counts()
+        keep = counts[counts >= 8].index
+        g = group[group["o_custkey"].isin(keep)].sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
         return pd.DataFrame(
             {"o_custkey": g["o_custkey"].astype("int64"),
              "o_orderkey": g["o_orderkey"].astype("int64"),
-             "running_total": g["o_totalprice"].cumsum().round(2)}
+             "running_total": g.groupby("o_custkey")["o_totalprice"]
+                               .cumsum().round(2)}
         )
 
-    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    return (
+        ds.map_batches(add_coarse, batch_format="pandas")
+        .groupby("__coarse")
+        .map_groups(running_bucket, batch_format="pandas")
+    )
 
 
 def q_ivf_topk(sf_dir: str):

@@ -35,6 +35,17 @@ def reading_order_stage(boxes_ds, page_col: str = "page",
         ) % coarse_buckets
         return batch
 
+    def per_bucket_banded(group: pd.DataFrame) -> pd.DataFrame:
+        # banded order is a pure sort key — rank every page in the
+        # bucket with one vectorized sort + cumcount, no per-page python
+        band_h = strategy_kw.get("band_h", 32)
+        g = group.copy()
+        g["__band"] = g["y"] // band_h
+        g = g.sort_values([page_col, "__band", "x", "y", "item_id"],
+                          kind="mergesort")
+        g["reading_rank"] = (g.groupby(page_col).cumcount() + 1).astype("int64")
+        return g.drop(columns=["__coarse", "__band"])
+
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, g in group.groupby(page_col, sort=True):
@@ -49,8 +60,9 @@ def reading_order_stage(boxes_ds, page_col: str = "page",
         res = pd.concat(out, ignore_index=True) if out else group.head(0)
         return res.drop(columns=["__coarse"])
 
+    bucket_fn = per_bucket_banded if strategy == "banded" else per_bucket
     return (
         boxes_ds.map_batches(add_coarse, batch_format="pandas")
         .groupby("__coarse")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(bucket_fn, batch_format="pandas")
     )
