@@ -13,7 +13,6 @@ mirror it character-for-character.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 # Fixed stopword list (subset of the synthetic corpus vocabulary + common

@@ -323,3 +323,32 @@ ORACLES.update({
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 })
+
+ORACLES.update({
+    "q_median": """
+        SELECT event_type, quantile_disc(value, 0.5) AS median_value
+        FROM events GROUP BY 1
+    """,
+    "q_knn_label": """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+             ranked AS (
+                SELECT q.query_id, e.label,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qv,
+                                    CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id) AS rank
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id),
+             votes AS (
+                SELECT query_id, label, count(*) AS n
+                FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+             best AS (
+                SELECT query_id, label AS pred_label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY n DESC, label) AS r
+                FROM votes)
+        SELECT query_id, CAST(pred_label AS BIGINT) AS pred_label
+        FROM best WHERE r = 1
+    """,
+})

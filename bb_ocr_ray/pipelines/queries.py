@@ -17,13 +17,11 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from bb_ocr_ray.functions.hashing import md5_hex
 from bb_ocr_ray.functions.textstats import (
-    STOPWORDS,
     n_tokens_series,
     stop_token_counts,
 )
@@ -1065,3 +1063,48 @@ QUERIES.update(
         "q_rollup": q_rollup,
     }
 )
+
+
+def q_median(sf_dir: str):
+    """Exact grouped median (discrete, lower element): per event_type,
+    the value at index floor((n-1)/2) of the sorted values — computed
+    per group after one shuffle on the (5-key) group column; mirrors
+    DuckDB quantile_disc(0.5)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def median(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["value"].sort_values(kind="mergesort").to_numpy()
+        m = v[(len(v) - 1) // 2]
+        return pd.DataFrame({"event_type": [group["event_type"].iloc[0]],
+                             "median_value": [float(m)]})
+
+    return ds.groupby("event_type").map_groups(median, batch_format="pandas")
+
+
+def q_knn_label(sf_dir: str):
+    """k-NN majority label vote: for query vectors vec_id < 20, the
+    modal label among the 5 nearest neighbors (ties -> smallest label).
+    Exact cosine path (ann_topk) + broadcast label lookup."""
+    from bb_ocr_ray.stages.ann import ann_topk
+    from bb_ocr_ray.stages.joins import broadcast_join
+
+    vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"])
+    topk = ann_topk(vecs, query_ids=list(range(20)), k=5)
+    labels = pd.read_parquet(_t(sf_dir, "embeddings"))[["vec_id", "label"]]
+    labels = labels.rename(columns={"vec_id": "neighbor_id"})
+    joined = broadcast_join(topk, labels, on="neighbor_id")
+
+    def vote(group: pd.DataFrame) -> pd.DataFrame:
+        counts = group["label"].value_counts()
+        top = counts[counts == counts.max()].index.min()   # tie -> min label
+        return pd.DataFrame(
+            {"query_id": pd.Series([group["query_id"].iloc[0]], dtype="int64"),
+             "pred_label": pd.Series([int(top)], dtype="int64")}
+        )
+
+    return joined.groupby("query_id").map_groups(vote, batch_format="pandas")
+
+
+QUERIES.update({"q_median": q_median, "q_knn_label": q_knn_label})

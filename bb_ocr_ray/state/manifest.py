@@ -89,13 +89,16 @@ class RunManifest:
                 out[rec["partition_id"]] = rec
         return out
 
-    def record(self, plan: PartitionPlan, row_count: int, digest: str) -> dict:
+    def record(self, plan: PartitionPlan, row_count: int, digest: str,
+               metrics: dict | None = None) -> dict:
         rec = {
             "partition_id": plan.partition_id,
             "fragment_ids": list(plan.fragment_ids),
             "row_count": row_count,
             "digest": digest,
             "completed_ts": datetime.now(timezone.utc).isoformat(),
+            # per-partition run metrics (north_rule: lineage + metrics)
+            "metrics": metrics or {},
         }
         prior = self.completed().get(plan.partition_id)
         if prior is not None and prior["digest"] != digest:
@@ -152,6 +155,9 @@ def run_resumable_extract(sf_dir: str, out_root: str, n_partitions: int = 8,
         pages = docs.map_batches(pages_batch, batch_format="pyarrow")
         extracted = extract_pages(pages, cfg)
 
+        import time as _time
+
+        t0 = _time.time()
         tmp_dir = part_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         extracted.write_parquet(tmp_dir)
@@ -162,6 +168,12 @@ def run_resumable_extract(sf_dir: str, out_root: str, n_partitions: int = 8,
         )
         shutil.rmtree(part_dir, ignore_errors=True)
         os.replace(tmp_dir, part_dir)                    # atomic publish
-        manifest.record(plan, out_tbl.num_rows, digest)
+        wall = _time.time() - t0
+        manifest.record(plan, out_tbl.num_rows, digest, metrics={
+            "wall_s": round(wall, 3),
+            "docs_per_sec": round(out_tbl.num_rows / wall, 1) if wall else 0,
+            "extracted_chars": int(sum(len(t) for t in
+                                       out_tbl.column("text").to_pylist())),
+        })
         n_run += 1
     return n_run, n_skipped

@@ -90,7 +90,8 @@ def test_kill_restart_no_dupes_no_missing(ray_session, sf_tiny, tmp_path):
     assert len(man) == n_parts
     first = man[0]
     assert set(first) == {"partition_id", "fragment_ids", "row_count",
-                          "digest", "completed_ts"}
+                          "digest", "completed_ts", "metrics"}
+    assert first["metrics"]["docs_per_sec"] > 0
 
     # phase 3: delete one partition's output (keep manifest), re-run —
     # it is rebuilt with an identical digest (idempotency under retry)
