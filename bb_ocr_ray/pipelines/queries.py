@@ -1108,3 +1108,17 @@ def q_knn_label(sf_dir: str):
 
 
 QUERIES.update({"q_median": q_median, "q_knn_label": q_knn_label})
+
+
+def q_near_dup_dedup(sf_dir: str):
+    """End-to-end near-dup dedup (MinHash+LSH -> Jaccard verify ->
+    connected components -> keep min id).  Rows-only: LSH recall is
+    probabilistic; cluster semantics are unit-tested on fixtures."""
+    from bb_ocr_ray.stages.dedup import near_dup_dedup
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    return near_dup_dedup(docs).select_columns(["doc_id"])
+
+
+QUERIES.update({"q_near_dup_dedup": q_near_dup_dedup})

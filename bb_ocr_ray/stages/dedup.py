@@ -181,3 +181,104 @@ def simhash_near_dups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full near-dup pipeline: candidates -> verify -> clusters -> keep-min
+# ---------------------------------------------------------------------------
+def verify_candidates(pairs_ds, docs_ds, id_col: str = "doc_id",
+                      text_col: str = "text", min_jaccard: float = 0.5):
+    """Verify LSH candidate pairs against true token-set Jaccard.
+
+    The candidate pair set is sparse (that is LSH's job), so the token
+    sets of ONLY the mentioned docs are broadcast — never the corpus.
+    Integer comparison (2*inter >= ceil(2*j*union)) avoids float drift.
+    """
+    import ray
+
+    pairs = pairs_ds.to_pandas()
+    if pairs.empty:
+        return pairs.assign(inter=pd.Series([], dtype="int64"),
+                            uni=pd.Series([], dtype="int64"))
+    mentioned = set(pairs["id_a"]) | set(pairs["id_b"])
+
+    def token_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch[id_col].isin(mentioned)]
+        return pd.DataFrame(
+            {id_col: b[id_col],
+             "toks": [sorted(set((t or "").split(" "))) for t in b[text_col]]}
+        )
+
+    tok = docs_ds.map_batches(token_sets, batch_format="pandas").to_pandas()
+    lut = {int(i): frozenset(t) for i, t in zip(tok[id_col], tok["toks"])}
+    lut_ref = ray.put(lut)
+
+    import ray.data as rd
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lut_ref)
+        inter, uni, keep = [], [], []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            sa, sb = table.get(int(a)), table.get(int(b))
+            if sa is None or sb is None:
+                keep.append(False)
+                inter.append(0)
+                uni.append(0)
+                continue
+            i = len(sa & sb)
+            u = len(sa) + len(sb) - i
+            keep.append(u > 0 and i >= min_jaccard * u)
+            inter.append(i)
+            uni.append(u)
+        out = batch.assign(inter=pd.Series(inter, dtype="int64").values,
+                           uni=pd.Series(uni, dtype="int64").values)
+        return out[pd.Series(keep).values]
+
+    return rd.from_pandas(pairs).map_batches(verify, batch_format="pandas")
+
+
+def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
+    """Min-label propagation over the (sparse, verified) pair graph.
+
+    Returns (doc_id, component) with component = min doc_id reachable.
+    Driver-side loop over a provably-small edge set (LSH candidates
+    that survived verification — near-dups are rare); each round is a
+    vectorized pandas min-merge.  At larger candidate volumes the same
+    rounds run as Ray groupby passes (documented; the iteration count
+    is O(log diameter))."""
+    if pairs_df.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    edges = pd.concat([
+        pairs_df[["id_a", "id_b"]],
+        pairs_df.rename(columns={"id_a": "id_b", "id_b": "id_a"})[["id_a", "id_b"]],
+    ], ignore_index=True)
+    label = pd.DataFrame({"node": pd.unique(edges[["id_a", "id_b"]].values.ravel())})
+    label["component"] = label["node"]
+    for _ in range(max_rounds):
+        m = edges.merge(label, left_on="id_b", right_on="node")
+        best = m.groupby("id_a", as_index=False)["component"].min()
+        new = label.merge(best, left_on="node", right_on="id_a", how="left",
+                          suffixes=("", "_n"))
+        new["component"] = new[["component", "component_n"]].min(axis=1)
+        changed = (new["component"] != label["component"]).any()
+        label = new[["node", "component"]]
+        if not changed:
+            break
+    return label.rename(columns={"node": "doc_id"}).astype(
+        {"doc_id": "int64", "component": "int64"})
+
+
+def near_dup_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                   min_jaccard: float = 0.5):
+    """End-to-end near-dup deduplication: MinHash+LSH candidates ->
+    Jaccard verification -> connected components -> keep the minimum
+    id per component.  Returns the Dataset of KEPT doc rows."""
+    from bb_ocr_ray.stages.joins import anti_join_broadcast
+
+    cands = minhash_candidates(docs_ds, id_col=id_col, text_col=text_col)
+    verified = verify_candidates(cands, docs_ds, id_col=id_col,
+                                 text_col=text_col, min_jaccard=min_jaccard)
+    comps = connected_components(verified.to_pandas())
+    drop = set(comps.loc[comps["doc_id"] != comps["component"], "doc_id"])
+    return anti_join_broadcast(docs_ds, drop, id_col)

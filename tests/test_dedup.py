@@ -63,3 +63,36 @@ def test_pages_url_dedup(ray_session):
     assert len(dup_rows) == 1
     assert dup_rows.iloc[0]["warc_ts"] == pd.Timestamp("2024-01-01 00:00:00")
     assert deduped["url"].is_unique
+
+
+def test_near_dup_dedup_end_to_end(ray_session, dup_docs):
+    """candidates -> verify -> components -> keep-min: only the lowest
+    doc_id of each near-dup cluster survives."""
+    from bb_ocr_ray.stages.dedup import near_dup_dedup
+
+    kept = sorted(near_dup_dedup(dup_docs).to_pandas()["doc_id"])
+    # docs 0,1,5 are exact dups and 2 is a near-dup of them -> one
+    # cluster keeping 0; docs 3 and 4 are unrelated singletons
+    assert kept == [0, 3, 4]
+
+
+def test_connected_components_chain_and_islands():
+    import pandas as pd
+
+    from bb_ocr_ray.stages.dedup import connected_components
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 7, 10], "id_b": [2, 3, 8, 1]})
+    comps = connected_components(pairs).set_index("doc_id")["component"]
+    # chain 1-2-3 plus edge 10-1 -> all label 1; island 7-8 -> label 7
+    assert comps[1] == comps[2] == comps[3] == comps[10] == 1
+    assert comps[7] == comps[8] == 7
+
+
+def test_verify_candidates_filters_low_jaccard(ray_session, dup_docs):
+    from bb_ocr_ray.stages.dedup import minhash_candidates, verify_candidates
+
+    cands = minhash_candidates(dup_docs)
+    verified = verify_candidates(cands, dup_docs, min_jaccard=0.99).to_pandas()
+    # at J>=0.99 only the exact-dup pairs survive (0,1),(0,5),(1,5)
+    got = set(map(tuple, verified[["id_a", "id_b"]].itertuples(index=False)))
+    assert got == {(0, 1), (0, 5), (1, 5)}
