@@ -53,6 +53,11 @@ class PipelineConfig:
     target_block_mb: int = 64            # target block size before the parse stage
     domain_salt_buckets: int = 16        # salt fan-out for hot-domain aggregation
     output_partitions: int = 16          # resumable-output partition count
+    # Megadoc skew handling in production runs: when set, the resumable
+    # runner re-cuts pages into blocks whose summed html bytes stay
+    # under this budget (stages/sizing.split_by_bytes + block_budget).
+    # None = off (fine for uniform small pages).
+    payload_block_budget_mb: int | None = None
     extract: ExtractConfig = field(default_factory=ExtractConfig)
 
 

@@ -131,11 +131,35 @@ def run_resumable_extract(sf_dir: str, out_root: str, n_partitions: int = 8,
     from bb_ocr_ray.sources.pages import pages_batch
 
     cfg = pipeline_cfg or DEFAULT_PIPELINE
+    # honor the payload budget for the whole per-partition pipeline (the
+    # DataContext is snapshotted at Dataset creation — see sizing.py)
+    import contextlib
+
+    from bb_ocr_ray.stages.sizing import block_budget
+
+    budget_ctx = (
+        block_budget(cfg.payload_block_budget_mb << 20)
+        if cfg.payload_block_budget_mb else contextlib.nullcontext()
+    )
     fragments = [os.path.join(sf_dir, "documents.parquet")]
     plans = plan_partitions(fragments, n_partitions)
     manifest = RunManifest(out_root)
     done = manifest.completed()
 
+    n_run = n_skipped = 0
+    with budget_ctx:
+        return _run_partitions(plans, manifest, done, sf_dir, cfg)
+
+
+def _run_partitions(plans, manifest, done, sf_dir, cfg):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from bb_ocr_ray.functions.hashing import crc32
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
+    from bb_ocr_ray.sources.pages import pages_batch
+
+    out_root = manifest.root
     n_run = n_skipped = 0
     for plan in plans:
         part_dir = os.path.join(out_root, f"part-{plan.partition_id:05d}")
@@ -153,6 +177,12 @@ def run_resumable_extract(sf_dir: str, out_root: str, n_partitions: int = 8,
                 batch_format="pandas",
             )
         pages = docs.map_batches(pages_batch, batch_format="pyarrow")
+        if cfg.payload_block_budget_mb:
+            from bb_ocr_ray.stages.sizing import split_by_bytes
+
+            pages = split_by_bytes(
+                pages, "html", max_bytes=cfg.payload_block_budget_mb << 20
+            )
         extracted = extract_pages(pages, cfg)
 
         import time as _time

@@ -150,3 +150,20 @@ def test_random_sample_seed_deterministic(ray_session, sf_tiny):
     a, b = sample_ids(), sample_ids()
     assert a == b
     assert 20 <= len(a) <= 180   # ~100 expected of 500
+
+
+def test_hash_join_impls_agree(ray_session, sf_tiny):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_tiny}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    orders = rd.read_parquet(f"{sf_tiny}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+    nb = hash_join(li, orders, on="o_orderkey").count()
+    nn = hash_join(li, orders, on="o_orderkey", impl="native",
+                   num_buckets=4).count()
+    assert nb == nn == 6000

@@ -103,3 +103,19 @@ def test_kill_restart_no_dupes_no_missing(ray_session, sf_tiny, tmp_path):
     assert (n_run3, n_skipped3) == (1, 5)
     man2 = RunManifest(out_root).completed()
     assert man2[0]["digest"] == man[0]["digest"]
+
+
+def test_resume_with_payload_budget(ray_session, sf_tiny, tmp_path):
+    """The production runner honors payload_block_budget_mb and its
+    digests match the unbudgeted run (sizing never changes content)."""
+    from bb_ocr_ray.config import PipelineConfig
+    from bb_ocr_ray.state.manifest import RunManifest, run_resumable_extract
+
+    plain = str(tmp_path / "plain")
+    budgeted = str(tmp_path / "budgeted")
+    run_resumable_extract(sf_tiny, plain, 2)
+    cfg = PipelineConfig(payload_block_budget_mb=1)
+    run_resumable_extract(sf_tiny, budgeted, 2, pipeline_cfg=cfg)
+    d_plain = {k: v["digest"] for k, v in RunManifest(plain).completed().items()}
+    d_budg = {k: v["digest"] for k, v in RunManifest(budgeted).completed().items()}
+    assert d_plain == d_budg
