@@ -37,8 +37,14 @@ def _init_ray(num_cpus: int | None):
 def cmd_extract(args) -> int:
     from bb_ocr_ray.state.manifest import run_resumable_extract
 
+    cfg = None
+    if args.payload_budget_mb:
+        from bb_ocr_ray.config import PipelineConfig
+
+        cfg = PipelineConfig(payload_block_budget_mb=args.payload_budget_mb)
     n_run, n_skipped = run_resumable_extract(
-        args.sf_dir, args.out, n_partitions=args.partitions
+        args.sf_dir, args.out, n_partitions=args.partitions,
+        pipeline_cfg=cfg,
     )
     print(json.dumps({"cmd": "extract", "out": args.out,
                       "partitions_run": n_run,
@@ -78,6 +84,8 @@ def main(argv=None) -> int:
     pe.add_argument("--sf-dir", required=True)
     pe.add_argument("--out", required=True)
     pe.add_argument("--partitions", type=int, default=8)
+    pe.add_argument("--payload-budget-mb", type=int, default=None,
+                    help="megadoc skew guard: bound per-block html bytes")
     pe.set_defaults(fn=cmd_extract)
 
     pdm = sub.add_parser("domain-stats", help="salted per-domain aggregate")
