@@ -1122,3 +1122,36 @@ def q_near_dup_dedup(sf_dir: str):
 
 
 QUERIES.update({"q_near_dup_dedup": q_near_dup_dedup})
+
+
+def q_binary_features(sf_dir: str):
+    """Multimodal plumbing over real binary payloads: documents text
+    encoded as bytes -> deterministic fake decode (dims) -> byte
+    histogram + entropy (rows-only: numpy float entropy has no clean
+    SQL mirror; determinism covered by tests)."""
+    from bb_ocr_ray.stages.multimodal import (
+        DecodeImageStub,
+        byte_histogram_features,
+        resize_stub,
+    )
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+
+    def to_payload(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"item_id": batch["doc_id"].astype("int64"),
+             "payload": [t.encode("utf-8") for t in batch["text"]]}
+        )
+
+    ds = docs.map_batches(to_payload, batch_format="pandas")
+    decoded = ds.map_batches(DecodeImageStub,
+                             fn_constructor_kwargs={"fake": True},
+                             batch_format="pyarrow", concurrency=(1, 2))
+    resized = decoded.map_batches(resize_stub, batch_format="pyarrow")
+    feats = resized.map_batches(byte_histogram_features, batch_format="pandas")
+    return feats.select_columns(["item_id", "width", "height",
+                                 "needs_resize", "byte_entropy"])
+
+
+QUERIES.update({"q_binary_features": q_binary_features})

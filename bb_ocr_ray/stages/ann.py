@@ -89,13 +89,15 @@ def ann_topk(vectors_ds, query_ids, k: int = 5, id_col: str = "vec_id",
         (qrows[id_col].tolist(), _to_matrix(qrows[vec_col]))
     )
 
-    partials = vectors_ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k,
-                               "id_col": id_col, "vec_col": vec_col},
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    # stateless tasks: ray.get(queries_ref) inside the task is served
+    # zero-copy from the local object store after the first call per
+    # worker — broadcast semantics without an actor-pool spawn per
+    # dataset execution, and without baking the matrix into the task
+    # closure (same finding as broadcast_join)
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return BruteForceTopK(queries_ref, k, id_col, vec_col)(batch)
+
+    partials = vectors_ds.map_batches(partial_topk, batch_format="pandas")
 
     def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
         top = heapq.nsmallest(

@@ -53,10 +53,19 @@ def domain_stats(extracted_ds, salt_buckets: int = 16):
         Sum("extracted_chars", alias_name="extracted_chars"),
         Sum("n_errors", alias_name="n_errors"),
     )
-    final = salted.groupby("domain").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("html_bytes", alias_name="html_bytes"),
-        Sum("extracted_chars", alias_name="extracted_chars"),
-        Sum("n_errors", alias_name="n_errors"),
+    # Final salt-strip: the salted result is ≤ |domains| × S rows — an
+    # aggregate-sized table — so the merge is a driver-side pandas sum
+    # instead of a second Ray shuffle (the distributed, skew-protected
+    # work is the salted groupby above).
+    import ray.data as rd
+
+    final = (
+        salted.to_pandas()
+        .groupby("domain", as_index=False)[
+            ["n_docs", "html_bytes", "extracted_chars", "n_errors"]
+        ]
+        .sum()
+        .astype({"n_docs": "int64", "html_bytes": "int64",
+                 "extracted_chars": "int64", "n_errors": "int64"})
     )
-    return final
+    return rd.from_pandas(final)
