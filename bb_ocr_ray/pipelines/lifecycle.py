@@ -1,0 +1,78 @@
+"""The reference's full document lifecycle as one streaming pipeline.
+
+Mirrors SURVEY.md §3.1/§3.2 (CLI batch + accept/reject flow): pages ->
+extract -> metadata heuristics over the extracted text (the "Text
+Structuring & Heuristics Engine", design doc component 6) -> business
+validation (M12) -> accept/reject decision -> partitioned sinks (S6)
+-> flattened audit rows (S8).  Every stage is a map over the stream;
+nothing materializes; rejects are data, not dropped rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from bb_ocr_ray.functions.scalars import (
+    extract_isbns,
+    extract_price,
+    extract_publisher,
+    extract_title_author,
+    extract_year,
+)
+from bb_ocr_ray.functions.validate import validate_record
+
+
+def metadata_from_text(batch: pd.DataFrame) -> pd.DataFrame:
+    """Extracted text -> reference-shape metadata columns (the regex
+    heuristics layer applied to real pipeline output)."""
+    rows = []
+    for url, text in zip(batch["url"], batch["text"]):
+        title, author = extract_title_author(text or "")
+        isbn13, isbn10 = extract_isbns(text or "")
+        year = extract_year(text or "")
+        cur, amt = extract_price(text or "")
+        rec = validate_record(
+            {"title": title,
+             "authors": [author] if author else [],
+             "publisher": extract_publisher(text or ""),
+             "publication_date": str(year) if year else None,
+             "isbn_13": isbn13, "isbn_10": isbn10,
+             "price_currency": cur, "price_amount": amt}
+        )
+        rec["url"] = url
+        rows.append(rec)
+    out = pd.DataFrame(rows)
+    out["authors"] = out["authors"].map(lambda a: a or [])
+    return out
+
+
+def run_lifecycle(pages_ds, out_dir: str):
+    """pages -> accepted/rejected partitioned parquet + audit rows.
+
+    Returns (out_dir, audit Dataset)."""
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
+    from bb_ocr_ray.stages.sinks import flatten_metadata, write_partitioned
+
+    extracted = extract_pages(pages_ds)
+    meta = extracted.map_batches(
+        lambda b: b[["url", "domain", "text", "n_blocks_kept",
+                     "status", "error"]],
+        batch_format="pandas",
+    ).map_batches(
+        lambda b: b.merge(metadata_from_text(b), on="url"),
+        batch_format="pandas",
+    )
+
+    def decide(batch: pd.DataFrame) -> pd.DataFrame:
+        ok = (batch["status"] == "ok") & batch["valid"]
+        batch = batch.copy()
+        batch["decision"] = ok.map({True: "accepted", False: "rejected"})
+        return batch
+
+    decided = meta.map_batches(decide, batch_format="pandas")
+    write_partitioned(
+        decided.drop_columns(["authors"]),  # list col: keep sink columnar-simple
+        out_dir, ["decision"],
+    )
+    audit = decided.map_batches(flatten_metadata, batch_format="pandas")
+    return out_dir, audit

@@ -352,3 +352,27 @@ ORACLES.update({
         FROM best WHERE r = 1
     """,
 })
+
+ORACLES.update({
+    "q_provider_fanout": """
+        WITH exact AS (
+            SELECT s_suppkey AS record_key, p_partkey AS listing_id,
+                   p_retailprice AS amount, 'exact' AS provider
+            FROM supplier JOIN part ON p_partkey = s_suppkey * 4),
+             size_scan AS (
+            SELECT s_suppkey AS record_key, p_partkey AS listing_id,
+                   p_retailprice AS amount, 'size_scan' AS provider
+            FROM supplier JOIN part ON p_size = s_suppkey % 50
+            WHERE p_partkey % 25 = 0),
+             merged AS (SELECT * FROM exact UNION ALL SELECT * FROM size_scan),
+             deduped AS (
+            SELECT record_key, listing_id, amount,
+                   row_number() OVER (PARTITION BY record_key, listing_id
+                                      ORDER BY provider) AS rn
+            FROM merged)
+        SELECT CAST(record_key AS BIGINT) AS record_key,
+               count(*) AS n_offers,
+               min(amount) AS best_amount
+        FROM deduped WHERE rn = 1 GROUP BY 1
+    """,
+})

@@ -1155,3 +1155,68 @@ def q_binary_features(sf_dir: str):
 
 
 QUERIES.update({"q_binary_features": q_binary_features})
+
+
+def q_provider_fanout(sf_dir: str):
+    """Provider fan-out lookup (the reference's pricing pipeline shape,
+    SURVEY.md §3.3): each supplier record queries three providers —
+    an exact-key lookup, a range scan, and a stub — offers are merged
+    with provider tags, deduped (record, listing) first-wins by
+    provider name, then summarized per record."""
+    import ray
+
+    from bb_ocr_ray.stages.lookup import (
+        dedup_offers,
+        make_stub_provider,
+        provider_fanout,
+    )
+
+    part = pd.read_parquet(_t(sf_dir, "part"))[
+        ["p_partkey", "p_size", "p_retailprice"]]
+    part_ref = ray.put(part)
+
+    def parts_exact(records: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(part_ref)
+        m = records.merge(p, left_on=records["s_suppkey"] * 4,
+                          right_on="p_partkey")
+        return pd.DataFrame({"record_key": m["s_suppkey"],
+                             "listing_id": m["p_partkey"],
+                             "amount": m["p_retailprice"]})
+
+    def parts_by_size(records: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(part_ref)
+        r = records.assign(p_size=(records["s_suppkey"] % 50).astype("int32"))
+        m = r.merge(p, on="p_size")
+        m = m[m["p_partkey"] % 25 == 0]     # keep the scan sparse
+        return pd.DataFrame({"record_key": m["s_suppkey"],
+                             "listing_id": m["p_partkey"],
+                             "amount": m["p_retailprice"]})
+
+    providers = {
+        "exact": parts_exact,
+        "size_scan": parts_by_size,
+        "stub": make_stub_provider("stub"),
+    }
+    records = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"])
+    offers = provider_fanout(records, providers, key_col="s_suppkey")
+    offers = offers.map_batches(lambda b: b[b["status"] == "ok"].dropna(
+        subset=["listing_id"]), batch_format="pandas")
+    deduped = dedup_offers(offers)
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("record_key", as_index=False).agg(
+            n_offers=("listing_id", "size"), best_amount=("amount", "min"))
+
+    out = (
+        deduped.map_batches(summarize, batch_format="pandas")
+        .groupby("record_key")
+        .aggregate(Sum("n_offers", alias_name="n_offers"),
+                   Min("best_amount", alias_name="best_amount"))
+        .to_pandas()
+    )
+    out["record_key"] = out["record_key"].astype("int64")
+    out["n_offers"] = out["n_offers"].astype("int64")
+    return out
+
+
+QUERIES.update({"q_provider_fanout": q_provider_fanout})

@@ -1,0 +1,84 @@
+"""Provider fan-out lookup — the reference's pricing aggregator shape.
+
+Re-expresses ``pipeline_demo/pricing_api/pricing_api/core/aggregator.py``:
+  - N providers queried per record, results merged (:46-59);
+  - per-provider errors are DATA, not exceptions (:53-56);
+  - offers deduplicated by a seen-key, first wins (:61-69);
+  - provider plugin surface = any callable with the lookup signature
+    (:10-15; stubs as templates amazon_stub.py:5-17).
+
+Offline there is no network, so a provider here is a pure batch
+function ``(records: DataFrame) -> offers DataFrame`` — typically a
+lookup against a broadcast reference table (the Google-Books analog,
+J2) or a scored fuzzy scan (the AbeBooks analog, J3).  The fan-out
+itself is one map_batches: each task runs every provider on its batch,
+tags provider/status, and unions results — bounded concurrency comes
+from the task pool instead of asyncio timeouts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+OFFER_COLUMNS = ["record_key", "provider", "listing_id", "amount", "status",
+                 "error"]
+
+
+def make_stub_provider(name: str):
+    """Always returns no offers — the Amazon/Biblio stub template."""
+
+    def provider(records: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype="object")
+                             for c in ("record_key", "listing_id", "amount")})
+
+    provider.__name__ = name
+    return provider
+
+
+def provider_fanout(records_ds, providers: dict, key_col: str):
+    """Fan every record batch out to all providers; union tagged offers.
+
+    Returns a Dataset with OFFER_COLUMNS; a provider that raises yields
+    one error row per batch (error-as-data) instead of failing the task.
+    """
+
+    def fan(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for name, fn in providers.items():
+            try:
+                offers = fn(batch)
+                offers = offers.assign(provider=name, status="ok", error=None)
+            except Exception as exc:  # noqa: BLE001 — per-provider error-as-data
+                offers = pd.DataFrame(
+                    {"record_key": batch[key_col],
+                     "listing_id": None, "amount": None,
+                     "provider": name, "status": "error",
+                     "error": f"{type(exc).__name__}: {exc}"}
+                )
+            outs.append(offers)
+        merged = pd.concat(outs, ignore_index=True)
+        for c in OFFER_COLUMNS:
+            if c not in merged.columns:
+                merged[c] = None
+        return merged[OFFER_COLUMNS]
+
+    return records_ds.map_batches(fan, batch_format="pandas")
+
+
+def dedup_offers(offers_ds):
+    """Seen-key dedup, first wins by (provider, listing_id) per record —
+    deterministic winner = lexicographically smallest provider
+    (aggregator.py:61-69 analog, distribution-safe)."""
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["record_key", "listing_id", "provider"],
+                                 kind="mergesort").drop_duplicates(
+            subset=["record_key", "listing_id"], keep="first")
+
+    pre = offers_ds.map_batches(local, batch_format="pandas")
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("provider", kind="mergesort").head(1)
+
+    return pre.groupby(["record_key", "listing_id"]).map_groups(
+        first, batch_format="pandas")

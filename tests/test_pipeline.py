@@ -167,3 +167,26 @@ def test_hash_join_impls_agree(ray_session, sf_tiny):
     nn = hash_join(li, orders, on="o_orderkey", impl="native",
                    num_buckets=4).count()
     assert nb == nn == 6000
+
+
+def test_full_lifecycle(ray_session, sf_tiny, tmp_path):
+    """SURVEY §3 lifecycle end-to-end: extract -> heuristics -> validate
+    -> accept/reject partitioned write -> audit flatten."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bb_ocr_ray.pipelines.lifecycle import run_lifecycle
+    from bb_ocr_ray.sources.pages import read_pages
+
+    out = str(tmp_path / "lifecycle")
+    _, audit = run_lifecycle(read_pages(sf_tiny), out)
+    subdirs = sorted(os.listdir(out))
+    assert any(d.startswith("decision=") for d in subdirs)
+    back = pq.read_table(out)
+    assert back.num_rows == 500                      # no dropped rows
+    adf = audit.to_pandas()
+    assert len(adf) == 500
+    assert {"url", "title", "year", "decision", "n_chars"} <= set(adf.columns)
+    # word-salad texts have a first line, so titles extract; decisions split
+    assert set(adf["decision"]) <= {"accepted", "rejected"}
