@@ -190,3 +190,23 @@ def test_full_lifecycle(ray_session, sf_tiny, tmp_path):
     assert {"url", "title", "year", "decision", "n_chars"} <= set(adf.columns)
     # word-salad texts have a first line, so titles extract; decisions split
     assert set(adf["decision"]) <= {"accepted", "rejected"}
+
+
+def test_lifecycle_reject_path(ray_session, tmp_path):
+    """Edge-case pages (empty/nav-only) flow to decision=rejected —
+    the reject partition is real, not just theoretical."""
+    import os
+
+    import ray.data as rd
+
+    from bb_ocr_ray.pipelines.lifecycle import run_lifecycle
+    from bb_ocr_ray.sources.pages import edge_case_pages
+
+    out = str(tmp_path / "lc")
+    _, audit = run_lifecycle(rd.from_arrow(edge_case_pages()), out)
+    adf = audit.to_pandas()
+    counts = adf["decision"].value_counts().to_dict()
+    assert counts.get("rejected", 0) >= 4     # empty/ws/comment/pure-nav
+    assert counts.get("accepted", 0) >= 5
+    assert sorted(d for d in os.listdir(out) if d.startswith("decision=")) == [
+        "decision=accepted", "decision=rejected"]
