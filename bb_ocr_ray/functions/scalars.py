@@ -177,3 +177,40 @@ def slugify(name: str, max_len: int = 80) -> str:
     s = re.sub(r"[^a-z0-9 _.-]", "", s)
     s = re.sub(r"[ _]+", "_", s).strip("_")
     return s[:max_len]
+
+
+SERIES_RES = (
+    # "Book 3 of the Wheel of Time series" — lazy name anchored by the
+    # mandatory trailing " series" so multi-word names capture fully
+    re.compile(r"\b(?:Book|Volume|Vol\.?|Part)\s+(\d+)\s+(?:of|in)\s+(?:the\s+)?([A-Z][\w' ]{2,40}?)\s+series\b"),
+    re.compile(r"#\s*(\d+)\s+in\s+(?:the\s+)?([A-Z][\w' ]{2,40}?)(?:\s+series)\b", re.I),
+    re.compile(r"\(([A-Z][\w' ]{2,40}?)\s*,?\s*#\s*(\d+)\)"),
+)
+
+
+def extract_series(text: str) -> tuple:
+    """(series_name, number) — the reference's 3-form series detector
+    (``book_extractor.py:137-147``); first match by form priority."""
+    for i, pat in enumerate(SERIES_RES):
+        m = pat.search(text)
+        if m:
+            if i == 2:                      # parenthesized form: (Name #N)
+                return m.group(1).strip(), int(m.group(2))
+            return m.group(2).strip(), int(m.group(1))
+    return None, None
+
+
+def fuzzy_ratio(a: str, b: str) -> int:
+    """0-100 similarity ratio (fuzz.ratio semantics via stdlib
+    difflib.SequenceMatcher — deterministic, no external dep); the
+    reference's evaluation comparator (``evaluate_results.py:108-109``)."""
+    from difflib import SequenceMatcher
+
+    if not a and not b:
+        return 100
+    return int(round(100 * SequenceMatcher(None, a, b).ratio()))
+
+
+def fuzzy_match(a: str, b: str, threshold: int = 80) -> bool:
+    """Reference default: match at ratio >= 80."""
+    return fuzzy_ratio(a, b) >= threshold

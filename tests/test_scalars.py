@@ -114,3 +114,38 @@ def test_assemble_prompt_numbering_and_cap():
     assert "[context 2]\nshort two" in p       # over-long section dropped
     assert "xxx" not in p
     assert p == assemble_prompt(["short one", "x" * 400, "short two"])
+
+
+def test_series_detection_three_forms():
+    from bb_ocr_ray.functions.scalars import extract_series
+
+    assert extract_series("Book 3 of the Wheel of Time series") == ("Wheel of Time", 3)
+    assert extract_series("#2 in the Discworld series") == ("Discworld", 2)
+    assert extract_series("A great read (Foundation #4)") == ("Foundation", 4)
+    assert extract_series("no series mentioned here") == (None, None)
+
+
+def test_fuzzy_ratio_and_threshold():
+    from bb_ocr_ray.functions.scalars import fuzzy_match, fuzzy_ratio
+
+    assert fuzzy_ratio("hello world", "hello world") == 100
+    assert fuzzy_ratio("", "") == 100
+    assert fuzzy_match("The Hoosier School-Master", "The Hoosier Schoolmaster")
+    assert not fuzzy_match("completely different", "unrelated text entirely")
+
+
+def test_json_repair_paths():
+    from bb_ocr_ray.functions.jsonrepair import repair_json
+
+    obj, err = repair_json('```json\n{"title": "A Book", "year": 1999}\n```')
+    assert err is None and obj["title"] == "A Book"
+    obj, err = repair_json('Sure! Here is the data: {"a": 1} Hope it helps.')
+    assert err is None and obj == {"a": 1}
+    obj, err = repair_json('{"title": "<string|null>", "n": <integer>}')
+    assert err is None and obj == {"title": None, "n": None}
+    obj, err = repair_json("no braces at all")
+    assert obj is None and "no JSON" in err
+    obj, err = repair_json('{"broken": ')
+    assert obj is None and "JSON" in err
+    obj, err = repair_json("")
+    assert obj is None
