@@ -14,9 +14,17 @@ import json
 import re
 
 _FENCE_RE = re.compile(r"```(?:json)?\s*|\s*```", re.I)
-# template placeholders an LLM may leave verbatim: "<string|null>",
-# "<integer>", '"..."' style stubs
-_PLACEHOLDER_RE = re.compile(r'"<[^">]{1,40}>"|<[a-zA-Z|_ ]{1,40}>')
+# Template placeholders an LLM may leave verbatim.  The reference's own
+# stub set (enhanced_extractor.py:906-913, matching the prompt template)
+# is bracket-free quoted strings plus one array stub; angle-bracket
+# variants are kept but the unquoted form is restricted to VALUE
+# position so markup inside legitimate string values is never touched.
+_ARRAY_STUB_RE = re.compile(r'\[\s*"string"\s*,\s*"\.\.\."\s*\]\s*\|\s*\[\s*\]')
+_QUOTED_STUB_RE = re.compile(
+    r'"(?:string|integer|float|YYYY|number|boolean)\s*\|\s*null"'
+    r'|"<[^">]{1,40}>"'
+)
+_VALUE_POS_STUB_RE = re.compile(r'(?<=[:,])(\s*)<[a-zA-Z|_ ]{1,40}>')
 
 
 def repair_json(raw: str) -> tuple:
@@ -28,7 +36,9 @@ def repair_json(raw: str) -> tuple:
     if start == -1 or end == -1 or end <= start:
         return None, "no JSON object found"
     s = s[start:end + 1]
-    s = _PLACEHOLDER_RE.sub("null", s)
+    s = _ARRAY_STUB_RE.sub("[]", s)
+    s = _QUOTED_STUB_RE.sub("null", s)
+    s = _VALUE_POS_STUB_RE.sub(r"\1null", s)
     try:
         return json.loads(s), None
     except json.JSONDecodeError as exc:

@@ -181,10 +181,12 @@ def slugify(name: str, max_len: int = 80) -> str:
 
 SERIES_RES = (
     # "Book 3 of the Wheel of Time series" — lazy name anchored by the
-    # mandatory trailing " series" so multi-word names capture fully
-    re.compile(r"\b(?:Book|Volume|Vol\.?|Part)\s+(\d+)\s+(?:of|in)\s+(?:the\s+)?([A-Z][\w' ]{2,40}?)\s+series\b"),
-    re.compile(r"#\s*(\d+)\s+in\s+(?:the\s+)?([A-Z][\w' ]{2,40}?)(?:\s+series)\b", re.I),
-    re.compile(r"\(([A-Z][\w' ]{2,40}?)\s*,?\s*#\s*(\d+)\)"),
+    # mandatory trailing " series" so multi-word names capture fully;
+    # ALL forms case-insensitive (reference uses re.IGNORECASE on every
+    # series pattern, book_extractor.py:137-147)
+    re.compile(r"\b(?:Book|Volume|Vol\.?|Part)\s+(\d+)\s+(?:of|in)\s+(?:the\s+)?([A-Za-z][\w' ]{2,40}?)\s+series\b", re.I),
+    re.compile(r"#\s*(\d+)\s+in\s+(?:the\s+)?([A-Za-z][\w' ]{2,40}?)(?:\s+series)\b", re.I),
+    re.compile(r"\(([A-Za-z][\w' ]{2,40}?)\s*,?\s*#\s*(\d+)\)", re.I),
 )
 
 

@@ -149,3 +149,26 @@ def test_json_repair_paths():
     assert obj is None and "JSON" in err
     obj, err = repair_json("")
     assert obj is None
+
+
+def test_json_repair_reference_stubs():
+    """The reference's own bracket-free template stubs repair to null/[]
+    and markup inside legitimate values is untouched (review findings)."""
+    from bb_ocr_ray.functions.jsonrepair import repair_json
+
+    obj, err = repair_json(
+        '{"title": "string | null", "year": "YYYY | null", '
+        '"page_count": "integer | null", "authors": ["string", "..."] | []}')
+    assert err is None
+    assert obj == {"title": None, "year": None, "page_count": None,
+                   "authors": []}
+    obj, err = repair_json('{"description": "A tale of <i>great</i> renown"}')
+    assert err is None
+    assert obj["description"] == "A tale of <i>great</i> renown"
+
+
+def test_series_case_insensitive_all_forms():
+    from bb_ocr_ray.functions.scalars import extract_series
+
+    assert extract_series("book 3 of the wheel of time series") == ("wheel of time", 3)
+    assert extract_series("#2 in the discworld series") == ("discworld", 2)
