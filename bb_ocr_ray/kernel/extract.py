@@ -71,6 +71,18 @@ def extract_page(url: str, html: bytes | None,
         # Megadoc guard (M4 analog: oversize downscale gate,
         # enhanced_extractor.py:487-512): deterministic truncation + flag.
         html = html[: cfg.max_html_bytes]
+        # Back the cut off to a UTF-8 boundary: a dangling multi-byte
+        # sequence would fail strict utf-8 decode and silently flip the
+        # WHOLE document to latin-1 mojibake.  Trim trailing
+        # continuation bytes plus the lead byte that started them (at
+        # most one whole char is lost — already-truncated content).
+        drop = 0
+        while drop < 3 and drop < len(html) and (html[-1 - drop] & 0xC0) == 0x80:
+            drop += 1
+        if drop < len(html) and (html[-1 - drop] & 0xC0) == 0xC0:
+            drop += 1          # also covers a cut directly after a lead byte
+        if drop:
+            html = html[:-drop]
         steps.append(f"truncated:{cfg.max_html_bytes}")
         status = "truncated"
     try:

@@ -187,7 +187,7 @@ _TOKEN_RE = re.compile(
     r"|<![^>]*>?"                          # doctype / declaration
     r"|<\?[^>]*>?"                        # processing instruction
     r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"                    # end tag
-    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>"  # start tag
+    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"  # start tag (disjoint alts: linear-time, no ReDoS)
     r"|</[^>]*>?"                          # bogus end tag (<//p> etc.): swallowed
     r"|([^<]+)"                            # text run
     r"|<",                                 # stray '<'
@@ -223,7 +223,15 @@ class _FastSegmenter(_SegmenterCore):
                 self.handle_data(data)
             elif start_tag is not None:
                 tag = start_tag.lower()
-                if attrs.rstrip().endswith("/"):
+                a = attrs.rstrip()
+                # self-closing only when the '/' is its own token: bare
+                # "/", or preceded by whitespace/quote.  A '/' ending an
+                # unquoted attr value (href=http://x.com/) is VALUE text
+                # (mirrors html.parser, which parses the value first).
+                self_closing = a.endswith("/") and (
+                    len(a) == 1 or a[-2] in " \t\n\r\"'"
+                )
+                if self_closing:
                     self.handle_startendtag(tag, ())
                 else:
                     self.handle_starttag(tag, ())

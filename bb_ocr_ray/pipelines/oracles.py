@@ -367,8 +367,8 @@ ORACLES.update({
              merged AS (SELECT * FROM exact UNION ALL SELECT * FROM size_scan),
              deduped AS (
             SELECT record_key, listing_id, amount,
-                   row_number() OVER (PARTITION BY record_key, listing_id
-                                      ORDER BY provider) AS rn
+                   row_number() OVER (PARTITION BY record_key, provider,
+                                      listing_id ORDER BY provider) AS rn
             FROM merged)
         SELECT CAST(record_key AS BIGINT) AS record_key,
                count(*) AS n_offers,

@@ -49,11 +49,16 @@ def _normalize_pages(batch: pd.DataFrame) -> pd.DataFrame:
     out["url"] = batch["url"].astype(str)
     ts = pd.to_datetime(batch.get("warc_ts", pd.Timestamp("2024-01-01")))
     out["warc_ts"] = ts
-    html = batch["html"]
-    out["html"] = [h.encode("utf-8") if isinstance(h, str) else (h or b"")
-                   for h in html]
-    out["text"] = batch.get("text", "").astype(str) if "text" in batch else ""
-    out["lang"] = batch.get("lang", "").astype(str) if "lang" in batch else ""
+    out["html"] = [
+        h if isinstance(h, (bytes, bytearray))
+        else h.encode("utf-8") if isinstance(h, str)
+        else b""                                 # None/NaN -> empty page
+        for h in batch["html"]
+    ]
+    out["text"] = (batch["text"].fillna("").astype(str)
+                   if "text" in batch else "")
+    out["lang"] = (batch["lang"].fillna("").astype(str)
+                   if "lang" in batch else "")
     return out
 
 

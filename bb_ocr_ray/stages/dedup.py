@@ -243,9 +243,11 @@ def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.Dat
     Returns (doc_id, component) with component = min doc_id reachable.
     Driver-side loop over a provably-small edge set (LSH candidates
     that survived verification — near-dups are rare); each round is a
-    vectorized pandas min-merge.  At larger candidate volumes the same
-    rounds run as Ray groupby passes (documented; the iteration count
-    is O(log diameter))."""
+    vectorized pandas min-merge followed by one pointer-jump
+    (label <- label[label]), giving true O(log n) rounds even on long
+    chains.  Non-convergence within max_rounds raises instead of
+    silently under-merging.  At larger candidate volumes the same
+    rounds run as Ray groupby passes (documented)."""
     if pairs_df.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "component": pd.Series([], dtype="int64")})
@@ -256,17 +258,26 @@ def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.Dat
     label = pd.DataFrame({"node": pd.unique(edges[["id_a", "id_b"]].values.ravel())})
     label["component"] = label["node"]
     for _ in range(max_rounds):
+        before = label["component"].to_numpy().copy()
+        # min over neighbours' labels
         m = edges.merge(label, left_on="id_b", right_on="node")
         best = m.groupby("id_a", as_index=False)["component"].min()
-        new = label.merge(best, left_on="node", right_on="id_a", how="left",
-                          suffixes=("", "_n"))
-        new["component"] = new[["component", "component_n"]].min(axis=1)
-        changed = (new["component"] != label["component"]).any()
-        label = new[["node", "component"]]
-        if not changed:
-            break
-    return label.rename(columns={"node": "doc_id"}).astype(
-        {"doc_id": "int64", "component": "int64"})
+        merged = label.merge(best, left_on="node", right_on="id_a",
+                             how="left", suffixes=("", "_n"))
+        comp = merged[["component", "component_n"]].min(axis=1)
+        label = pd.DataFrame({"node": label["node"].to_numpy(),
+                              "component": comp.to_numpy()})
+        # pointer jump: label <- label[label] halves chain depth per round
+        lut = label.set_index("node")["component"]
+        label["component"] = (
+            label["component"].map(lut).fillna(label["component"]).astype("int64")
+        )
+        if (label["component"].to_numpy() == before).all():
+            return label.rename(columns={"node": "doc_id"}).astype(
+                {"doc_id": "int64", "component": "int64"})
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
 
 
 def near_dup_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",

@@ -66,19 +66,20 @@ def provider_fanout(records_ds, providers: dict, key_col: str):
 
 
 def dedup_offers(offers_ds):
-    """Seen-key dedup, first wins by (provider, listing_id) per record —
-    deterministic winner = lexicographically smallest provider
-    (aggregator.py:61-69 analog, distribution-safe)."""
+    """Seen-key dedup per record: the key INCLUDES the provider
+    ((provider, listing_id), aggregator.py:61-69) so intra-provider
+    repeats collapse while distinct providers' offers — and their
+    error rows (listing_id=None) — all survive."""
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(["record_key", "listing_id", "provider"],
+        return batch.sort_values(["record_key", "provider", "listing_id"],
                                  kind="mergesort").drop_duplicates(
-            subset=["record_key", "listing_id"], keep="first")
+            subset=["record_key", "provider", "listing_id"], keep="first")
 
     pre = offers_ds.map_batches(local, batch_format="pandas")
 
     def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("provider", kind="mergesort").head(1)
+        return group.head(1)
 
-    return pre.groupby(["record_key", "listing_id"]).map_groups(
+    return pre.groupby(["record_key", "provider", "listing_id"]).map_groups(
         first, batch_format="pandas")

@@ -54,7 +54,8 @@ def flatten_metadata(batch: pd.DataFrame) -> pd.DataFrame:
         if col == "authors_csv":
             src = batch.get("authors")
             out[col] = (
-                src.map(lambda a: ", ".join(a) if a is not None and len(a) else "")
+                src.map(lambda a: ", ".join(a)
+                        if isinstance(a, (list, tuple)) and len(a) else "")
                 if src is not None else ""
             )
         elif col == "year":

@@ -100,7 +100,11 @@ class RunManifest:
             # per-partition run metrics (north_rule: lineage + metrics)
             "metrics": metrics or {},
         }
-        prior = self.completed().get(plan.partition_id)
+        prior_path = self._path(plan.partition_id)
+        prior = None
+        if os.path.exists(prior_path):          # O(1), not a full manifest scan
+            with open(prior_path) as f:
+                prior = json.load(f)
         if prior is not None and prior["digest"] != digest:
             raise RuntimeError(
                 f"partition {plan.partition_id}: non-idempotent rerun, digest "
@@ -122,13 +126,7 @@ def run_resumable_extract(sf_dir: str, out_root: str, n_partitions: int = 8,
     Returns (n_run, n_skipped).  Kill it at any point and call again:
     completed partitions are skipped via the manifest anti-join.
     """
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
     from bb_ocr_ray.config import DEFAULT_PIPELINE
-    from bb_ocr_ray.functions.hashing import crc32
-    from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
-    from bb_ocr_ray.sources.pages import pages_batch
 
     cfg = pipeline_cfg or DEFAULT_PIPELINE
     # honor the payload budget for the whole per-partition pipeline (the
@@ -146,7 +144,6 @@ def run_resumable_extract(sf_dir: str, out_root: str, n_partitions: int = 8,
     manifest = RunManifest(out_root)
     done = manifest.completed()
 
-    n_run = n_skipped = 0
     with budget_ctx:
         return _run_partitions(plans, manifest, done, sf_dir, cfg)
 

@@ -96,3 +96,15 @@ def test_verify_candidates_filters_low_jaccard(ray_session, dup_docs):
     # at J>=0.99 only the exact-dup pairs survive (0,1),(0,5),(1,5)
     got = set(map(tuple, verified[["id_a", "id_b"]].itertuples(index=False)))
     assert got == {(0, 1), (0, 5), (1, 5)}
+
+
+def test_connected_components_long_chain_pointer_jump():
+    """Review regression: a 121-node chain converges (pointer jumping)
+    instead of silently splitting at the round cap."""
+    import pandas as pd
+
+    from bb_ocr_ray.stages.dedup import connected_components
+
+    pairs = pd.DataFrame({"id_a": range(120), "id_b": range(1, 121)})
+    comps = connected_components(pairs)
+    assert (comps["component"] == 0).all()

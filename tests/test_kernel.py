@@ -195,3 +195,39 @@ def test_property_segmenters_never_crash_on_tag_soup(s):
     for b in fast + std:
         assert isinstance(b.finalize(), str)
         assert b.raw_chars >= b.link_chars >= 0
+
+
+def test_fast_tokenizer_no_redos():
+    """Review regression: pathological quote runs in an unterminated tag
+    must tokenize in linear time (was exponential backtracking)."""
+    import time
+
+    from bb_ocr_ray.kernel.segment import segment
+
+    t0 = time.time()
+    segment('<p>hello</p><a ' + '"' * 2000)
+    assert time.time() - t0 < 1.0
+
+
+def test_unquoted_attr_trailing_slash_not_selfclosing():
+    """Review regression: href=http://x.com/ is a value, not a
+    self-close; fast and stdlib engines must agree on link density."""
+    from bb_ocr_ray.kernel.segment import segment
+
+    s = '<p><a href=http://x.com/>some link text here</a> rest of text</p>'
+    def rep(bs):
+        return [(b.finalize(), b.raw_chars, b.link_chars) for b in bs]
+    assert rep(segment(s, engine="fast")) == rep(segment(s, engine="stdlib"))
+    assert segment(s, engine="fast")[0].link_chars > 0
+
+
+def test_truncation_never_mojibakes_utf8():
+    """Review regression: byte truncation backs off to a UTF-8 boundary
+    instead of flipping the document to latin-1."""
+    from bb_ocr_ray.config import ExtractConfig
+
+    body = ("<p>" + "café au lait " * 200 + "</p>").encode("utf-8")
+    for cap in range(1000, 1016):
+        r = extract_page("u", body, ExtractConfig(max_html_bytes=cap))
+        assert "Ã" not in r["text"]
+        assert "decode:latin-1" not in r["steps_applied"]

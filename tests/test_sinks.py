@@ -76,3 +76,16 @@ def test_json_and_csv_sinks(ray_session, sf_tiny, tmp_path):
 
     crows = pd.concat([pd.read_csv(f) for f in glob.glob(cdir + "/*")])
     assert len(crows) == 50
+
+
+def test_flatten_nan_authors_total():
+    """Review regression: NaN in an object authors column (pandas
+    missing-value representation) must not crash the flattener."""
+    import numpy as np
+
+    from bb_ocr_ray.stages.sinks import flatten_metadata
+
+    flat = flatten_metadata(pd.DataFrame(
+        {"text": ["abc", "def"], "status": ["ok", "ok"],
+         "authors": [["Jane"], np.nan]}))
+    assert flat["authors_csv"].tolist() == ["Jane", ""]

@@ -67,3 +67,23 @@ def test_read_pages_csv_roundtrip(ray_session, tmp_path):
     assert len(out) == 2
     assert all(out["status"] == "ok")
     assert out["text"].str.startswith("csv sourced page").all()
+
+
+def test_normalize_pages_null_fields(ray_session, tmp_path):
+    """Review regression: null text/lang/html must become ''/b'', never
+    the string 'None' or a NaN payload."""
+    import json
+
+    from bb_ocr_ray.sources.files import read_pages_json
+
+    p = tmp_path / "nulls.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"url": "https://n.com/1", "html": None,
+                            "text": None, "lang": None}) + "\n")
+        f.write(json.dumps({"url": "https://n.com/2",
+                            "html": "<p>real content here long enough</p>",
+                            "text": None, "lang": "en"}) + "\n")
+    rows = read_pages_json(str(p)).to_pandas().sort_values("url")
+    assert rows["text"].tolist() == ["", ""]
+    assert rows["lang"].tolist() == ["", "en"]
+    assert rows["html"].iloc[0] == b""
