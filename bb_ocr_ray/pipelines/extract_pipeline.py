@@ -65,7 +65,7 @@ def extract_pages(pages_ds, cfg: PipelineConfig = DEFAULT_PIPELINE, *,
 
 
 def extract_from_sf_dir(sf_dir: str, cfg: PipelineConfig = DEFAULT_PIPELINE,
-                        *, use_actors: bool = True):
+                        *, use_actors: bool = False):
     """Synthesize pages from {sf_dir}/documents.parquet and extract."""
     from bb_ocr_ray.sources.pages import read_pages
 

@@ -54,14 +54,19 @@ def run_lifecycle(pages_ds, out_dir: str):
     from bb_ocr_ray.stages.sinks import flatten_metadata, write_partitioned
 
     extracted = extract_pages(pages_ds)
-    meta = extracted.map_batches(
-        lambda b: b[["url", "domain", "text", "n_blocks_kept",
-                     "status", "error"]],
-        batch_format="pandas",
-    ).map_batches(
-        lambda b: b.merge(metadata_from_text(b), on="url"),
-        batch_format="pandas",
-    )
+
+    def attach_metadata(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["url", "domain", "text", "n_blocks_kept", "status",
+               "error"]].reset_index(drop=True)
+        if b.empty:
+            return b.assign(title=None, valid=False,
+                            validation_error=None, decision=None).head(0)
+        # metadata_from_text is row-aligned with b — concat, don't merge
+        # (a url self-merge cross-products duplicate urls)
+        meta_cols = metadata_from_text(b).drop(columns=["url"])
+        return pd.concat([b, meta_cols.reset_index(drop=True)], axis=1)
+
+    meta = extracted.map_batches(attach_metadata, batch_format="pandas")
 
     def decide(batch: pd.DataFrame) -> pd.DataFrame:
         ok = (batch["status"] == "ok") & batch["valid"]
@@ -69,7 +74,10 @@ def run_lifecycle(pages_ds, out_dir: str):
         batch["decision"] = ok.map({True: "accepted", False: "rejected"})
         return batch
 
-    decided = meta.map_batches(decide, batch_format="pandas")
+    # materialize once: the parquet sink and the audit flatten are two
+    # consumers — without this the whole extract+heuristics pipeline
+    # would execute twice
+    decided = meta.map_batches(decide, batch_format="pandas").materialize()
     write_partitioned(
         decided.drop_columns(["authors"]),  # list col: keep sink columnar-simple
         out_dir, ["decision"],

@@ -203,8 +203,10 @@ def q_broadcast_join_nation(sf_dir: str):
     customer count + total acctbal per region name."""
     from bb_ocr_ray.stages.joins import broadcast_join
 
-    nation = pd.read_parquet(_t(sf_dir, "nation"))[["n_nationkey", "n_regionkey"]]
-    region = pd.read_parquet(_t(sf_dir, "region"))[["r_regionkey", "r_name"]]
+    nation = pd.read_parquet(_t(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(_t(sf_dir, "region"),
+                             columns=["r_regionkey", "r_name"])
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     dim = dim[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
 
@@ -226,7 +228,8 @@ def q5_revenue_by_nation(sf_dir: str):
     (c_nationkey == s_nationkey), revenue per nation name."""
     from bb_ocr_ray.stages.joins import broadcast_join, hash_join
 
-    supp = pd.read_parquet(_t(sf_dir, "supplier"))[["s_suppkey", "s_nationkey"]]
+    supp = pd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"])
     supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
     li = rd.read_parquet(
         _t(sf_dir, "lineitem"),
@@ -245,14 +248,16 @@ def q5_revenue_by_nation(sf_dir: str):
                              columns=["o_orderkey", "o_custkey"])
     joined = hash_join(li, orders, on="o_orderkey")
 
-    cust = pd.read_parquet(_t(sf_dir, "customer"))[["c_custkey", "c_nationkey"]]
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     joined = broadcast_join(joined, cust, on="o_custkey")
     joined = joined.map_batches(
         lambda b: b[b["s_nationkey"] == b["c_nationkey"]],
         batch_format="pandas",
     )
-    nation = pd.read_parquet(_t(sf_dir, "nation"))[["n_nationkey", "n_name"]]
+    nation = pd.read_parquet(_t(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
     nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
     joined = broadcast_join(joined, nation, on="s_nationkey")
     partials = joined.map_batches(
@@ -1092,7 +1097,8 @@ def q_knn_label(sf_dir: str):
     vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
                            columns=["vec_id", "embedding"])
     topk = ann_topk(vecs, query_ids=list(range(20)), k=5)
-    labels = pd.read_parquet(_t(sf_dir, "embeddings"))[["vec_id", "label"]]
+    labels = pd.read_parquet(_t(sf_dir, "embeddings"),
+                             columns=["vec_id", "label"])
     labels = labels.rename(columns={"vec_id": "neighbor_id"})
     joined = broadcast_join(topk, labels, on="neighbor_id")
 
@@ -1161,8 +1167,9 @@ def q_provider_fanout(sf_dir: str):
     """Provider fan-out lookup (the reference's pricing pipeline shape,
     SURVEY.md §3.3): each supplier record queries three providers —
     an exact-key lookup, a range scan, and a stub — offers are merged
-    with provider tags, deduped (record, listing) first-wins by
-    provider name, then summarized per record."""
+    with provider tags, deduped on (record, provider, listing) (the
+    reference's seen-key includes the provider), then summarized per
+    record."""
     import ray
 
     from bb_ocr_ray.stages.lookup import (
@@ -1171,8 +1178,8 @@ def q_provider_fanout(sf_dir: str):
         provider_fanout,
     )
 
-    part = pd.read_parquet(_t(sf_dir, "part"))[
-        ["p_partkey", "p_size", "p_retailprice"]]
+    part = pd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_size", "p_retailprice"])
     part_ref = ray.put(part)
 
     def parts_exact(records: pd.DataFrame) -> pd.DataFrame:

@@ -48,8 +48,11 @@ def _replicated_pages(sf_dir: str, replication: int):
     # (see sources.pages.read_pages docstring); scale the fan-out with
     # replication so per-task work stays ~1-2k docs (big tasks lose
     # load-balance, tiny ones drown in scheduling)
+    import pyarrow.parquet as pq
+
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    total_docs = 5000 * replication   # sf0.1 documents table x replication
+    n_source = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    total_docs = n_source * replication
     # workload-proportional fan-out (~1.5k docs per task, floor 2/cpu,
     # cap 512): measured best at BOTH 8 and 32 cpus — small tasks
     # schedule/balance better and keep per-task heap low; the cap stops
