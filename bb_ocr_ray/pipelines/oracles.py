@@ -27,8 +27,9 @@ _DOMAIN = (
     "CASE WHEN doc_id % 10 < 3 THEN 'hot.example.com' "
     "ELSE 'site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' END"
 )
-_NORM = r"trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))"
-_NTOK = "(length(text) - length(replace(text, ' ', '')) + 1)"
+_NORM = r"trim(regexp_replace(coalesce(text, ''), '[ \t\n\r\f\v]+', ' ', 'g'))"
+_NTOK = ("(length(coalesce(text, '')) - "
+         "length(replace(coalesce(text, ''), ' ', '')) + 1)")
 
 ORACLES = {
     "q1_pricing_summary": """
@@ -89,9 +90,10 @@ ORACLES = {
         GROUP BY 1
     """,
     "q_anti_join": """
-        SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN
-              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000.0)
     """,
     "q_semi_join": """
         SELECT s_suppkey, s_name FROM supplier
@@ -106,7 +108,7 @@ ORACLES = {
         SELECT event_type,
                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                count(*) AS n_events,
-               round(sum(value), 4) AS sum_value
+               coalesce(round(sum(value), 4), 0.0) AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "q_sessionize": """
@@ -139,19 +141,19 @@ ORACLES = {
     "q_doc_quality": f"""
         SELECT source, count(*) AS n_docs,
                CAST(sum({_NTOK}) AS BIGINT) AS sum_tokens,
-               CAST(sum(len(list_filter(string_split(text, ' '),
+               CAST(sum(len(list_filter(string_split(coalesce(text, ''), ' '),
                    x -> x IN ('the','a','and','of','to','in','is')))) AS BIGINT) AS sum_stop_tokens,
-               CAST(sum(length(regexp_replace(text, '[\\w\\s]', '', 'g'))) AS BIGINT) AS sum_punct
+               CAST(sum(length(regexp_replace(coalesce(text, ''), '[\\w\\s]', '', 'g'))) AS BIGINT) AS sum_punct
         FROM documents GROUP BY 1
     """,
     "q_dedup_exact": """
-        SELECT md5(text) AS content_md5,
+        SELECT md5(coalesce(text, '')) AS content_md5,
                min(doc_id) AS keep_doc_id,
                count(*) AS n_copies
         FROM documents GROUP BY 1
     """,
     "q_jaccard_pairs": """
-        WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        WITH s AS (SELECT doc_id, list_distinct(string_split(coalesce(text, ''), ' ')) AS toks
                    FROM documents)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                len(list_intersect(a.toks, b.toks)) AS inter,
@@ -179,11 +181,14 @@ ORACLES = {
     "q_extract_pages": f"""
         WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents)
         SELECT {_URL} AS url,
-               CASE WHEN doc_id % 101 = 0
+               CASE WHEN length(norm) < 10 THEN ''
+                    WHEN doc_id % 101 = 0
                     THEN norm || repeat(chr(10) || chr(10) || norm, 7)
                     ELSE norm END AS text,
-               'ok' AS status,
-               CAST(CASE WHEN doc_id % 101 = 0 THEN 8 ELSE 1 END AS INTEGER) AS n_blocks_kept
+               CASE WHEN length(norm) < 10 THEN 'empty' ELSE 'ok' END AS status,
+               CAST(CASE WHEN length(norm) < 10 THEN 0
+                         WHEN doc_id % 101 = 0 THEN 8
+                         ELSE 1 END AS INTEGER) AS n_blocks_kept
         FROM d
     """,
     "q_domain_stats": f"""
@@ -192,8 +197,11 @@ ORACLES = {
                           CASE WHEN doc_id % 101 = 0 THEN 8 ELSE 1 END AS K
                    FROM documents)
         SELECT domain, count(*) AS n_docs,
-               CAST(sum(K * L + 2 * (K - 1)) AS BIGINT) AS extracted_chars,
-               CAST(0 AS BIGINT) AS n_errors
+               CAST(sum(CASE WHEN L < 10 THEN 0
+                             ELSE K * L + 2 * (K - 1) END) AS BIGINT)
+                   AS extracted_chars,
+               CAST(sum(CASE WHEN L < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_errors
         FROM d GROUP BY 1
     """,
     "q_dedup_pages": f"""
@@ -228,11 +236,11 @@ ORACLES.update({
     "q_keyword_genre": """
         WITH scored AS (
             SELECT doc_id,
-                   len(list_filter(string_split(text, ' '),
+                   len(list_filter(string_split(coalesce(text, ''), ' '),
                        x -> x IN ('data','table','column','row')))   AS s_data,
-                   len(list_filter(string_split(text, ' '),
+                   len(list_filter(string_split(coalesce(text, ''), ' '),
                        x -> x IN ('query','filter','join','sort')))  AS s_query,
-                   len(list_filter(string_split(text, ' '),
+                   len(list_filter(string_split(coalesce(text, ''), ' '),
                        x -> x IN ('stream','window','batch','event'))) AS s_stream
             FROM documents),
              labeled AS (
@@ -271,7 +279,8 @@ ORACLES.update({
 
 ORACLES.update({
     "q6_revenue_delta": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT coalesce(round(sum(l_extendedprice * l_discount), 2), 0.0)
+                   AS revenue,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -306,7 +315,7 @@ ORACLES.update({
 ORACLES.update({
     "q_hash_sample": """
         SELECT doc_id FROM documents
-        WHERE CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) < 64
+        WHERE CAST('0x' || substr(md5(coalesce(text, '')), 1, 2) AS INTEGER) < 64
     """,
     "q_value_histogram": """
         SELECT event_type,

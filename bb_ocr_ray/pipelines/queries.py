@@ -31,6 +31,14 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _round_sql(x, decimals: int):
+    """Round half AWAY from zero — SQL round() semantics.  pandas/numpy
+    .round() is banker's (half to even), which diverges from the DuckDB
+    oracles on exactly-representable midpoints (e.g. 817/32 at 4 dp)."""
+    f = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 # ---------------------------------------------------------------------------
 # Relational: aggregation with partial pre-agg (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -73,9 +81,9 @@ def q1_pricing_summary(sf_dir: str):
         Sum("sum_disc_price", alias_name="sum_disc_price"),
         Sum("count_order", alias_name="count_order"),
     ).to_pandas()
-    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    out["avg_qty"] = _round_sql(out["sum_qty"] / out["count_order"], 4)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        out[c] = out[c].round(2)
+        out[c] = _round_sql(out[c], 2)
     out["count_order"] = out["count_order"].astype("int64")
     return out
 
@@ -193,7 +201,7 @@ def q_hash_join(sf_dir: str):
         Sum("revenue", alias_name="revenue"),
         Sum("n_lineitems", alias_name="n_lineitems"),
     ).to_pandas()
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = _round_sql(out["revenue"], 2)
     out["n_lineitems"] = out["n_lineitems"].astype("int64")
     return out
 
@@ -217,7 +225,7 @@ def q_broadcast_join_nation(sf_dir: str):
         Count(alias_name="n_customers"),
         Sum("c_acctbal", alias_name="total_acctbal"),
     ).to_pandas()
-    out["total_acctbal"] = out["total_acctbal"].round(2)
+    out["total_acctbal"] = _round_sql(out["total_acctbal"], 2)
     out["n_customers"] = out["n_customers"].astype("int64")
     return out
 
@@ -269,7 +277,7 @@ def q5_revenue_by_nation(sf_dir: str):
         Sum("revenue", alias_name="revenue"),
         Sum("n_lineitems", alias_name="n_lineitems"),
     ).to_pandas()
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = _round_sql(out["revenue"], 2)
     out["n_lineitems"] = out["n_lineitems"].astype("int64")
     return out
 
@@ -355,7 +363,7 @@ def q_events_hourly(sf_dir: str):
                    Sum("sum_value", alias_name="sum_value"))
         .to_pandas()
     )
-    out["sum_value"] = out["sum_value"].round(4)
+    out["sum_value"] = _round_sql(out["sum_value"].fillna(0.0), 4)
     out["n_events"] = out["n_events"].astype("int64")
     return out
 
@@ -387,8 +395,16 @@ def q_json_extract(sf_dir: str):
                          columns=["event_type", "props"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+        import re as _re
+
+        k = batch["props"].str.extract(r'"k":\s*(-?\d+)', expand=False,
+                                       flags=_re.ASCII)
         kn = pd.to_numeric(k, errors="coerce")
+        # literals outside int64 coerce to float and would WRAP on the
+        # int64 cast; the oracle's TRY_CAST(... AS BIGINT) yields NULL —
+        # mirror that by treating overflow as unparsed
+        in_range = kn.notna() & (kn.abs() <= np.float64(2**63 - 1024))
+        kn = kn.where(in_range)
         return pd.DataFrame(
             {"event_type": batch["event_type"],
              "k": kn.fillna(0).astype("int64"),
@@ -419,6 +435,7 @@ def q_doc_stats(sf_dir: str):
                          columns=["lang", "text", "n_chars"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(text=batch["text"].fillna(""))
         batch = batch.assign(n_tokens=n_tokens_series(batch["text"]))
         return batch.groupby("lang", as_index=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
@@ -448,12 +465,15 @@ def q_doc_quality(sf_dir: str):
                          columns=["source", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch["text"]
+        t = batch["text"].fillna("")
         return pd.DataFrame(
             {"source": batch["source"],
              "n_tokens": n_tokens_series(t).astype("int64"),
              "n_stop_tokens": stop_token_counts(t).astype("int64"),
-             "n_punct": t.str.count(r"[^\w\s]").astype("int64")}
+             # re.ASCII: RE2's \w/\s are ASCII-only; unicode-aware
+             # counting would diverge on non-ASCII corpora
+             "n_punct": t.str.count(r"[^\w\s]", flags=__import__("re").ASCII)
+                        .astype("int64")}
         ).groupby("source", as_index=False).agg(
             n_docs=("n_tokens", "size"), sum_tokens=("n_tokens", "sum"),
             sum_stop_tokens=("n_stop_tokens", "sum"),
@@ -770,7 +790,7 @@ def q_keyword_genre(sf_dir: str):
     ]
 
     def classify(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
+        toks = batch["text"].fillna("").str.split(" ")
         scores = {}
         for name, kws in genres:
             kwset = frozenset(kws)
@@ -887,7 +907,7 @@ def q6_revenue_delta(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
     return pd.DataFrame(
-        {"revenue": [round(parts["revenue"].sum(), 2)],
+        {"revenue": [float(_round_sql(parts["revenue"].sum(), 2))],
          "n_rows": pd.Series([parts["n_rows"].sum()], dtype="int64")}
     )
 
@@ -919,8 +939,8 @@ def q_running_total(sf_dir: str):
         return pd.DataFrame(
             {"o_custkey": g["o_custkey"].astype("int64"),
              "o_orderkey": g["o_orderkey"].astype("int64"),
-             "running_total": g.groupby("o_custkey")["o_totalprice"]
-                               .cumsum().round(2)}
+             "running_total": _round_sql(
+                 g.groupby("o_custkey")["o_totalprice"].cumsum(), 2)}
         )
 
     return (
@@ -1056,7 +1076,7 @@ def q_rollup(sf_dir: str):
          "revenue": [fine["revenue"].sum()]}
     )
     out = pd.concat([fine, mid, total], ignore_index=True)
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = _round_sql(out["revenue"], 2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out[["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]]
 
@@ -1079,7 +1099,8 @@ def q_median(sf_dir: str):
                          columns=["event_type", "value"])
 
     def median(group: pd.DataFrame) -> pd.DataFrame:
-        v = group["value"].sort_values(kind="mergesort").to_numpy()
+        # quantile_disc ignores NULLs — drop them before indexing
+        v = group["value"].dropna().sort_values(kind="mergesort").to_numpy()
         m = v[(len(v) - 1) // 2]
         return pd.DataFrame({"event_type": [group["event_type"].iloc[0]],
                              "median_value": [float(m)]})

@@ -50,11 +50,14 @@ class BruteForceTopK:
         mat = _normalize(_to_matrix(batch[self.vec_col]))   # (B, d)
         sims = self.qmat @ mat.T                            # (Q, B)
         k = min(self.k + 1, sims.shape[1])                  # +1 to survive self-hit
-        # partial top-k per query within this batch (vectorized argpartition)
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         out = {"query_id": [], "neighbor_id": [], "score": []}
         for qi, qid in enumerate(self.qids):
-            for j in idx[qi]:
+            # tie-deterministic partial top-k: order by (-score, id) so
+            # equal-score neighbors survive the cut the same way the
+            # oracle's ORDER BY score DESC, neighbor_id ranks them
+            # (argpartition keeps an arbitrary one of a tied pair)
+            order = np.lexsort((ids, -sims[qi]))[:k]
+            for j in order:
                 nid = ids[j]
                 if nid == qid:
                     continue                                 # exclude self

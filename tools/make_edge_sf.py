@@ -1,0 +1,61 @@
+"""Build an adversarial sf dir at /tmp/sf_edge for oracle-gate hardening.
+
+Injects the edge conditions the clean driver testdata cannot exercise:
+NULL / empty / sub-10-char / unicode-punct / whitespace-only document
+texts (incl. a short megadoc at doc_id 9090 = 101*90), int64-overflow
+and malformed JSON props, NULL event values, sub-second timestamps.
+Usage:
+    python tools/make_edge_sf.py
+    python tools/check_oracles.py /tmp/sf_edge <queries...>
+"""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/sf_edge"
+
+
+def main():
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "embeddings"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    docs = pd.read_parquet(f"{SRC}/documents.parquet").head(50)
+    extra = pd.DataFrame(
+        {"doc_id": [9001, 9002, 9003, 9004, 9005, 9090],
+         "text": ["tiny", "", None, "café — ünïcode pünct!", "   \t  ",
+                  "short!"],
+         "lang": ["en"] * 6, "source": ["edge"] * 6})
+    extra["n_chars"] = extra["text"].map(
+        lambda t: len(t) if isinstance(t, str) else 0)
+    docs = pd.concat([docs, extra], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   f"{DST}/documents.parquet")
+
+    ev = pd.read_parquet(f"{SRC}/events.parquet").head(200)
+    extra_ev = pd.DataFrame(
+        {"event_id": [99001, 99002, 99003],
+         "ts": pd.to_datetime(
+             ["2024-01-01 00:10:00.700000", "2024-01-01 01:00:00.000000",
+              "2024-01-01 02:00:00.000000"], format="ISO8601"),
+         "user_id": [1, 1, 2],
+         "event_type": ["click", "error", "view"],
+         "value": [None, 5.0, None],
+         "props": ['{"k": 99999999999999999999999}', "not json at all",
+                   '{"k": 7}']})
+    extra_ev["ts"] = extra_ev["ts"].astype("datetime64[us]")
+    ev = pd.concat([ev, extra_ev], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   f"{DST}/events.parquet")
+    print(f"wrote {DST}: {len(docs)} docs, {len(ev)} events")
+
+
+if __name__ == "__main__":
+    main()
