@@ -18,7 +18,10 @@ import pandas as pd
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+    if m.ndim == 1:                      # zero rows -> keep 2-D shape
+        m = m.reshape(0, 0)
+    return m
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -46,6 +49,10 @@ class BruteForceTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
         ids = batch[self.id_col].to_numpy()
         mat = _normalize(_to_matrix(batch[self.vec_col]))   # (B, d)
         sims = self.qmat @ mat.T                            # (Q, B)
@@ -140,6 +147,10 @@ def embedding_near_dups(vectors_ds, threshold: float = 0.95,
     pair output. Recall < 1 by construction (LSH) — documented; exact
     variant = ann_topk with threshold filter."""
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "vec": pd.Series([], dtype="object")})
         mat = _normalize(_to_matrix(batch[vec_col]))
         buckets = lsh_bucket_ids(mat, n_planes, mat.shape[1])
         return pd.DataFrame(
@@ -154,8 +165,8 @@ def embedding_near_dups(vectors_ds, threshold: float = 0.95,
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
+        order = np.argsort(ids)[:64]   # pathological-bucket cap (matches
+        ids = ids[order]               # minhash/simhash; bounds O(B^2))
         mat = np.asarray(list(group["vec"]))[order]
         sims = mat @ mat.T
         out_a, out_b = [], []
@@ -199,6 +210,11 @@ def kmeans_fit(vectors_ds, k: int = 16, iters: int = 5,
         cref = ray.put(centroids)
 
         def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty:
+                return pd.DataFrame(
+                    {"centroid": pd.Series([], dtype="int64"),
+                     "vec_sum": pd.Series([], dtype="object"),
+                     "count": pd.Series([], dtype="int64")})
             c = ray.get(cref)                       # (k, d)
             mat = _normalize(_to_matrix(batch[vec_col]))
             assign = np.argmax(mat @ c.T, axis=1)
@@ -249,6 +265,10 @@ def ivf_topk(vectors_ds, query_ids, k: int = 5, n_lists: int = 16,
     qref = ray.put((qrows[id_col].tolist(), qmat, probe_sets))
 
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
         c = ray.get(cref)
         qids, qm, probes = ray.get(qref)
         mat = _normalize(_to_matrix(batch[vec_col]))
@@ -261,7 +281,9 @@ def ivf_topk(vectors_ds, query_ids, k: int = 5, n_lists: int = 16,
             if not mask.any():
                 continue
             cand = np.where(mask)[0]
-            take = cand[np.argsort(-sims[qi, cand])[: k]]
+            # tie-deterministic cut: (-score, id), matching BruteForceTopK
+            order = np.lexsort((ids[cand], -sims[qi, cand]))[: k]
+            take = cand[order]
             for j in take:
                 out["query_id"].append(qid)
                 out["neighbor_id"].append(int(ids[j]))

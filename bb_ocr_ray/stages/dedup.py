@@ -46,6 +46,10 @@ def dedup_exact(ds, key: str = "content_hash", order_col: str = "url"):
     """Keep exactly one row per key: the minimum ``order_col`` row
     (deterministic winner).  Two-phase: local pre-dedup, then grouped
     first-row.  Requires ``key`` column present (see add_content_hash).
+
+    Determinism contract: (key, order_col) must identify rows uniquely
+    — if two rows tie on BOTH, the survivor's remaining columns depend
+    on block/shuffle order.  Use a unique order_col (url, row id).
     """
     pre = ds.map_batches(
         lambda b: _local_first(b, key, order_col), batch_format="pandas"
@@ -192,14 +196,21 @@ def verify_candidates(pairs_ds, docs_ds, id_col: str = "doc_id",
 
     The candidate pair set is sparse (that is LSH's job), so the token
     sets of ONLY the mentioned docs are broadcast — never the corpus.
-    Integer comparison (2*inter >= ceil(2*j*union)) avoids float drift.
+    The threshold test is exact integer arithmetic (the decimal
+    min_jaccard becomes a Fraction), so boundary pairs like 11/20 at
+    j=0.55 are kept on every engine.
     """
+    from fractions import Fraction
     import ray
+    import ray.data as rd
 
     pairs = pairs_ds.to_pandas()
     if pairs.empty:
-        return pairs.assign(inter=pd.Series([], dtype="int64"),
-                            uni=pd.Series([], dtype="int64"))
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "inter": pd.Series([], dtype="int64"),
+                              "uni": pd.Series([], dtype="int64")})
+        return rd.from_pandas(empty)   # same type as the non-empty branch
     mentioned = set(pairs["id_a"]) | set(pairs["id_b"])
 
     def token_sets(batch: pd.DataFrame) -> pd.DataFrame:
@@ -215,6 +226,8 @@ def verify_candidates(pairs_ds, docs_ds, id_col: str = "doc_id",
 
     import ray.data as rd
 
+    jfrac = Fraction(str(min_jaccard))
+
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         table = ray.get(lut_ref)
         inter, uni, keep = [], [], []
@@ -227,7 +240,9 @@ def verify_candidates(pairs_ds, docs_ds, id_col: str = "doc_id",
                 continue
             i = len(sa & sb)
             u = len(sa) + len(sb) - i
-            keep.append(u > 0 and i >= min_jaccard * u)
+            # exact: i/u >= jfrac  <=>  i*den >= num*u (integers only)
+            keep.append(u > 0
+                        and i * jfrac.denominator >= jfrac.numerator * u)
             inter.append(i)
             uni.append(u)
         out = batch.assign(inter=pd.Series(inter, dtype="int64").values,

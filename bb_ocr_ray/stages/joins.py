@@ -23,7 +23,13 @@ import pandas as pd
 def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner",
                    suffix: str = "_r"):
     """Map-side join: ``small_df`` is put in the object store once; each
-    batch merges against it.  ``on`` is a column name or list."""
+    batch merges against it.  ``on`` is a column name or list.
+
+    Only inner/left are supported: a per-batch right/outer merge would
+    re-emit every unmatched small-side row once PER BLOCK, making the
+    result depend on block boundaries."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, not {how!r}")
     import ray
 
     ref = ray.put(small_df)
@@ -98,13 +104,38 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int = 16,
     left_cols = [c for c in left_ds.schema().names]
     right_cols = [c for c in right_ds.schema().names if c != on]
 
+    # Pick ONE hash path for BOTH sides up front: dispatching on each
+    # side's dtype independently would route equal logical keys (int 1
+    # vs float 1.0 after a null upcast) to different buckets and
+    # silently drop matches.
+    def _key_is_int(ds) -> bool:
+        base = ds.schema().base_schema
+        try:                                   # Arrow schema
+            import pyarrow.types as pat
+
+            return pat.is_integer(base.field(on).type)
+        except AttributeError:                 # PandasBlockSchema
+            try:
+                t = dict(zip(base.names, base.types))[on]
+                return np.issubdtype(t, np.integer)
+            except Exception:  # noqa: BLE001 — unknown schema: string path
+                return False
+
+    both_int = _key_is_int(left_ds) and _key_is_int(right_ds)
+
+    def _canon(k):
+        # float that is a whole number hashes like the int it equals
+        if isinstance(k, float) and k.is_integer():
+            return str(int(k))
+        return str(k)
+
     def _bucket_of(keys: pd.Series):
         arr = keys.to_numpy()
-        if arr.dtype.kind in "iu":
+        if both_int and arr.dtype.kind in "iu":
             return (arr.astype(np.uint64) * _KNUTH % (1 << 32)) % num_buckets
         import zlib
 
-        return np.fromiter((zlib.crc32(str(k).encode()) % num_buckets
+        return np.fromiter((zlib.crc32(_canon(k).encode()) % num_buckets
                             for k in arr), dtype=np.int64, count=len(arr))
 
     # both sides must ship the SAME columns through the shuffle (the

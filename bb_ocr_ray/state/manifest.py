@@ -94,6 +94,8 @@ class RunManifest:
         rec = {
             "partition_id": plan.partition_id,
             "fragment_ids": list(plan.fragment_ids),
+            "hash_bucket": plan.hash_bucket,
+            "n_buckets": plan.n_buckets,
             "row_count": row_count,
             "digest": digest,
             "completed_ts": datetime.now(timezone.utc).isoformat(),
@@ -110,7 +112,9 @@ class RunManifest:
                 f"partition {plan.partition_id}: non-idempotent rerun, digest "
                 f"{prior['digest'][:12]} != {digest[:12]}"
             )
-        tmp = self._path(plan.partition_id) + ".tmp"
+        # unique tmp name: a concurrent/stale second writer must never
+        # truncate the file another process is about to os.replace
+        tmp = f"{self._path(plan.partition_id)}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(rec, f)
             f.flush()
@@ -160,7 +164,25 @@ def _run_partitions(plans, manifest, done, sf_dir, cfg):
     n_run = n_skipped = 0
     for plan in plans:
         part_dir = os.path.join(out_root, f"part-{plan.partition_id:05d}")
-        if plan.partition_id in done and os.path.isdir(part_dir):
+        prior = done.get(plan.partition_id)
+        if prior is not None and os.path.isdir(part_dir):
+            # the skip is only valid if the completed partition covered
+            # the SAME work: restarting with a different n_partitions or
+            # fragment layout would silently duplicate/drop rows
+            same_plan = (
+                prior.get("fragment_ids") == list(plan.fragment_ids)
+                and prior.get("hash_bucket", plan.hash_bucket) == plan.hash_bucket
+                and prior.get("n_buckets", plan.n_buckets) == plan.n_buckets
+            )
+            if not same_plan:
+                raise RuntimeError(
+                    f"partition {plan.partition_id}: manifest plan mismatch "
+                    f"(was fragments={prior.get('fragment_ids')} bucket="
+                    f"{prior.get('hash_bucket')}/{prior.get('n_buckets')}, "
+                    f"now {list(plan.fragment_ids)} bucket="
+                    f"{plan.hash_bucket}/{plan.n_buckets}) — rerun with the "
+                    "original n_partitions or a fresh out_root"
+                )
             n_skipped += 1
             continue
         docs = rd.read_parquet(list(plan.fragment_ids),
@@ -185,7 +207,7 @@ def _run_partitions(plans, manifest, done, sf_dir, cfg):
         import time as _time
 
         t0 = _time.time()
-        tmp_dir = part_dir + ".tmp"
+        tmp_dir = f"{part_dir}.tmp.{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         extracted.write_parquet(tmp_dir)
         out_tbl = pq.read_table(tmp_dir, columns=["url", "text"])

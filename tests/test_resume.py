@@ -89,8 +89,9 @@ def test_kill_restart_no_dupes_no_missing(ray_session, sf_tiny, tmp_path):
     man = RunManifest(out_root).completed()
     assert len(man) == n_parts
     first = man[0]
-    assert set(first) == {"partition_id", "fragment_ids", "row_count",
-                          "digest", "completed_ts", "metrics"}
+    assert set(first) == {"partition_id", "fragment_ids", "hash_bucket",
+                          "n_buckets", "row_count", "digest",
+                          "completed_ts", "metrics"}
     assert first["metrics"]["docs_per_sec"] > 0
 
     # phase 3: delete one partition's output (keep manifest), re-run —
@@ -119,3 +120,12 @@ def test_resume_with_payload_budget(ray_session, sf_tiny, tmp_path):
     d_plain = {k: v["digest"] for k, v in RunManifest(plain).completed().items()}
     d_budg = {k: v["digest"] for k, v in RunManifest(budgeted).completed().items()}
     assert d_plain == d_budg
+
+
+def test_resume_refuses_changed_partition_plan(ray_session, sf_tiny, tmp_path):
+    """Review regression: resuming with a different n_partitions must
+    refuse loudly instead of silently duplicating/dropping rows."""
+    out = str(tmp_path / "plan")
+    run_resumable_extract(sf_tiny, out, 4)
+    with pytest.raises(RuntimeError, match="plan mismatch"):
+        run_resumable_extract(sf_tiny, out, 8)
