@@ -83,10 +83,19 @@ def extract_page(url: str, html: bytes | None,
             drop += 1          # also covers a cut directly after a lead byte
         if drop:
             html = html[:-drop]
+        # strip a dangling incomplete construct at the cut (a half tag
+        # like '<div class="navigatio' would otherwise be emitted as
+        # content text by the tokenizer)
+        last_lt, last_gt = html.rfind(b"<"), html.rfind(b">")
+        if last_lt > last_gt:
+            html = html[:last_lt]
         steps.append(f"truncated:{cfg.max_html_bytes}")
         status = "truncated"
     try:
-        text_html, decode_steps = decode_html(html, cfg)
+        # lenient decode for truncated docs: a multi-byte cut must cost
+        # one replacement char, never a whole-document latin-1 flip
+        text_html, decode_steps = decode_html(html, cfg,
+                                              lenient=(status == "truncated"))
         steps.extend(decode_steps)
         raw_blocks = segment(text_html, cfg)
         steps.append(f"segment:{len(raw_blocks)}")

@@ -14,6 +14,14 @@ invariant: traversal order is the token stream order, there is no
 parser-version drift, and malformed markup degrades deterministically
 (unmatched end tags are ignored; unclosed tags stay open until an
 enclosing close or EOF).
+
+The FAST regex front-end (the production default) is the canonical
+engine.  It intentionally diverges from html.parser on two sloppy-
+markup shapes where the stdlib behavior is worse: ``</script foo>``
+closes the script (html.parser stays in CDATA mode and swallows the
+rest of the document), and unterminated trailing constructs at EOF
+(``<!-- ...``, ``<tag ...``) are swallowed instead of being emitted as
+junk text.  Everything else is held identical by differential tests.
 """
 
 from __future__ import annotations
@@ -28,7 +36,7 @@ from bb_ocr_ray.kernel.normalize import collapse_ws
 # Tags whose entire text content is never page content.
 SKIP_TAGS = frozenset(
     {"script", "style", "noscript", "template", "svg", "title", "iframe",
-     "object", "canvas", "audio", "video", "map", "datalist"}
+     "object", "canvas", "audio", "video", "map", "datalist", "textarea"}
 )
 
 # Tags that open/close a text block (flush boundary).  Inline tags (a, b,
@@ -186,8 +194,8 @@ _TOKEN_RE = re.compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"   # CDATA
     r"|<![^>]*>?"                          # doctype / declaration
     r"|<\?[^>]*>?"                        # processing instruction
-    r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"                    # end tag
-    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"  # start tag (disjoint alts: linear-time, no ReDoS)
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:._-]*)[^>]*>"                    # end tag
+    r"|<([a-zA-Z][a-zA-Z0-9:._-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"  # start tag (disjoint alts: linear-time, no ReDoS)
     r"|</[^>]*>?"                          # bogus end tag (<//p> etc.): swallowed
     r"|([^<]+)"                            # text run
     r"|<",                                 # stray '<'
@@ -197,7 +205,8 @@ _TOKEN_RE = re.compile(
 # Raw-text elements: content is not markup.  script/style/title are
 # SKIP_TAGS (content discarded); textarea content is data.
 _RAWTEXT_CLOSE = {
-    t: re.compile(rf"</\s*{t}\s*[^>]*>", re.I | re.S)
+    # name boundary required: </styled> must NOT close <style>
+    t: re.compile(rf"</\s*{t}(?=[\s/>])[^>]*>", re.I | re.S)
     for t in ("script", "style", "title", "textarea")
 }
 
@@ -237,18 +246,19 @@ class _FastSegmenter(_SegmenterCore):
                     self.handle_starttag(tag, ())
                     closer = _RAWTEXT_CLOSE.get(tag)
                     if closer is not None:
-                        # raw-text content: no markup until the close tag
+                        # raw-text content: no markup until the close tag;
+                        # all four rawtext elements (script/style/title/
+                        # textarea) are SKIP_TAGS — form-control text is
+                        # not page content
                         mc = closer.search(text, pos)
-                        if mc is None:
-                            raw, pos = text[pos:], n
-                        else:
-                            raw, pos = text[pos:mc.start()], mc.end()
-                        if tag == "textarea" and raw:
-                            self.handle_data(unescape(raw) if "&" in raw else raw)
+                        pos = n if mc is None else mc.end()
                         self.handle_endtag(tag)
             elif end_tag is not None:
                 self.handle_endtag(end_tag.lower())
-            # comments / doctype / CDATA / PI / stray '<': no event
+            elif m.group(0) == "<":
+                # stray '<' in prose ("1 < 2") is data, like html.parser
+                self.handle_data("<")
+            # comments / doctype / CDATA / PI: no event
 
     def close(self) -> None:
         self._flush()

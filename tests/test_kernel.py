@@ -94,7 +94,8 @@ def test_charset_bom_utf16():
     html = codecs.BOM_UTF16_LE + "<p>utf sixteen content here totally</p>".encode("utf-16-le")
     text, steps = decode_html(html)
     assert "utf sixteen" in text
-    assert steps == ["decode:utf-16-le"]
+    assert steps == ["decode:utf-16"]
+    assert not text.startswith("\ufeff")    # BOM consumed, not leaked
 
 
 def test_entity_decode():
@@ -231,3 +232,51 @@ def test_truncation_never_mojibakes_utf8():
         r = extract_page("u", body, ExtractConfig(max_html_bytes=cap))
         assert "Ã" not in r["text"]
         assert "decode:latin-1" not in r["steps_applied"]
+
+
+def test_kernel_review_regressions():
+    """Fourth review wave: charset-sniff prescan, stray '<' preservation,
+    rawtext boundaries, textarea suppression, truncation hygiene."""
+    import codecs
+
+    from bb_ocr_ray.config import ExtractConfig
+    from bb_ocr_ray.kernel.segment import segment
+
+    def rep(bs):
+        return [(b.tag_path, b.finalize()) for b in bs]
+
+    # stray '<' in prose is data, engines agree
+    s = "<p>1 < 2 is definitely true here</p>"
+    assert rep(segment(s, engine="fast")) == rep(segment(s, engine="stdlib"))
+    assert "1 < 2" in segment(s, engine="fast")[0].finalize()
+    # </styled> must not close <style>
+    s = "<body><style>.x{color:red}</styled><p>real paragraph</p></body>"
+    assert rep(segment(s, engine="fast")) == rep(segment(s, engine="stdlib")) == []
+    # textarea content never leaks into page text
+    s = ("<body><textarea><p>hello world example</p></textarea>"
+         "<p>after text is here</p></body>")
+    assert rep(segment(s, engine="fast")) == rep(segment(s, engine="stdlib"))
+    assert all("hello" not in t for _, t in rep(segment(s, engine="fast")))
+    # charset in a comment or a description attr must not hijack decoding
+    r = extract_page("u", ('<!-- <meta charset="koi8-r"> -->'
+                           '<meta charset="utf-8">'
+                           "<p>Привет мир дорогой длинный текст</p>").encode())
+    assert "Привет" in r["text"]
+    r = extract_page("u", b'<meta name="description" '
+                          b'content="set charset=shift_jis in html">'
+                          b"<p>plain ascii body long enough</p>")
+    assert "decode:utf-8" in r["steps_applied"]
+    # real http-equiv charset still honored
+    r = extract_page("u", ('<meta http-equiv="Content-Type" '
+                           'content="text/html; charset=latin-1">'
+                           "<p>café latin page long enough</p>").encode("latin-1"))
+    assert "café" in r["text"]
+    # truncated utf-16 megadoc: lenient decode, never a latin-1 flip
+    body = codecs.BOM_UTF16_LE + ("<p>" + "한글 내용 " * 4000 + "</p>").encode("utf-16-le")
+    r = extract_page("u", body, ExtractConfig(max_html_bytes=20001))
+    assert "decode:latin-1" not in r["steps_applied"]
+    assert "한글" in r["text"]
+    # dangling half-tag at the cut is trimmed, not emitted as text
+    r = extract_page("u", b'<p>good text content here</p><div class="navi',
+                     ExtractConfig(max_html_bytes=40))
+    assert "class=" not in r["text"]
