@@ -322,7 +322,7 @@ ORACLES.update({
                CAST(least(greatest(CAST(floor((value - 0.0) / (100.0 - 0.0)
                     * 20) AS INTEGER), 0), 19) AS BIGINT) AS bin,
                count(*) AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     """,
     "q_rollup": """
         SELECT o_orderstatus, o_orderpriority,

@@ -399,16 +399,23 @@ def q_json_extract(sf_dir: str):
 
         k = batch["props"].str.extract(r'"k":\s*(-?\d+)', expand=False,
                                        flags=_re.ASCII)
-        kn = pd.to_numeric(k, errors="coerce")
-        # literals outside int64 coerce to float and would WRAP on the
-        # int64 cast; the oracle's TRY_CAST(... AS BIGINT) yields NULL —
-        # mirror that by treating overflow as unparsed
-        in_range = kn.notna() & (kn.abs() <= np.float64(2**63 - 1024))
-        kn = kn.where(in_range)
+        # parse with Python int (exact, arbitrary precision): float64
+        # rounds literals in (2^53, 2^63) that TRY_CAST parses exactly;
+        # the int64 bound is applied exactly too (TRY_CAST -> NULL when
+        # outside [-2^63, 2^63-1])
+        lo_i, hi_i = -(2**63), 2**63 - 1
+        vals = np.zeros(len(k), dtype="int64")
+        parsed = np.zeros(len(k), dtype="int64")
+        for i, s in enumerate(k.to_numpy()):
+            if isinstance(s, str):
+                v = int(s)
+                if lo_i <= v <= hi_i:
+                    vals[i] = v
+                    parsed[i] = 1
         return pd.DataFrame(
-            {"event_type": batch["event_type"],
-             "k": kn.fillna(0).astype("int64"),
-             "parsed": (~kn.isna()).astype("int64")}
+            {"event_type": batch["event_type"].to_numpy(),
+             "k": vals,
+             "parsed": parsed}
         ).groupby("event_type", as_index=False).agg(
             sum_k=("k", "sum"), n_parsed=("parsed", "sum"),
             n_rows=("parsed", "size"),
@@ -1027,6 +1034,9 @@ def q_value_histogram(sf_dir: str):
     lo, hi, nbins = 0.0, 100.0, 20
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # NULL values would NaN-poison the int cast — drop them here and
+        # mirror with WHERE value IS NOT NULL in the oracle
+        batch = batch[batch["value"].notna()]
         b = np.clip(((batch["value"] - lo) / (hi - lo) * nbins).astype(int),
                     0, nbins - 1)
         df = pd.DataFrame({"event_type": batch["event_type"], "bin": b,
@@ -1099,11 +1109,13 @@ def q_median(sf_dir: str):
                          columns=["event_type", "value"])
 
     def median(group: pd.DataFrame) -> pd.DataFrame:
-        # quantile_disc ignores NULLs — drop them before indexing
+        # quantile_disc ignores NULLs — drop them before indexing; an
+        # all-NULL group yields a NULL median (quantile_disc semantics),
+        # not an IndexError
         v = group["value"].dropna().sort_values(kind="mergesort").to_numpy()
-        m = v[(len(v) - 1) // 2]
+        m = float(v[(len(v) - 1) // 2]) if len(v) else np.nan
         return pd.DataFrame({"event_type": [group["event_type"].iloc[0]],
-                             "median_value": [float(m)]})
+                             "median_value": pd.Series([m], dtype="float64")})
 
     return ds.groupby("event_type").map_groups(median, batch_format="pandas")
 
@@ -1168,7 +1180,7 @@ def q_binary_features(sf_dir: str):
     def to_payload(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"item_id": batch["doc_id"].astype("int64"),
-             "payload": [t.encode("utf-8") for t in batch["text"]]}
+             "payload": [(t or "").encode("utf-8") for t in batch["text"]]}
         )
 
     ds = docs.map_batches(to_payload, batch_format="pandas")
