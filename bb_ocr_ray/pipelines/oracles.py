@@ -178,6 +178,25 @@ ORACLES = {
                 FROM pairs)
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
     """,
+    # planted-twin probe: brute-force cosine between the 25 planted
+    # twins (vec_id + 1e6, every coordinate + 0.01) and everything —
+    # the Ray side restricts its LSH output to twin-involving pairs,
+    # so both sides enumerate the same O(|twins| x n) pair space
+    "q_embedding_near_dups": """
+        WITH base AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        twins AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(v, x -> x + 0.01) AS v
+            FROM base WHERE vec_id < 25),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+        SELECT DISTINCT least(t.vec_id, a.vec_id) AS id_a,
+               greatest(t.vec_id, a.vec_id) AS id_b
+        FROM twins t JOIN allv a ON a.vec_id <> t.vec_id
+        WHERE list_cosine_similarity(t.v, a.v) >= 0.9
+    """,
     "q_extract_pages": f"""
         WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents)
         SELECT {_URL} AS url,

@@ -641,13 +641,35 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
-    """LSH-bucketed embedding near-dup pairs (rows-only: LSH recall is
-    probabilistic; exact baseline is q_ann_topk)."""
+    """Embedding near-dup pairs via multi-table hyperplane LSH, probed
+    with planted near-duplicate twins: each vec_id < 25 gets a twin
+    (vec_id + 1_000_000, every coordinate + 0.01 — cosine ~0.997 to
+    its source, SQL-expressible via list_transform), and the output is
+    the pairs that involve a twin.  The restriction keeps the
+    brute-force DuckDB oracle at O(|twins| x n); the planted pairs'
+    huge margin (next-highest corpus cosine ~0.49 vs threshold 0.9)
+    plus deterministic seeded planes make LSH recall exactly 1 on this
+    probe set, so the oracle is a true value-hash gate."""
     from bb_ocr_ray.stages.ann import embedding_near_dups
 
     vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
                            columns=["vec_id", "embedding"])
-    return embedding_near_dups(vecs, threshold=0.9)
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[b["vec_id"] < 25]
+        return pd.DataFrame(
+            {"vec_id": (t["vec_id"] + 1_000_000).astype("int64"),
+             "embedding": [
+                 (np.asarray(v, dtype=np.float64) + 0.01).astype(np.float32)
+                 for v in t["embedding"]]}
+        )
+
+    twins = vecs.map_batches(plant, batch_format="pandas")
+    pairs = embedding_near_dups(vecs.union(twins), threshold=0.9)
+    return pairs.map_batches(
+        lambda b: b[(b["id_a"] >= 1_000_000) | (b["id_b"] >= 1_000_000)],
+        batch_format="pandas",
+    )
 
 
 # ---------------------------------------------------------------------------

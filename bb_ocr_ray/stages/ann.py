@@ -131,8 +131,11 @@ def ann_topk(vectors_ds, query_ids, k: int = 5, id_col: str = "vec_id",
 _PLANES_SEED = 0xA11CE
 
 
-def lsh_bucket_ids(mat: np.ndarray, n_planes: int = 8, dim: int = 64) -> np.ndarray:
-    rng = np.random.RandomState(_PLANES_SEED)
+def lsh_bucket_ids(mat: np.ndarray, n_planes: int = 8, dim: int = 64,
+                   table: int = 0) -> np.ndarray:
+    """Hyperplane-LSH bucket id per row; ``table`` selects one of the
+    independent seeded plane sets (multi-table = band-OR recall)."""
+    rng = np.random.RandomState(_PLANES_SEED + table)
     planes = rng.standard_normal((dim, n_planes))
     bits = (mat @ planes) > 0
     return (bits @ (1 << np.arange(n_planes))).astype(np.int64)
@@ -140,51 +143,86 @@ def lsh_bucket_ids(mat: np.ndarray, n_planes: int = 8, dim: int = 64) -> np.ndar
 
 def embedding_near_dups(vectors_ds, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_planes: int = 6):
-    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking.
+                        n_planes: int = 8, n_tables: int = 6,
+                        bucket_cap: int = 2048, coarse_buckets: int = 64):
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH.
 
-    Pairs above ``threshold`` cosine that share an LSH bucket; integer
-    pair output. Recall < 1 by construction (LSH) — documented; exact
-    variant = ann_topk with threshold filter."""
+    A pair is a candidate if it shares a bucket in ANY of ``n_tables``
+    independent plane sets (band-OR: per-pair miss probability is
+    (1-(1-theta/pi)^P)^T — for cosine >=0.99 and 8x6 it is ~1e-6);
+    candidates are verified with the exact float64 cosine, so there are
+    never false positives.  One coarse shuffle moves each (table,
+    bucket, vector) row once (the perf rule: never groupby a
+    high-cardinality bucket key directly); colliding buckets are found
+    vectorized inside each task and verified with one matmul per
+    bucket.
+
+    Degenerate buckets (> ``bucket_cap`` members, e.g. a near-identical
+    page flood) do full pairwise on the first cap members and CHAIN the
+    rest (each member paired with its predecessor) instead of silently
+    dropping them — connectivity for downstream clustering is
+    preserved at O(B) cost, and a warning with the bucket size is
+    logged.  At 10^12-vector scale, grow ``n_planes`` with log2(N) so
+    expected bucket size stays bounded, and ``coarse_buckets`` with
+    the cluster's reducer count.
+    """
+    import logging
+    import zlib
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
-            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+            return pd.DataFrame({"coarse": pd.Series([], dtype="int64"),
+                                 "table": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int64"),
                                  id_col: pd.Series([], dtype="int64"),
                                  "vec": pd.Series([], dtype="object")})
         mat = _normalize(_to_matrix(batch[vec_col]))
-        buckets = lsh_bucket_ids(mat, n_planes, mat.shape[1])
-        return pd.DataFrame(
-            {
-                "bucket": buckets,
-                id_col: batch[id_col].to_numpy(),
-                "vec": list(mat),
-            }
-        )
+        ids = batch[id_col].to_numpy()
+        frames = []
+        for t in range(n_tables):
+            buckets = lsh_bucket_ids(mat, n_planes, mat.shape[1], table=t)
+            coarse = np.fromiter(
+                (zlib.crc32(b"%d:%d" % (t, b)) % coarse_buckets
+                 for b in buckets), dtype=np.int64, count=len(buckets))
+            frames.append(pd.DataFrame(
+                {"coarse": coarse,
+                 "table": np.full(len(ids), t, dtype=np.int64),
+                 "bucket": buckets, id_col: ids, "vec": list(mat)}))
+        return pd.concat(frames, ignore_index=True)
 
     exploded = vectors_ds.map_batches(explode, batch_format="pandas")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        order = np.argsort(ids)[:64]   # pathological-bucket cap (matches
-        ids = ids[order]               # minhash/simhash; bounds O(B^2))
-        mat = np.asarray(list(group["vec"]))[order]
-        sims = mat @ mat.T
         out_a, out_b = [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
+        dup = group[group.duplicated(["table", "bucket"], keep=False)]
+        for _, g in dup.groupby(["table", "bucket"], sort=True):
+            order = np.argsort(g[id_col].to_numpy(), kind="stable")
+            ids = g[id_col].to_numpy()[order]
+            mat = np.asarray(list(g["vec"]))[order]
+            head_n = min(len(ids), bucket_cap)
+            if len(ids) > bucket_cap:
+                logging.getLogger(__name__).warning(
+                    "embedding_near_dups: bucket of %d members exceeds "
+                    "cap %d; chaining the tail", len(ids), bucket_cap)
+            sims = mat[:head_n] @ mat[:head_n].T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            out_a.extend(ids[ii])
+            out_b.extend(ids[jj])
+            # chain the over-cap tail: consecutive pairs keep the
+            # bucket connected without O(B^2) work
+            for i in range(head_n, len(ids)):
+                if float(mat[i - 1] @ mat[i]) >= threshold:
+                    out_a.append(ids[i - 1])
+                    out_b.append(ids[i])
         return pd.DataFrame(
             {"id_a": pd.Series(out_a, dtype="int64"),
              "id_b": pd.Series(out_b, dtype="int64")}
         )
 
-    pairs = exploded.groupby("bucket").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    pairs = exploded.groupby("coarse").map_groups(verify, batch_format="pandas")
+    from bb_ocr_ray.stages.dedup import dedup_pairs
+
+    return dedup_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,30 @@ def dedup_exact(ds, key: str = "content_hash", order_col: str = "url"):
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
+def dedup_pairs(pairs_ds, cols=("id_a", "id_b"), coarse_buckets: int = 64):
+    """Distinct (id_a, id_b) pairs via ONE coarse shuffle.
+
+    Local drop_duplicates (combiner), shuffle on a coarse int key
+    derived from the pair, in-task drop_duplicates — a constant group
+    count instead of the per-pair groups a direct
+    ``groupby([id_a, id_b])`` would create (Ray grouped ops pay
+    ~0.16 ms per GROUP; pair sets can be huge)."""
+    c0, c1 = cols
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(subset=[c0, c1])
+        key = (b[c0].to_numpy(np.int64) * np.int64(1000003)
+               + b[c1].to_numpy(np.int64))
+        return b.assign(_coarse=key % coarse_buckets)
+
+    pre = pairs_ds.map_batches(local, batch_format="pandas")
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=[c0, c1]).drop(columns=["_coarse"])
+
+    return pre.groupby("_coarse").map_groups(dd, batch_format="pandas")
+
+
 def minhash_explode(batch: pd.DataFrame, id_col: str, text_col: str,
                     n_bands: int = 32) -> pd.DataFrame:
     """doc batch -> (band_id, band_hash, doc_id) rows for the LSH groupby."""
@@ -83,10 +107,13 @@ def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
     Returns a Dataset of (id_a, id_b) candidate pairs (id_a < id_b),
     deduplicated.  Scale notes: the shuffle key is (band_id, band_hash);
-    a bucket with B docs yields B*(B-1)/2 pairs — callers should cap
-    pathological buckets (cap at 64 here) the way salted groupby caps
-    hot keys.
+    a bucket with B docs yields B*(B-1)/2 pairs — degenerate buckets
+    (duplicate floods) do full pairwise on the first 64 members and
+    CHAIN the rest (consecutive pairs), so connectivity survives at
+    O(B) cost instead of pairs silently vanishing; a warning with the
+    bucket size is logged.
     """
+    import logging
     import zlib
 
     # Shuffle-cardinality design: grouping directly on (band, hash)
@@ -111,16 +138,28 @@ def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
     exploded = docs_ds.map_batches(to_rows, batch_format="pandas")
 
+    bucket_cap = 64
+
     def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
         # colliding buckets only (vectorized duplicate mask)
         dup = group[group.duplicated("bucket", keep=False)]
         out_a, out_b = [], []
         for _, g in dup.groupby("bucket", sort=True):
-            ids = sorted(set(g[id_col]))[:64]   # pathological-bucket cap
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
+            ids = sorted(set(g[id_col]))
+            head_n = min(len(ids), bucket_cap)
+            if len(ids) > bucket_cap:
+                logging.getLogger(__name__).warning(
+                    "minhash_candidates: bucket of %d docs exceeds cap "
+                    "%d; chaining the tail", len(ids), bucket_cap)
+            for i in range(head_n):
+                for j in range(i + 1, head_n):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
+            # chain the over-cap tail: keeps the bucket connected for
+            # downstream verify + clustering at O(B) cost
+            for i in range(head_n, len(ids)):
+                out_a.append(ids[i - 1])
+                out_b.append(ids[i])
         return pd.DataFrame(
             {"id_a": pd.Series(out_a, dtype="int64"),
              "id_b": pd.Series(out_b, dtype="int64")}
@@ -128,13 +167,9 @@ def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
     pairs = exploded.groupby("coarse").map_groups(coarse_pairs,
                                                   batch_format="pandas")
-    # dedup pairs found in multiple bands — vectorized per block, then
-    # one tiny grouped pass over the (small) pair set
-    pairs = pairs.map_batches(lambda b: b.drop_duplicates(),
-                              batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # dedup pairs found in multiple bands — one coarse shuffle, never
+    # per-pair groups
+    return dedup_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -166,15 +201,31 @@ def simhash_near_dups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     exploded = docs_ds.map_batches(explode, batch_format="pandas")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(zip(group[id_col], group["sh"]))[:64]
+        import logging
+
+        recs = sorted(zip(group[id_col], group["sh"]))
+        cap = 64
+        head_n = min(len(recs), cap)
+        if len(recs) > cap:
+            logging.getLogger(__name__).warning(
+                "simhash_near_dups: band bucket of %d docs exceeds cap "
+                "%d; chaining the tail", len(recs), cap)
         out = {"id_a": [], "id_b": [], "hamming": []}
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
-                if d <= max_hamming:
-                    out["id_a"].append(recs[i][0])
-                    out["id_b"].append(recs[j][0])
-                    out["hamming"].append(d)
+
+        def emit(i, j):
+            d = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
+            if d <= max_hamming:
+                out["id_a"].append(recs[i][0])
+                out["id_b"].append(recs[j][0])
+                out["hamming"].append(d)
+
+        for i in range(head_n):
+            for j in range(i + 1, head_n):
+                emit(i, j)
+        # chain the over-cap tail (still hamming-verified): preserves
+        # duplicate-flood connectivity at O(B) cost
+        for i in range(head_n, len(recs)):
+            emit(i - 1, i)
         return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
 
     pairs = exploded.groupby(["table_id", "band"]).map_groups(

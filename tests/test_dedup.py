@@ -108,3 +108,44 @@ def test_connected_components_long_chain_pointer_jump():
     pairs = pd.DataFrame({"id_a": range(120), "id_b": range(1, 121)})
     comps = connected_components(pairs)
     assert (comps["component"] == 0).all()
+
+
+def test_duplicate_flood_chains_not_drops(ray_session):
+    """A 200-doc identical-text flood overflows the 64-doc bucket cap;
+    the over-cap tail must be CHAINED (O(B) pairs preserving
+    connectivity), never silently dropped — near_dup_dedup keeps
+    exactly one survivor and candidate count stays far below B^2."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import minhash_candidates, near_dup_dedup
+
+    text = "identical duplicated web page content repeated across a flood of mirrors"
+    flood = rd.from_items(
+        [{"doc_id": i, "text": text} for i in range(200)]
+        + [{"doc_id": 1000, "text": "one unrelated document about something else"}]
+    )
+    cands = minhash_candidates(flood).to_pandas()
+    # full pairwise on the flood would be 200*199/2 = 19900 pairs; the
+    # cap+chain design emits 64*63/2 + 136 = 2152 per colliding bucket
+    # at most (deduped across bands)
+    assert len(cands) < 5000
+    touched = set(cands["id_a"]) | set(cands["id_b"])
+    assert set(range(200)) <= touched, "chain must reach every flood member"
+
+    kept = near_dup_dedup(flood, min_jaccard=0.9).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1000]
+
+
+def test_simhash_flood_connectivity(ray_session):
+    """Same flood through simhash: every member appears in a verified
+    pair (chain keeps hamming-0 floods connected past the cap)."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import simhash_near_dups
+
+    text = "identical duplicated web page content repeated across a flood of mirrors"
+    flood = rd.from_items([{"doc_id": i, "text": text} for i in range(100)])
+    pairs = simhash_near_dups(flood).to_pandas()
+    touched = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert touched == set(range(100))
+    assert (pairs["hamming"] == 0).all()
