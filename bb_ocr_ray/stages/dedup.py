@@ -346,16 +346,211 @@ def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.Dat
     )
 
 
+def verify_candidates_hash(pairs_ds, docs_ds, id_col: str = "doc_id",
+                           text_col: str = "text", min_jaccard: float = 0.5):
+    """Distributed variant of :func:`verify_candidates`: token sets
+    reach the pairs via two bucketed hash joins — no driver-side LUT,
+    no whole-mention broadcast.  Web corpora run 30-50% near-dup, so
+    "mentioned docs" is NOT sparse at scale; here the docs side is
+    pruned with a mergeable Bloom filter over mentioned ids (built
+    distributed, broadcast once, ~1.2 GB per 10^9 ids at 1% fp), then
+    only surviving docs tokenize and shuffle.  Same exact-Fraction
+    threshold as the driver variant; differentially tested equal."""
+    from fractions import Fraction
+
+    from bb_ocr_ray.stages.joins import build_bloom, hash_join, semi_join_bloom
+
+    mentioned = pairs_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"mid": pd.concat([b["id_a"], b["id_b"]]).astype("int64")}),
+        batch_format="pandas",
+    )
+    bloom = build_bloom(mentioned, "mid")
+    cand_docs = semi_join_bloom(docs_ds, bloom, id_col)
+
+    def tokset(batch: pd.DataFrame, side: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {f"id_{side}": batch[id_col].astype("int64"),
+             f"toks_{side}": [frozenset((t or "").split(" "))
+                              for t in batch[text_col]]}
+        )
+
+    toks_a = cand_docs.map_batches(lambda b: tokset(b, "a"),
+                                   batch_format="pandas")
+    toks_b = cand_docs.map_batches(lambda b: tokset(b, "b"),
+                                   batch_format="pandas")
+    j = hash_join(pairs_ds, toks_a, on="id_a")
+    j = hash_join(j, toks_b, on="id_b")
+
+    jfrac = Fraction(str(min_jaccard))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        inter, uni, keep = [], [], []
+        for sa, sb in zip(batch["toks_a"], batch["toks_b"]):
+            i = len(sa & sb)
+            u = len(sa) + len(sb) - i
+            keep.append(u > 0 and i * jfrac.denominator >= jfrac.numerator * u)
+            inter.append(i)
+            uni.append(u)
+        out = batch.assign(inter=pd.Series(inter, dtype="int64").values,
+                           uni=pd.Series(uni, dtype="int64").values)
+        out = out[pd.Series(keep).values]
+        return out[["id_a", "id_b", "inter", "uni"]]
+
+    return j.map_batches(score, batch_format="pandas")
+
+
+def connected_components_ds(pairs_ds, coarse_buckets: int = 64,
+                            max_rounds: int = 30):
+    """Distributed connected components: alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) run as Ray coarse-bucket groupby
+    passes.  The edge set NEVER lands on the driver — each round is
+    one shuffle of the current (monotonically shrinking) edge list,
+    and converges in O(log^2 n) rounds even on long chains.
+
+    Returns a Dataset of (doc_id, component) with component = the
+    minimum doc_id of the node's component, identical to the
+    driver-side :func:`connected_components` (differentially tested).
+
+    Each round's edge list is ``materialize()``-d: legitimate here —
+    it is the bounded pair set of an iterative algorithm, not the
+    corpus — and required so round N+1 does not re-execute rounds
+    1..N through lazy lineage.
+    """
+    import ray.data as rd
+
+    def star(edges_ds, large: bool):
+        def sym(b: pd.DataFrame) -> pd.DataFrame:
+            both = pd.concat([
+                pd.DataFrame({"u": b["id_a"].to_numpy(np.int64),
+                              "v": b["id_b"].to_numpy(np.int64)}),
+                pd.DataFrame({"u": b["id_b"].to_numpy(np.int64),
+                              "v": b["id_a"].to_numpy(np.int64)}),
+            ], ignore_index=True).drop_duplicates()
+            both["_c"] = (both["u"].to_numpy(np.uint64)
+                          * np.uint64(2654435761) % np.uint64(1 << 32)
+                          ) % coarse_buckets
+            return both
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates(["u", "v"])
+            if large:
+                gm = g.groupby("u")["v"].min()
+                m = np.minimum(gm.to_numpy(), gm.index.to_numpy())
+                mdf = pd.DataFrame({"u": gm.index.to_numpy(), "m": m})
+                j = g.merge(mdf, on="u")
+                j = j[j["v"] > j["u"]]
+                out = pd.DataFrame({"id_a": j["m"].to_numpy(),
+                                    "id_b": j["v"].to_numpy()})
+            else:
+                sm = g[g["v"] < g["u"]]
+                gm = sm.groupby("u")["v"].min()
+                mdf = pd.DataFrame({"u": gm.index.to_numpy(),
+                                    "m": gm.to_numpy()})
+                j = sm.merge(mdf, on="u")
+                out = pd.concat([
+                    pd.DataFrame({"id_a": j["m"].to_numpy(),
+                                  "id_b": j["v"].to_numpy()}),
+                    pd.DataFrame({"id_a": mdf["m"].to_numpy(),
+                                  "id_b": mdf["u"].to_numpy()}),
+                ], ignore_index=True)
+            out = out[out["id_a"] != out["id_b"]].drop_duplicates()
+            return out.astype({"id_a": "int64", "id_b": "int64"})
+
+        return (edges_ds.map_batches(sym, batch_format="pandas")
+                .groupby("_c").map_groups(emit, batch_format="pandas"))
+
+    def fingerprint(edges_ds):
+        def p(b: pd.DataFrame) -> pd.DataFrame:
+            h = (b["id_a"].to_numpy(np.uint64) * np.uint64(1000003)
+                 + b["id_b"].to_numpy(np.uint64))
+            return pd.DataFrame({"n": [np.int64(len(b))],
+                                 "s": [np.uint64(h.sum())]})
+
+        t = edges_ds.map_batches(p, batch_format="pandas").to_pandas()
+        return (int(t["n"].sum()), int(np.uint64(t["s"].to_numpy(np.uint64).sum())))
+
+    edges = pairs_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"id_a": np.minimum(b["id_a"].to_numpy(np.int64),
+                                b["id_b"].to_numpy(np.int64)),
+             "id_b": np.maximum(b["id_a"].to_numpy(np.int64),
+                                b["id_b"].to_numpy(np.int64))}),
+        batch_format="pandas",
+    ).materialize()
+    if edges.count() == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "component": pd.Series([], dtype="int64")}))
+
+    prev = None
+    for _ in range(max_rounds):
+        edges = star(star(edges, large=True), large=False).materialize()
+        fp = fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_ds did not converge in {max_rounds} rounds")
+
+    # converged: edges are stars (root=id_a -> node=id_b); labels are
+    # the star edges plus each root mapped to itself
+    def labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["id_b"].to_numpy(np.int64),
+                             "component": b["id_a"].to_numpy(np.int64)})
+
+    children = edges.map_batches(labels, batch_format="pandas")
+    roots = dedup_pairs(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"id_a": b["id_a"].to_numpy(np.int64),
+                 "id_b": b["id_a"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+    ).map_batches(labels, batch_format="pandas")
+    return children.union(roots)
+
+
 def near_dup_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
-                   min_jaccard: float = 0.5):
+                   min_jaccard: float = 0.5, distributed: bool | None = None,
+                   driver_max_pairs: int = 100_000):
     """End-to-end near-dup deduplication: MinHash+LSH candidates ->
     Jaccard verification -> connected components -> keep the minimum
-    id per component.  Returns the Dataset of KEPT doc rows."""
-    from bb_ocr_ray.stages.joins import anti_join_broadcast
+    id per component.  Returns the Dataset of KEPT doc rows.
 
-    cands = minhash_candidates(docs_ds, id_col=id_col, text_col=text_col)
-    verified = verify_candidates(cands, docs_ds, id_col=id_col,
-                                 text_col=text_col, min_jaccard=min_jaccard)
-    comps = connected_components(verified.to_pandas())
-    drop = set(comps.loc[comps["doc_id"] != comps["component"], "doc_id"])
-    return anti_join_broadcast(docs_ds, drop, id_col)
+    Path selection: the candidate pair set is materialized (bounded:
+    it is LSH output, not the corpus) and counted; at or below
+    ``driver_max_pairs`` the driver-side verify+cluster fast path
+    runs, above it (or with ``distributed=True``) everything stays as
+    Ray passes — Bloom-pruned hash-join verification, alternating-star
+    clustering, and a bucketed hash anti-join instead of a broadcast
+    drop set.  Both paths are differentially tested equal."""
+    cands = minhash_candidates(
+        docs_ds, id_col=id_col, text_col=text_col).materialize()
+    if distributed is None:
+        distributed = cands.count() > driver_max_pairs
+
+    if not distributed:
+        from bb_ocr_ray.stages.joins import anti_join_broadcast
+
+        verified = verify_candidates(cands, docs_ds, id_col=id_col,
+                                     text_col=text_col,
+                                     min_jaccard=min_jaccard)
+        comps = connected_components(verified.to_pandas())
+        drop = set(comps.loc[comps["doc_id"] != comps["component"], "doc_id"])
+        return anti_join_broadcast(docs_ds, drop, id_col)
+
+    from bb_ocr_ray.stages.joins import anti_join_hash
+
+    verified = verify_candidates_hash(cands, docs_ds, id_col=id_col,
+                                      text_col=text_col,
+                                      min_jaccard=min_jaccard)
+    comps = connected_components_ds(verified)
+    drops = comps.map_batches(
+        lambda b: pd.DataFrame(
+            {id_col: b.loc[b["doc_id"] != b["component"],
+                           "doc_id"].to_numpy(np.int64)}),
+        batch_format="pandas",
+    )
+    return anti_join_hash(docs_ds, drops, on=id_col)

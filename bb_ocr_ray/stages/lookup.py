@@ -35,27 +35,73 @@ def make_stub_provider(name: str):
     return provider
 
 
-def provider_fanout(records_ds, providers: dict, key_col: str):
+def provider_fanout(records_ds, providers: dict, key_col: str,
+                    per_provider_timeout: float | None = None):
     """Fan every record batch out to all providers; union tagged offers.
 
     Returns a Dataset with OFFER_COLUMNS; a provider that raises yields
     one error row per batch (error-as-data) instead of failing the task.
+
+    ``per_provider_timeout`` mirrors the reference's 8-second
+    per-provider budget (``aggregator.py:27-28,48``): providers run
+    concurrently in a thread pool with one shared start, and each gets
+    ``per_provider_timeout`` seconds from that start before its result
+    is abandoned and replaced with timeout-as-data rows — one slow
+    provider can never stall the record.  (Like the reference's
+    asyncio cancel, an abandoned synchronous provider keeps running in
+    the background thread until it finishes; its result is simply
+    discarded.)  ``None`` keeps the serial in-task loop — correct
+    offline where providers are pure pandas functions.
     """
+
+    def _error_rows(batch, name, status, msg):
+        return pd.DataFrame(
+            {"record_key": batch[key_col],
+             "listing_id": None, "amount": None,
+             "provider": name, "status": status, "error": msg}
+        )
 
     def fan(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for name, fn in providers.items():
-            try:
-                offers = fn(batch)
-                offers = offers.assign(provider=name, status="ok", error=None)
-            except Exception as exc:  # noqa: BLE001 — per-provider error-as-data
-                offers = pd.DataFrame(
-                    {"record_key": batch[key_col],
-                     "listing_id": None, "amount": None,
-                     "provider": name, "status": "error",
-                     "error": f"{type(exc).__name__}: {exc}"}
-                )
-            outs.append(offers)
+        if per_provider_timeout is None:
+            results = []
+            for name, fn in providers.items():
+                try:
+                    results.append((name, fn(batch), None))
+                except Exception as exc:  # noqa: BLE001 — error-as-data
+                    results.append((name, None, f"{type(exc).__name__}: {exc}"))
+        else:
+            import concurrent.futures as cf
+            import time
+
+            pool = cf.ThreadPoolExecutor(max_workers=max(1, len(providers)))
+            deadline = time.monotonic() + per_provider_timeout
+            futs = {name: pool.submit(fn, batch)
+                    for name, fn in providers.items()}
+            results = []
+            for name, fut in futs.items():
+                try:
+                    offers = fut.result(
+                        timeout=max(0.0, deadline - time.monotonic()))
+                    results.append((name, offers, None))
+                except cf.TimeoutError:
+                    fut.cancel()
+                    results.append(
+                        (name, None,
+                         f"timeout after {per_provider_timeout}s"))
+                except Exception as exc:  # noqa: BLE001 — error-as-data
+                    results.append((name, None, f"{type(exc).__name__}: {exc}"))
+            # wait=False: blocking on shutdown would hand the slow
+            # provider the very stall the budget exists to prevent
+            pool.shutdown(wait=False)
+
+        for name, offers, err in results:
+            if err is None:
+                outs.append(offers.assign(provider=name, status="ok",
+                                          error=None))
+            else:
+                status = "timeout" if err.startswith("timeout") else "error"
+                outs.append(_error_rows(batch, name, status, err))
         merged = pd.concat(outs, ignore_index=True)
         for c in OFFER_COLUMNS:
             if c not in merged.columns:

@@ -149,3 +149,77 @@ def test_simhash_flood_connectivity(ray_session):
     touched = set(pairs["id_a"]) | set(pairs["id_b"])
     assert touched == set(range(100))
     assert (pairs["hamming"] == 0).all()
+
+
+def test_connected_components_ds_matches_driver(ray_session):
+    """Distributed alternating-star CC must agree with the driver-side
+    min-label implementation on chains, islands, and random graphs."""
+    import numpy as np
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import (
+        connected_components,
+        connected_components_ds,
+    )
+
+    cases = [
+        pd.DataFrame({"id_a": range(120), "id_b": range(1, 121)}),  # long chain
+        pd.DataFrame({"id_a": [1, 5, 9], "id_b": [2, 6, 10]}),      # islands
+    ]
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 400, 600)
+    b = rng.randint(0, 400, 600)
+    mask = a != b
+    cases.append(pd.DataFrame({"id_a": a[mask], "id_b": b[mask]}))
+
+    for pairs in cases:
+        want = connected_components(pairs).sort_values("doc_id")
+        got = (connected_components_ds(rd.from_pandas(pairs))
+               .to_pandas().sort_values("doc_id"))
+        pd.testing.assert_frame_equal(want.reset_index(drop=True),
+                                      got.reset_index(drop=True))
+
+
+def test_near_dup_dedup_distributed_matches_driver(ray_session, dup_docs):
+    """The distributed verify+cluster+anti-join path returns exactly
+    the driver fast path's survivors, and never materializes pairs on
+    the driver."""
+    from bb_ocr_ray.stages.dedup import near_dup_dedup
+
+    a = near_dup_dedup(dup_docs, distributed=False).to_pandas()
+    b = near_dup_dedup(dup_docs, distributed=True).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"]) == [0, 3, 4]
+
+
+def test_near_dup_dedup_distributed_flood(ray_session):
+    """10k-ish pair graph through the distributed path: a 120-doc
+    identical flood plus uniques dedups to one survivor per cluster
+    without driver-side clustering."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import near_dup_dedup
+
+    text = "the same mirrored page body appearing on many hosts with tracking junk"
+    rows = [{"doc_id": i, "text": text} for i in range(120)]
+    rows += [{"doc_id": 500 + i,
+              "text": f"unique document number {i} with its own words {i*7}"}
+             for i in range(30)]
+    ds = rd.from_items(rows)
+    kept = near_dup_dedup(ds, min_jaccard=0.9, distributed=True).to_pandas()
+    assert 0 in set(kept["doc_id"])                      # flood survivor
+    assert set(kept["doc_id"]) >= {500 + i for i in range(30)}
+    assert len(kept) == 31
+
+
+def test_anti_join_hash_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import anti_join_broadcast, anti_join_hash
+
+    big = rd.from_items([{"k": i, "val": f"v{i}"} for i in range(500)])
+    drop = [i for i in range(500) if i % 3 == 0]
+    keys = rd.from_items([{"k": i} for i in drop])
+    a = anti_join_broadcast(big, set(drop), "k").to_pandas()
+    b = anti_join_hash(big, keys, on="k").to_pandas()
+    assert sorted(a["k"]) == sorted(b["k"])
+    assert set(b.columns) == {"k", "val"}

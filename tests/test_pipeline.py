@@ -169,6 +169,29 @@ def test_hash_join_impls_agree(ray_session, sf_tiny):
     assert nb == nn == 6000
 
 
+def test_hash_join_skewed_key(ray_session):
+    """VERDICT r1: a hot key must not break the bucketed join — all
+    implementations agree on a fixture where one key holds 80% of the
+    left side (the chunked per-bucket merge keeps the working set
+    bounded; exercised by a sub-chunk-sized stand-in here, semantics
+    checked exactly)."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import hash_join
+
+    left = rd.from_items(
+        [{"k": 7, "l": i} for i in range(4000)]
+        + [{"k": i % 50, "l": 10_000 + i} for i in range(1000)])
+    right = rd.from_items([{"k": i, "r": i * 11} for i in range(50)])
+    b = hash_join(left, right, on="k").to_pandas()
+    n = hash_join(left, right, on="k", impl="native",
+                  num_buckets=4).to_pandas()
+    want = 4000 + 1000  # every left row matches exactly one right row
+    assert len(b) == len(n) == want
+    assert sorted(b["l"]) == sorted(n["l"])
+    assert (b.loc[b["k"] == 7, "r"] == 77).all()
+
+
 def test_full_lifecycle(ray_session, sf_tiny, tmp_path):
     """SURVEY §3 lifecycle end-to-end: extract -> heuristics -> validate
     -> accept/reject partitioned write -> audit flatten."""
@@ -210,3 +233,37 @@ def test_lifecycle_reject_path(ray_session, tmp_path):
     assert counts.get("accepted", 0) >= 5
     assert sorted(d for d in os.listdir(out) if d.startswith("decision=")) == [
         "decision=accepted", "decision=rejected"]
+
+
+def test_provider_fanout_time_budget(ray_session):
+    """One slow provider must not stall the record batch: its rows come
+    back status='timeout' within the budget while the fast providers'
+    offers are intact (reference semantics: 8 s per provider,
+    aggregator.py:27-28,48)."""
+    import time
+
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.lookup import provider_fanout
+
+    def fast(records):
+        return pd.DataFrame({"record_key": records["k"],
+                             "listing_id": records["k"] * 10,
+                             "amount": 1.0})
+
+    def slow(records):
+        time.sleep(8)
+        return pd.DataFrame({"record_key": records["k"],
+                             "listing_id": records["k"] * 100,
+                             "amount": 2.0})
+
+    ds = rd.from_items([{"k": i} for i in range(5)]).repartition(1)
+    t0 = time.monotonic()
+    out = provider_fanout(ds, {"fast": fast, "slow": slow}, key_col="k",
+                          per_provider_timeout=1.0).to_pandas()
+    assert time.monotonic() - t0 < 7, "slow provider stalled the batch"
+    assert sorted(out.loc[out["provider"] == "fast", "listing_id"]) == \
+        [0, 10, 20, 30, 40]
+    slow_rows = out[out["provider"] == "slow"]
+    assert (slow_rows["status"] == "timeout").all()
+    assert len(slow_rows) == 5
