@@ -35,12 +35,16 @@ def stable_u64(s: str) -> int:
 def rolling_fingerprint(text: str, base: int = 257, mod: int = MERSENNE) -> int:
     """Polynomial rolling hash over the whole text (document fingerprint).
 
-    Deterministic O(n) Karp-Rabin style fold; used as a cheap content
-    identity independent of md5.
+    Deterministic O(n) Karp-Rabin style fold over the text's
+    CODEPOINTS — codepoints rather than utf-8 bytes so the DuckDB
+    oracle can mirror the fold exactly with
+    ``list_reduce(list_transform(..., i -> ord(substr(t, i, 1))), ...)``
+    (encoding-independent content identity; fits int64 since
+    mod = 2^61 - 1).
     """
     h = 0
-    for b in text.encode("utf-8"):
-        h = (h * base + b) % mod
+    for ch in text:
+        h = (h * base + ord(ch)) % mod
     return h
 
 

@@ -63,20 +63,30 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+# A-Z -> a-z ONLY: Python str.lower() and SQL lower() disagree on
+# exotic unicode case maps (U+0130, ß); an ASCII translate is
+# byte-identical across engines, so the oracle can mirror it with
+# translate(s, 'ABC...', 'abc...')
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
 def detect_lang(text: str) -> str:
     """Tiny deterministic language-ID heuristic.
 
     Rules (ordered): CJK codepoint share > 0.2 -> "zh"; else best
     character-trigram profile hit count (ties broken by _LANG_ORDER);
-    zero hits anywhere -> "und".
+    zero hits anywhere -> "und".  Every step is SQL-mirrorable (see
+    oracles.py q_langid): codepoint slice, float share compare, ASCII
+    lowering, non-overlapping substring counts.
     """
-    if not text:
+    if not isinstance(text, str) or not text:
         return "und"
     sample = text[:2000]
     cjk = sum(1 for ch in sample if "一" <= ch <= "鿿")
     if cjk / max(1, len(sample)) > 0.2:
         return "zh"
-    low = sample.lower()
+    low = sample.translate(_ASCII_LOWER)
     best_lang, best_score = "und", 0
     for lang in _LANG_ORDER:
         score = sum(low.count(tri) for tri in _LANG_PROFILES[lang])

@@ -11,10 +11,12 @@ hashes values).  Conventions:
     template from ``bb_ocr_ray.sources.pages`` (url layout, megadoc
     K=8 repeat with '\\n\\n' separators) — keep in sync with it.
 
-Queries with NO entry here (minhash/simhash/embedding-LSH candidates,
-langid, fingerprint) are probabilistic-recall or non-SQL-expressible;
-the driver records a rows-only check and unit tests cover their
-semantics on fixtures.
+Queries with NO entry here (minhash/simhash candidates, near-dup
+dedup, IVF, binary features) are probabilistic-recall or
+non-SQL-expressible; the driver records a rows-only check and unit
+tests cover their semantics on fixtures.  q_langid and q_fingerprint
+ARE oracled — their SQL is generated at import time from the same
+profile/constant tables the engine uses (see the bottom of this file).
 """
 
 # Shared SQL fragments (template inversion — see sources/pages.py)
@@ -403,4 +405,84 @@ ORACLES.update({
                min(amount) AS best_amount
         FROM deduped WHERE rn = 1 GROUP BY 1
     """,
+})
+
+
+# ---------------------------------------------------------------------------
+# q_langid / q_fingerprint oracles — generated from the SAME constants
+# the engine uses (bb_ocr_ray.functions.{textstats,hashing}) so the two
+# sides cannot drift.  Every detect_lang step is SQL-mirrorable by
+# construction: codepoint slice (substr), float CJK-share compare,
+# ASCII-only lowering (translate), non-overlapping substring counts
+# (length-difference // pattern length), earliest-wins argmax (CASE
+# chain in _LANG_ORDER order).
+# ---------------------------------------------------------------------------
+def _langid_oracle_sql() -> str:
+    from bb_ocr_ray.functions.textstats import _LANG_ORDER, _LANG_PROFILES
+
+    def score_expr(lang: str) -> str:
+        terms = [
+            f"(length(low) - length(replace(low, '{tri}', ''))) // {len(tri)}"
+            for tri in _LANG_PROFILES[lang]
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    scores = ",\n               ".join(
+        f"{score_expr(lang)} AS s_{lang}" for lang in _LANG_ORDER)
+    branches = []
+    for i, lang in enumerate(_LANG_ORDER):
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}" for other in _LANG_ORDER if other != lang
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "\n                    ".join(branches)
+    return f"""
+        WITH s AS (
+            SELECT lang,
+                   substr(coalesce(text, ''), 1, 2000) AS samp,
+                   translate(substr(coalesce(text, ''), 1, 2000),
+                             'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz') AS low
+            FROM documents),
+        sc AS (
+            SELECT lang, samp,
+               {scores},
+               len(regexp_extract_all(samp, '[\\x{{4E00}}-\\x{{9FFF}}]')) AS cjk
+            FROM s),
+        pred AS (
+            SELECT lang,
+               CASE WHEN CAST(cjk AS DOUBLE) / greatest(1, length(samp)) > 0.2
+                    THEN 'zh'
+                    {case}
+                    ELSE 'und' END AS lang_pred
+            FROM sc)
+        SELECT lang,
+               CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree,
+               count(*) AS n_docs
+        FROM pred GROUP BY 1
+    """
+
+
+def _fingerprint_oracle_sql() -> str:
+    from bb_ocr_ray.functions.hashing import MERSENNE
+
+    return f"""
+        SELECT doc_id,
+               CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+                    ELSE CAST(list_reduce(
+                        list_prepend(CAST(0 AS HUGEINT), list_transform(
+                            generate_series(1, length(coalesce(text, ''))),
+                            i -> CAST(ord(substr(coalesce(text, ''), i, 1))
+                                      AS HUGEINT))),
+                        (acc, x) -> (acc * 257 + x) % {MERSENNE}
+                    ) AS BIGINT) END AS fingerprint,
+               md5(coalesce(text, '')) AS content_md5
+        FROM documents
+    """
+
+
+ORACLES.update({
+    "q_langid": _langid_oracle_sql(),
+    "q_fingerprint": _fingerprint_oracle_sql(),
 })

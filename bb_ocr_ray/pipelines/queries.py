@@ -593,8 +593,11 @@ def q_simhash_near_dups(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """Language-ID heuristic agreement with the table's lang column
-    (rows-only check: the heuristic is not SQL-expressible)."""
+    """Language-ID heuristic agreement with the table's lang column.
+    Oracle-checked: every detect_lang step (codepoint slice, CJK-share
+    float compare, ASCII lowering, non-overlapping trigram counts,
+    earliest-wins argmax) is mirrored in SQL generated from the same
+    profile tables (oracles._langid_oracle_sql)."""
     from bb_ocr_ray.stages.text_stats import add_lang_pred
 
     ds = rd.read_parquet(_t(sf_dir, "documents"),
@@ -617,8 +620,10 @@ def q_langid(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    """Rolling-hash + md5 document fingerprints (rows-only; determinism
-    asserted by unit tests, md5 correctness via q_dedup_exact oracle)."""
+    """Rolling-hash + md5 document fingerprints.  Oracle-checked: the
+    codepoint Karp-Rabin fold is mirrored exactly in DuckDB via
+    list_reduce over ord(substr(...)) in HUGEINT arithmetic, and
+    content_md5 via DuckDB's md5()."""
     from bb_ocr_ray.stages.text_stats import add_fingerprints
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])

@@ -479,10 +479,20 @@ def connected_components_ds(pairs_ds, coarse_buckets: int = 64,
                                 b["id_b"].to_numpy(np.int64))}),
         batch_format="pandas",
     ).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_pandas(pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
              "component": pd.Series([], dtype="int64")}))
+    # block count proportional to DATA, not to upstream lineage: the
+    # candidate pipeline can hand over hundreds of near-empty blocks,
+    # and every round's sort+map_groups pays per-block task overhead
+    # TIMES the O(log n) rounds (measured: 450 stray blocks turned
+    # ~0.5 s rounds into ~50 s rounds).  ~250k edge rows (~4 MB) per
+    # block, capped at the shuffle width.
+    target_blocks = max(1, min(coarse_buckets, n_edges // 250_000 + 1))
+    if edges.num_blocks() > 2 * target_blocks:
+        edges = edges.repartition(target_blocks).materialize()
 
     prev = None
     for _ in range(max_rounds):

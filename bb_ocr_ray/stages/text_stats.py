@@ -33,6 +33,8 @@ def add_bpe_count(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
 
 def add_fingerprints(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    batch["fingerprint"] = [str(rolling_fingerprint(t or "")) for t in batch[text_col]]
+    batch["fingerprint"] = pd.Series(
+        [rolling_fingerprint(t or "") for t in batch[text_col]],
+        dtype="int64", index=batch.index)
     batch["content_md5"] = [md5_hex(t or "") for t in batch[text_col]]
     return batch

@@ -123,7 +123,7 @@ def test_duplicate_flood_chains_not_drops(ray_session):
     flood = rd.from_items(
         [{"doc_id": i, "text": text} for i in range(200)]
         + [{"doc_id": 1000, "text": "one unrelated document about something else"}]
-    )
+    ).repartition(4)
     cands = minhash_candidates(flood).to_pandas()
     # full pairwise on the flood would be 200*199/2 = 19900 pairs; the
     # cap+chain design emits 64*63/2 + 136 = 2152 per colliding bucket
@@ -144,7 +144,8 @@ def test_simhash_flood_connectivity(ray_session):
     from bb_ocr_ray.stages.dedup import simhash_near_dups
 
     text = "identical duplicated web page content repeated across a flood of mirrors"
-    flood = rd.from_items([{"doc_id": i, "text": text} for i in range(100)])
+    flood = rd.from_items(
+        [{"doc_id": i, "text": text} for i in range(100)]).repartition(4)
     pairs = simhash_near_dups(flood).to_pandas()
     touched = set(pairs["id_a"]) | set(pairs["id_b"])
     assert touched == set(range(100))
@@ -204,7 +205,7 @@ def test_near_dup_dedup_distributed_flood(ray_session):
     rows += [{"doc_id": 500 + i,
               "text": f"unique document number {i} with its own words {i*7}"}
              for i in range(30)]
-    ds = rd.from_items(rows)
+    ds = rd.from_items(rows).repartition(4)
     kept = near_dup_dedup(ds, min_jaccard=0.9, distributed=True).to_pandas()
     assert 0 in set(kept["doc_id"])                      # flood survivor
     assert set(kept["doc_id"]) >= {500 + i for i in range(30)}
@@ -216,9 +217,10 @@ def test_anti_join_hash_matches_broadcast(ray_session):
 
     from bb_ocr_ray.stages.joins import anti_join_broadcast, anti_join_hash
 
-    big = rd.from_items([{"k": i, "val": f"v{i}"} for i in range(500)])
+    big = rd.from_items(
+        [{"k": i, "val": f"v{i}"} for i in range(500)]).repartition(4)
     drop = [i for i in range(500) if i % 3 == 0]
-    keys = rd.from_items([{"k": i} for i in drop])
+    keys = rd.from_items([{"k": i} for i in drop]).repartition(2)
     a = anti_join_broadcast(big, set(drop), "k").to_pandas()
     b = anti_join_hash(big, keys, on="k").to_pandas()
     assert sorted(a["k"]) == sorted(b["k"])
