@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data as rd
+
+from bb_ocr_ray.sources.tables import read_parquet_clean as _read_parquet
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from bb_ocr_ray.functions.hashing import md5_hex
@@ -48,7 +50,7 @@ def q1_pricing_summary(sf_dir: str):
     The partial agg inside map_batches collapses each ~64k-row batch to
     ≤ 6 rows (|returnflag|×|linestatus|), so the shuffle moves a few
     hundred partial rows instead of every lineitem row."""
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
@@ -94,7 +96,7 @@ def q1_pricing_summary(sf_dir: str):
 def q_filter_project(sf_dir: str):
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
     )
@@ -108,7 +110,7 @@ def q_filter_project(sf_dir: str):
 # Relational: per-group top-k
 # ---------------------------------------------------------------------------
 def q_topk_per_group(sf_dir: str):
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
     )
@@ -139,7 +141,7 @@ def q_topk_per_group(sf_dir: str):
 # Relational: distinct / count-distinct
 # ---------------------------------------------------------------------------
 def q_distinct(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
+    ds = _read_parquet(_t(sf_dir, "customer"),
                          columns=["c_mktsegment", "c_nationkey"])
     return ds.groupby(["c_mktsegment", "c_nationkey"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
@@ -147,7 +149,7 @@ def q_distinct(sf_dir: str):
 
 
 def q_count_distinct(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
+    ds = _read_parquet(_t(sf_dir, "customer"),
                          columns=["c_mktsegment", "c_nationkey"])
     # two-level: distinct pairs (with per-batch local distinct combiner),
     # then count per segment; plus a straight row count per segment
@@ -177,7 +179,7 @@ def q_hash_join(sf_dir: str):
     revenue per orderstatus."""
     from bb_ocr_ray.stages.joins import hash_join
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(
@@ -187,7 +189,7 @@ def q_hash_join(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
+    orders = _read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderstatus"])
     joined = hash_join(li, orders, on="o_orderkey")
     # partial agg per joined block — the final groupby shuffles a few
@@ -218,7 +220,7 @@ def q_broadcast_join_nation(sf_dir: str):
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     dim = dim[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
 
-    cust = rd.read_parquet(_t(sf_dir, "customer"),
+    cust = _read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_nationkey", "c_acctbal"])
     joined = broadcast_join(cust, dim, on="c_nationkey")
     out = joined.groupby("r_name").aggregate(
@@ -239,7 +241,7 @@ def q5_revenue_by_nation(sf_dir: str):
     supp = pd.read_parquet(_t(sf_dir, "supplier"),
                            columns=["s_suppkey", "s_nationkey"])
     supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
-    li = rd.read_parquet(
+    li = _read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -252,7 +254,7 @@ def q5_revenue_by_nation(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
+    orders = _read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey"])
     joined = hash_join(li, orders, on="o_orderkey")
 
@@ -290,7 +292,7 @@ def q_anti_join(sf_dir: str):
     from bb_ocr_ray.stages.joins import anti_join_broadcast
 
     order_keys = (
-        rd.read_parquet(_t(sf_dir, "orders"),
+        _read_parquet(_t(sf_dir, "orders"),
                         columns=["o_custkey", "o_totalprice"])
         .map_batches(
             lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)),
@@ -298,7 +300,7 @@ def q_anti_join(sf_dir: str):
         )
         .unique("o_custkey")
     )
-    cust = rd.read_parquet(_t(sf_dir, "customer"),
+    cust = _read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_name"])
     return anti_join_broadcast(cust, order_keys, "c_custkey")
 
@@ -308,10 +310,10 @@ def q_semi_join(sf_dir: str):
     from bb_ocr_ray.stages.joins import semi_join_broadcast
 
     supp_keys = (
-        rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_suppkey"])
+        _read_parquet(_t(sf_dir, "lineitem"), columns=["l_suppkey"])
         .unique("l_suppkey")
     )
-    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+    supp = _read_parquet(_t(sf_dir, "supplier"),
                            columns=["s_suppkey", "s_name"])
     return semi_join_broadcast(supp, supp_keys, "s_suppkey")
 
@@ -320,7 +322,7 @@ def q_union(sf_dir: str):
     """ds.union of two disjoint filtered projections of orders."""
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
+    ds = _read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_totalprice"])
     hi = ds.map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0)),
@@ -339,7 +341,7 @@ def q_union(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     """Tumbling 1h window per event_type (event-time, no watermark
     semantics needed for batch: groupby on truncated ts)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "ts", "value"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -372,7 +374,7 @@ def q_sessionize(sf_dir: str):
     """Session windows per user (gap > 1800 s starts a new session):
     groupby(user).map_groups over ts-sorted events — the documented
     partitioning assumption is one user fits one group."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts", kind="mergesort")
@@ -391,7 +393,7 @@ def q_json_extract(sf_dir: str):
     """Robust JSON field extraction from the events props column (M10
     analog: LLM-response JSON repair) — vectorized regex extract, sum
     per event_type; unparseable rows count as errors, never raised."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "props"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -438,7 +440,7 @@ def q_json_extract(sf_dir: str):
 # Documents: text analysis
 # ---------------------------------------------------------------------------
 def q_doc_stats(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = _read_parquet(_t(sf_dir, "documents"),
                          columns=["lang", "text", "n_chars"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -468,7 +470,7 @@ def q_doc_stats(sf_dir: str):
 def q_doc_quality(sf_dir: str):
     """Quality features aggregated per source: integer numerators and
     denominators (no float ratios — exact cross-engine equality)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = _read_parquet(_t(sf_dir, "documents"),
                          columns=["source", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -507,7 +509,7 @@ def q_doc_quality(sf_dir: str):
 # ---------------------------------------------------------------------------
 def q_dedup_exact(sf_dir: str):
     """Exact dedup by content hash: keeper = min doc_id per md5(text)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = _read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"])
 
     def hashed(batch: pd.DataFrame) -> pd.DataFrame:
@@ -536,7 +538,7 @@ def q_jaccard_pairs(sf_dir: str):
     minhash_candidates (LSH) which prunes the pair space first."""
     import ray
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"),
+    docs = _read_parquet(_t(sf_dir, "documents"),
                            columns=["doc_id", "text"])
     rows = docs.map_batches(
         lambda b: pd.DataFrame(
@@ -579,7 +581,7 @@ def q_minhash_candidates(sf_dir: str):
     verify candidates ⊇ high-Jaccard pairs on fixtures)."""
     from bb_ocr_ray.stages.dedup import minhash_candidates
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"),
+    docs = _read_parquet(_t(sf_dir, "documents"),
                            columns=["doc_id", "text"])
     return minhash_candidates(docs)
 
@@ -587,7 +589,7 @@ def q_minhash_candidates(sf_dir: str):
 def q_simhash_near_dups(sf_dir: str):
     from bb_ocr_ray.stages.dedup import simhash_near_dups
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"),
+    docs = _read_parquet(_t(sf_dir, "documents"),
                            columns=["doc_id", "text"])
     return simhash_near_dups(docs)
 
@@ -600,7 +602,7 @@ def q_langid(sf_dir: str):
     profile tables (oracles._langid_oracle_sql)."""
     from bb_ocr_ray.stages.text_stats import add_lang_pred
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = _read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "lang", "text"])
     scored = ds.map_batches(add_lang_pred, batch_format="pandas")
     out = (
@@ -626,7 +628,7 @@ def q_fingerprint(sf_dir: str):
     content_md5 via DuckDB's md5()."""
     from bb_ocr_ray.stages.text_stats import add_fingerprints
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(add_fingerprints, batch_format="pandas").select_columns(
         ["doc_id", "fingerprint", "content_md5"]
     )
@@ -640,7 +642,7 @@ def q_ann_topk(sf_dir: str):
     output: query_id, rank, neighbor_id)."""
     from bb_ocr_ray.stages.ann import ann_topk
 
-    vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
+    vecs = _read_parquet(_t(sf_dir, "embeddings"),
                            columns=["vec_id", "embedding"])
     return ann_topk(vecs, query_ids=list(range(10)), k=5)
 
@@ -657,7 +659,7 @@ def q_embedding_near_dups(sf_dir: str):
     probe set, so the oracle is a true value-hash gate."""
     from bb_ocr_ray.stages.ann import embedding_near_dups
 
-    vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
+    vecs = _read_parquet(_t(sf_dir, "embeddings"),
                            columns=["vec_id", "embedding"])
 
     def plant(b: pd.DataFrame) -> pd.DataFrame:
@@ -760,7 +762,7 @@ def q_global_topk(sf_dir: str):
     """Global sort + limit: top-20 orders by (o_totalprice desc,
     o_orderkey) — ds.sort is the all-to-all range shuffle; limit
     truncates the stream."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
+    ds = _read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_totalprice"])
     out = (
         ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
@@ -777,7 +779,7 @@ def q_offer_ranking(sf_dir: str):
     3.0/1.5/1.0, sort by (score, -price), top-10): parts scored by
     deterministic feature hits, top-2 per brand by (score desc,
     p_retailprice asc, p_partkey)."""
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         _t(sf_dir, "part"),
         columns=["p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"],
     )
@@ -816,7 +818,7 @@ def q_keyword_genre(sf_dir: str):
     """Per-doc keyword-list argmax — the genre scoring heuristic
     (hueristics/book_extractor.py:149-178) over documents: count hits
     per keyword set, argmax with fixed tie order, aggregate counts."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     genres = [
         ("data", ("data", "table", "column", "row")),
         ("query", ("query", "filter", "join", "sort")),
@@ -852,7 +854,7 @@ def q_asof_join(sf_dir: str):
     'error' event, the most recent 'click' by the same user at or
     before it.  Partitioning assumption: one user's events fit one
     group; within the group pd.merge_asof does the ordered match."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "user_id", "event_type", "ts"])
 
     def per_user(group: pd.DataFrame) -> pd.DataFrame:
@@ -921,7 +923,7 @@ QUERIES.update(
 def q6_revenue_delta(sf_dir: str):
     """TPC-H Q6 shape: pure filter + scalar aggregate (single row) —
     the simplest partial+final reduction."""
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
     )
@@ -950,7 +952,7 @@ def q_running_total(sf_dir: str):
     """Windowed running aggregate per group: cumulative order value per
     customer in o_orderdate order (groupby(cust).map_groups cumsum) —
     output restricted to customers with ≥ 8 orders to keep rows bounded."""
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
@@ -990,7 +992,7 @@ def q_ivf_topk(sf_dir: str):
     baseline is asserted in tests/test_ann_ivf.py."""
     from bb_ocr_ray.stages.ann import ivf_topk
 
-    vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
+    vecs = _read_parquet(_t(sf_dir, "embeddings"),
                            columns=["vec_id", "embedding"])
     return ivf_topk(vecs, query_ids=list(range(10)), k=5)
 
@@ -1012,7 +1014,7 @@ def q_reading_order(sf_dir: str):
     computed per page after one shuffle on the page key."""
     from bb_ocr_ray.stages.layout_stage import reading_order_stage
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_linenumber", "l_partkey"],
     )
@@ -1040,7 +1042,7 @@ def q_hash_sample(sf_dir: str):
     alternative to random_sample): keep rows whose md5(text) first byte
     < 64 (a ~25% sample that is stable across runs, partitions and
     engines — the SQL oracle computes the identical predicate)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = _read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"])
 
     def sample(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1056,7 +1058,7 @@ def q_value_histogram(sf_dir: str):
     partial histograms merge by addition; the oracle recomputes the
     same binning exactly (no approximation mismatch because the sketch
     IS the binning)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "value"])
     lo, hi, nbins = 0.0, 100.0, 20
 
@@ -1085,7 +1087,7 @@ def q_rollup(sf_dir: str):
     """Multi-level aggregate (rollup): order counts + revenue at
     (status, priority), (status), and grand total, via partial agg +
     union of levels — mirrors SQL GROUP BY ROLLUP."""
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
     )
@@ -1132,7 +1134,7 @@ def q_median(sf_dir: str):
     the value at index floor((n-1)/2) of the sorted values — computed
     per group after one shuffle on the (5-key) group column; mirrors
     DuckDB quantile_disc(0.5)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = _read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "value"])
 
     def median(group: pd.DataFrame) -> pd.DataFrame:
@@ -1154,7 +1156,7 @@ def q_knn_label(sf_dir: str):
     from bb_ocr_ray.stages.ann import ann_topk
     from bb_ocr_ray.stages.joins import broadcast_join
 
-    vecs = rd.read_parquet(_t(sf_dir, "embeddings"),
+    vecs = _read_parquet(_t(sf_dir, "embeddings"),
                            columns=["vec_id", "embedding"])
     topk = ann_topk(vecs, query_ids=list(range(20)), k=5)
     labels = pd.read_parquet(_t(sf_dir, "embeddings"),
@@ -1182,7 +1184,7 @@ def q_near_dup_dedup(sf_dir: str):
     probabilistic; cluster semantics are unit-tested on fixtures."""
     from bb_ocr_ray.stages.dedup import near_dup_dedup
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"),
+    docs = _read_parquet(_t(sf_dir, "documents"),
                            columns=["doc_id", "text"])
     return near_dup_dedup(docs).select_columns(["doc_id"])
 
@@ -1201,7 +1203,7 @@ def q_binary_features(sf_dir: str):
         resize_stub,
     )
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"),
+    docs = _read_parquet(_t(sf_dir, "documents"),
                            columns=["doc_id", "text"])
 
     def to_payload(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1264,7 +1266,7 @@ def q_provider_fanout(sf_dir: str):
         "size_scan": parts_by_size,
         "stub": make_stub_provider("stub"),
     }
-    records = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"])
+    records = _read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"])
     offers = provider_fanout(records, providers, key_col="s_suppkey")
     offers = offers.map_batches(lambda b: b[b["status"] == "ok"].dropna(
         subset=["listing_id"]), batch_format="pandas")

@@ -118,7 +118,9 @@ def read_pages(sf_dir: str, num_blocks: int | None = None):
     import ray
     import ray.data as rd
 
-    docs = rd.read_parquet(
+    from bb_ocr_ray.sources.tables import read_parquet_clean
+
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     if num_blocks is None:

@@ -185,8 +185,10 @@ def _run_partitions(plans, manifest, done, sf_dir, cfg):
                 )
             n_skipped += 1
             continue
-        docs = rd.read_parquet(list(plan.fragment_ids),
-                               columns=["doc_id", "text", "lang"])
+        from bb_ocr_ray.sources.tables import read_parquet_clean
+
+        docs = read_parquet_clean(list(plan.fragment_ids),
+                                  columns=["doc_id", "text", "lang"])
         if plan.hash_bucket is not None:
             bucket, nb = plan.hash_bucket, plan.n_buckets
             docs = docs.map_batches(
