@@ -11,6 +11,7 @@ design slot (near-dup: simhash + banded minhash).
 from __future__ import annotations
 
 import hashlib
+import re
 import zlib
 
 import numpy as np
@@ -48,6 +49,16 @@ def rolling_fingerprint(text: str, base: int = 257, mod: int = MERSENNE) -> int:
     return h
 
 
+# ASCII whitespace class, shared with the oracle SQL: Python str.split()
+# is unicode-aware (U+00A0 etc.) and would silently diverge from the
+# RE2 '[ \t\n\r\f\v]+' the DuckDB mirror uses
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ws_tokens(text: str) -> list:
+    return [t for t in _WS_RE.split(text) if t]
+
+
 def _shingles(tokens: list, k: int) -> set:
     if len(tokens) < k:
         return {" ".join(tokens)} if tokens else set()
@@ -66,7 +77,7 @@ def minhash_signature(text: str, k: int = 3, n_perm: int = _N_PERM) -> np.ndarra
 
     Vectorized: one (n_shingles, n_perm) universal-hash matrix min-reduce.
     """
-    tokens = text.split()
+    tokens = ws_tokens(text)
     sh = _shingles(tokens, k)
     if not sh:
         return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -92,7 +103,7 @@ _SIMHASH_BITS = 64
 
 def simhash(text: str, k: int = 2) -> int:
     """64-bit SimHash over word k-shingles (Charikar sketch)."""
-    tokens = text.split()
+    tokens = ws_tokens(text)
     sh = _shingles(tokens, k)
     if not sh:
         return 0

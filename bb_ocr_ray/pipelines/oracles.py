@@ -11,12 +11,14 @@ hashes values).  Conventions:
     template from ``bb_ocr_ray.sources.pages`` (url layout, megadoc
     K=8 repeat with '\\n\\n' separators) — keep in sync with it.
 
-Queries with NO entry here (minhash/simhash candidates, near-dup
-dedup, IVF, binary features) are probabilistic-recall or
-non-SQL-expressible; the driver records a rows-only check and unit
-tests cover their semantics on fixtures.  q_langid and q_fingerprint
-ARE oracled — their SQL is generated at import time from the same
-profile/constant tables the engine uses (see the bottom of this file).
+Queries with NO entry here (q_ivf_topk, q_binary_features) are
+approximate-by-construction or have no SQL-expressible kernel; the
+driver records a rows-only check and unit tests cover their semantics
+on fixtures.  Everything else — including the sketch family
+(minhash LSH, simhash, near-dup dedup) and the heuristics (langid,
+fingerprint) — is oracled with SQL GENERATED at import time from the
+engine's own constants (see the bottom of this file), so the two
+sides cannot drift.
 """
 
 # Shared SQL fragments (template inversion — see sources/pages.py)
@@ -485,4 +487,147 @@ def _fingerprint_oracle_sql() -> str:
 ORACLES.update({
     "q_langid": _langid_oracle_sql(),
     "q_fingerprint": _fingerprint_oracle_sql(),
+})
+
+
+# ---------------------------------------------------------------------------
+# Sketch-family oracles (minhash LSH candidates, simhash near-dups, the
+# full near-dup dedup pipeline) — generated from the engine's own seeded
+# permutation constants.  Every arithmetic step is mirrored exactly:
+#   - shingle hash = md5_number_upper == int.from_bytes(md5[:8],'little')
+#     (bit-identical to functions.hashing.stable_u64, verified);
+#   - the numpy uint64 WRAP in (x*a + b) % p is emulated in HUGEINT as
+#     ((x*a) % 2^64 + b) % 2^64 % p;
+#   - tokenization is the shared ASCII class [ \t\n\r\f\v]+ (ws_tokens);
+#   - bucket cap 64 + consecutive-chain tail mirrored with row_number;
+#   - the engine's md5-digest band surrogate is replaced by direct
+#     band-value equality (identical grouping, no digest collisions on
+#     fixed data);
+#   - connected components as a recursive transitive closure with
+#     min-label (equivalent to the engine's alternating-star result).
+# ---------------------------------------------------------------------------
+def _minhash_cte() -> str:
+    from bb_ocr_ray.functions.hashing import _N_PERM, _PERM_A, _PERM_B
+
+    perm_rows = ",".join(
+        f"({p},{int(_PERM_A[p])},{int(_PERM_B[p])})" for p in range(_N_PERM))
+    return f"""toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                     '[ \t\n\r\f\v]+'), x -> x <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+     CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+          WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+     END AS shs
+  FROM toks),
+hx AS (SELECT doc_id, md5_number_upper(unnest(shs)) AS x FROM sh),
+perms(p, a, b) AS (VALUES {perm_rows}),
+vals AS (
+  SELECT doc_id, p,
+         CAST(((CAST(x AS HUGEINT) * a) % 18446744073709551616 + b)
+              % 18446744073709551616 % 2305843009213693951 AS UBIGINT) AS v
+  FROM hx CROSS JOIN perms),
+sig AS (SELECT doc_id, p, min(v) AS v FROM vals GROUP BY 1, 2),
+sig2 AS (SELECT * FROM sig
+         UNION ALL
+         SELECT s.doc_id, r.range AS p,
+                CAST(18446744073709551615 AS UBIGINT) AS v
+         FROM sh s CROSS JOIN range(0, {_N_PERM}) r WHERE len(s.shs) = 0),
+bands AS (
+  SELECT doc_id, p // 4 AS band_id, list(v ORDER BY p) AS bv
+  FROM sig2 GROUP BY 1, 2),
+grp AS (
+  SELECT band_id, bv, doc_id,
+         row_number() OVER (PARTITION BY band_id, bv ORDER BY doc_id) AS rn
+  FROM bands),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grp a JOIN grp b
+    ON a.band_id = b.band_id AND a.bv = b.bv AND a.rn < b.rn
+  WHERE b.rn <= 64 OR b.rn = a.rn + 1)"""
+
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                     '[ \t\n\r\f\v]+'), x -> x <> '') AS tk
+  FROM documents),
+sh2 AS (
+  SELECT doc_id,
+     CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+          WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+          ELSE list_distinct(list_transform(generate_series(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1]))
+     END AS shs
+  FROM toks),
+hx2 AS (SELECT doc_id, md5_number_upper(unnest(shs)) AS x FROM sh2),
+bits AS (
+  SELECT doc_id, r.range AS bit,
+         sum(CASE WHEN (x >> r.range) & 1 = 1 THEN 1 ELSE 0 END) AS cnt,
+         count(*) AS n
+  FROM hx2 CROSS JOIN range(0, 64) r GROUP BY 1, 2),
+shv0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN cnt * 2 > n
+                       THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                       ELSE 0 END) AS UBIGINT) AS sh
+  FROM bits GROUP BY 1),
+shv AS (SELECT * FROM shv0
+        UNION ALL
+        SELECT doc_id, CAST(0 AS UBIGINT) FROM sh2 WHERE len(shs) = 0),
+ex AS (
+  SELECT doc_id, sh, t.range AS table_id,
+         CAST((sh >> (16 * t.range)) & 65535 AS BIGINT) AS band
+  FROM shv CROSS JOIN range(0, 4) t),
+grp AS (
+  SELECT table_id, band, doc_id, sh,
+         row_number() OVER (PARTITION BY table_id, band ORDER BY doc_id) AS rn
+  FROM ex),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM grp a JOIN grp b
+    ON a.table_id = b.table_id AND a.band = b.band AND a.rn < b.rn
+  WHERE b.rn <= 64 OR b.rn = a.rn + 1)
+SELECT id_a, id_b, CAST(min(hamming) AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3 GROUP BY 1, 2
+"""
+
+
+def _near_dup_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte()},
+tsets AS (SELECT doc_id, list_distinct(string_split(coalesce(text, ''), ' ')) AS ts
+          FROM documents),
+vp AS (
+  SELECT p.id_a, p.id_b
+  FROM mh_pairs p
+  JOIN tsets ta ON ta.doc_id = p.id_a
+  JOIN tsets tb ON tb.doc_id = p.id_b
+  WHERE len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) > 0
+    AND 2 * len(list_intersect(ta.ts, tb.ts))
+        >= len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))),
+sym AS (SELECT id_a AS a, id_b AS b FROM vp
+        UNION SELECT id_b, id_a FROM vp),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (
+  SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE component < node)
+"""
+
+
+ORACLES.update({
+    "q_minhash_candidates":
+        f"WITH {_minhash_cte()} SELECT id_a, id_b FROM mh_pairs",
+    "q_simhash_near_dups": _SIMHASH_SQL,
+    "q_near_dup_dedup": _near_dup_dedup_sql(),
 })

@@ -576,9 +576,11 @@ def q_jaccard_pairs(sf_dir: str):
 
 
 def q_minhash_candidates(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs (no SQL oracle — LSH recall
-    is probabilistic by design; correctness covered by unit tests that
-    verify candidates ⊇ high-Jaccard pairs on fixtures)."""
+    """MinHash+LSH near-dup candidate pairs.  Oracle-checked: the
+    DuckDB mirror recomputes the full sketch from the engine's seeded
+    permutation constants (md5_number_upper == stable_u64, uint64-wrap
+    emulated in HUGEINT, bucket cap 64 + chain tail via row_number) —
+    see oracles._minhash_cte."""
     from bb_ocr_ray.stages.dedup import minhash_candidates
 
     docs = _read_parquet(_t(sf_dir, "documents"),
@@ -587,6 +589,9 @@ def q_minhash_candidates(sf_dir: str):
 
 
 def q_simhash_near_dups(sf_dir: str):
+    """SimHash banded near-dup pairs with hamming distance.
+    Oracle-checked: bit votes, 16-bit band blocking, cap+chain and the
+    bit_count(xor) verify are all recomputed in SQL."""
     from bb_ocr_ray.stages.dedup import simhash_near_dups
 
     docs = _read_parquet(_t(sf_dir, "documents"),
@@ -1180,8 +1185,10 @@ QUERIES.update({"q_median": q_median, "q_knn_label": q_knn_label})
 
 def q_near_dup_dedup(sf_dir: str):
     """End-to-end near-dup dedup (MinHash+LSH -> Jaccard verify ->
-    connected components -> keep min id).  Rows-only: LSH recall is
-    probabilistic; cluster semantics are unit-tested on fixtures."""
+    connected components -> keep min id).  Oracle-checked end-to-end:
+    the DuckDB mirror recomputes the sketch candidates, the exact
+    integer Jaccard verify, and the clustering as a recursive
+    min-label transitive closure (oracles._near_dup_dedup_sql)."""
     from bb_ocr_ray.stages.dedup import near_dup_dedup
 
     docs = _read_parquet(_t(sf_dir, "documents"),
