@@ -216,3 +216,39 @@ def fuzzy_ratio(a: str, b: str) -> int:
 def fuzzy_match(a: str, b: str, threshold: int = 80) -> bool:
     """Reference default: match at ratio >= 80."""
     return fuzzy_ratio(a, b) >= threshold
+
+
+# Multi-level public suffixes (a deterministic embedded SUBSET of the
+# public suffix list — the full PSL is a runtime download the sandbox
+# cannot make; this covers the common ccTLD second-level registries).
+# VERDICT r1: bare netloc grouping files a.co.uk and b.co.uk under
+# 'co.uk'; registrable_domain fixes that class.  Mirrored verbatim in
+# the generated oracle SQL (oracles.py).
+PSL_2LEVEL = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "gen.in",
+    "co.kr", "or.kr", "ne.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "org.za", "co.nz", "net.nz", "org.nz",
+)
+_PSL_SET = frozenset(PSL_2LEVEL)
+
+
+def registrable_domain(host: str) -> str:
+    """eTLD+1: the registrable domain of a hostname.
+
+    'shop.a.co.uk' -> 'a.co.uk' (co.uk is a public suffix),
+    'a.b.site.com' -> 'site.com', 'site.org' -> 'site.org'.
+    Hostnames at or below suffix depth return unchanged."""
+    h = (host or "").lower().rstrip(".")
+    parts = h.split(".")
+    if len(parts) <= 2:
+        return h
+    if ".".join(parts[-2:]) in _PSL_SET:
+        return ".".join(parts[-3:])
+    return ".".join(parts[-2:])

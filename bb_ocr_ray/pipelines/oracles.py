@@ -484,6 +484,8 @@ def _fingerprint_oracle_sql() -> str:
     """
 
 
+ORACLES["q_sessionize_stream"] = ORACLES["q_sessionize"]
+
 ORACLES.update({
     "q_langid": _langid_oracle_sql(),
     "q_fingerprint": _fingerprint_oracle_sql(),
@@ -631,3 +633,32 @@ ORACLES.update({
     "q_simhash_near_dups": _SIMHASH_SQL,
     "q_near_dup_dedup": _near_dup_dedup_sql(),
 })
+
+
+def _registrable_domain_sql() -> str:
+    from bb_ocr_ray.functions.scalars import PSL_2LEVEL
+
+    psl = ", ".join(f"'{s}'" for s in PSL_2LEVEL)
+    return f"""
+        WITH h AS (
+            SELECT CASE doc_id % 5
+                WHEN 0 THEN 'shop.site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                WHEN 1 THEN 'news.site' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+                WHEN 2 THEN 'a.b.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                WHEN 3 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                ELSE 'cdn.site' || CAST(doc_id % 7 AS VARCHAR) || '.co.jp'
+            END AS host
+            FROM documents),
+        p AS (SELECT host, string_split(host, '.') AS parts FROM h),
+        r AS (SELECT CASE
+                WHEN len(parts) <= 2 THEN host
+                WHEN parts[-2] || '.' || parts[-1] IN ({psl})
+                    THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                ELSE parts[-2] || '.' || parts[-1]
+              END AS domain
+              FROM p)
+        SELECT domain, count(*) AS n_docs FROM r GROUP BY 1
+    """
+
+
+ORACLES["q_registrable_domain"] = _registrable_domain_sql()

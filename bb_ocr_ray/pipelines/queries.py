@@ -1199,6 +1199,60 @@ def q_near_dup_dedup(sf_dir: str):
 QUERIES.update({"q_near_dup_dedup": q_near_dup_dedup})
 
 
+def q_sessionize_stream(sf_dir: str):
+    """Watermark/late-data sessionization (incremental actor state, the
+    §2.9 streaming variant): events stream through a bank of stateful
+    actors with an event-time watermark.  On an in-order stream no
+    event is late, so the result provably equals the batch groupby
+    sessionization — the oracle IS q_sessionize's SQL; the late-data
+    semantics (buffer within lateness, count+drop beyond it) are
+    covered by unit tests with out-of-order fixtures."""
+    from bb_ocr_ray.stages.streaming import sessionize_watermark
+
+    events = _read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    out, n_late = sessionize_watermark(events, allowed_lateness=300.0)
+    assert n_late == 0  # in-order stream: nothing can be late
+    return out
+
+
+QUERIES.update({"q_sessionize_stream": q_sessionize_stream})
+
+
+def q_registrable_domain(sf_dir: str):
+    """Registrable-domain (eTLD+1) grouping: hostnames synthesized
+    deterministically from doc_id across five shapes (ccTLD
+    second-level registries, deep subdomains, bare domains) are
+    reduced to their registrable domain and counted.  Oracle-checked:
+    the suffix logic runs in SQL against the SAME embedded PSL subset
+    (generated into the oracle), so 'shop.a.co.uk' and 'cdn.a.co.uk'
+    group as 'a.co.uk' — the grouping bare netloc gets wrong."""
+    from bb_ocr_ray.functions.scalars import registrable_domain
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    _SHAPES = ("shop.site{k}.co.uk", "news.site{k}.com.au",
+               "a.b.site{k}.com", "site{k}.org", "cdn.site{k}.co.jp")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy()
+        hosts = [_SHAPES[int(x) % 5].format(k=int(x) % 7) for x in d]
+        reg = [registrable_domain(h) for h in hosts]
+        df = pd.DataFrame({"domain": reg, "n": np.ones(len(d), dtype="int64")})
+        return df.groupby("domain", as_index=False).sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("domain")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+QUERIES.update({"q_registrable_domain": q_registrable_domain})
+
+
 def q_binary_features(sf_dir: str):
     """Multimodal plumbing over real binary payloads: documents text
     encoded as bytes -> deterministic fake decode (dims) -> byte

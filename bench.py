@@ -179,8 +179,12 @@ def run_scaling() -> dict:
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY_EXTRACT="1")
         # scaling needs a compute-dominated workload: default to a larger
-        # replication than plain mode unless the caller pinned one
-        env.setdefault("BENCH_REPLICATION", "128")
+        # replication than plain mode unless the caller pinned one.
+        # 384x (1.92M docs, ~2 GB html) keeps the 32-cpu run ~30 s —
+        # measured: at 128x the 32-cpu side finishes in ~10-12 s and
+        # ±2.4 s of session jitter alone swings efficiency 0.78-0.97;
+        # the bar is about throughput scaling, which wants steady state
+        env.setdefault("BENCH_REPLICATION", "384")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

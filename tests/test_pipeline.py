@@ -267,3 +267,48 @@ def test_provider_fanout_time_budget(ray_session):
     slow_rows = out[out["provider"] == "slow"]
     assert (slow_rows["status"] == "timeout").all()
     assert len(slow_rows) == 5
+
+
+def test_watermark_sessionizer_matches_batch(ray_session, sf_small):
+    """In-order stream + any lateness == batch sessionization, 0 late."""
+    import ray.data as rd
+
+    from bb_ocr_ray.pipelines.queries import q_sessionize
+    from bb_ocr_ray.stages.streaming import sessionize_watermark
+
+    events = rd.read_parquet(f"{sf_small}/events.parquet",
+                             columns=["user_id", "ts"])
+    got, n_late = sessionize_watermark(events, allowed_lateness=300.0)
+    assert n_late == 0
+    batch = (q_sessionize(sf_small).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_sessions", "n_events"]],
+        batch[["user_id", "n_sessions", "n_events"]])
+
+
+def test_watermark_sessionizer_late_data(ray_session):
+    """Out-of-order arrival: events within the lateness horizon fold
+    correctly (same result as the sorted stream); an event older than
+    the watermark is counted late and dropped."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.streaming import sessionize_watermark
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(u, sec):
+        return {"user_id": u, "ts": t0 + pd.Timedelta(seconds=sec)}
+
+    # arrival order: u1 at 0s, 100s, then an out-of-order 50s (within
+    # lateness 200) -> folds; then 10_000s advancing the watermark,
+    # then 60s (older than 10_000-200) -> LATE, dropped
+    rows = [ev(1, 0), ev(1, 100), ev(1, 50), ev(1, 10_000), ev(1, 60)]
+    ds = rd.from_items(rows).repartition(1)
+    got, n_late = sessionize_watermark(
+        ds, gap_seconds=1800.0, allowed_lateness=200.0, n_actors=1,
+        presorted=True)
+    assert n_late == 1
+    # folded events: 0,50,100 (one session) + 10_000 (gap > 1800: new)
+    assert got.loc[0, "n_sessions"] == 2
+    assert got.loc[0, "n_events"] == 4

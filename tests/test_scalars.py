@@ -172,3 +172,15 @@ def test_series_case_insensitive_all_forms():
 
     assert extract_series("book 3 of the wheel of time series") == ("wheel of time", 3)
     assert extract_series("#2 in the discworld series") == ("discworld", 2)
+
+
+def test_registrable_domain():
+    from bb_ocr_ray.functions.scalars import registrable_domain as rd
+
+    assert rd("shop.a.co.uk") == "a.co.uk"      # 2-level public suffix
+    assert rd("a.b.site.com") == "site.com"     # deep subdomain
+    assert rd("site.org") == "site.org"         # already registrable
+    assert rd("co.uk") == "co.uk"               # bare suffix: unchanged
+    assert rd("CDN1.Site3.Co.JP") == "site3.co.jp"   # case-folded
+    assert rd("host.example.com.") == "example.com"  # trailing dot
+    assert rd("") == ""
