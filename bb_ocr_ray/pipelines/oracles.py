@@ -662,3 +662,25 @@ def _registrable_domain_sql() -> str:
 
 
 ORACLES["q_registrable_domain"] = _registrable_domain_sql()
+
+
+ORACLES.update({
+    # md5-prefix stratified sampling: identical predicate per stratum
+    "q_stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   AS INTEGER)
+              < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 64 ELSE 32 END
+    """,
+    # bit_length(n) == floor(log2(n)) + 1 for n >= 1; n_tokens >= 1 by
+    # the shared length-difference token formula
+    "q_token_histogram": f"""
+        WITH t AS (SELECT lang, {_NTOK} AS n FROM documents)
+        SELECT lang,
+               CAST(CASE WHEN n = 0 THEN 0
+                         ELSE CAST(floor(log2(n)) AS BIGINT) + 1 END
+                    AS BIGINT) AS bin,
+               count(*) AS n_docs
+        FROM t GROUP BY 1, 2
+    """,
+})
