@@ -684,3 +684,16 @@ ORACLES.update({
         FROM t GROUP BY 1, 2
     """,
 })
+
+
+ORACLES["q_frame_sample"] = """
+    WITH p AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h
+               FROM documents),
+    f AS (SELECT doc_id AS item_id, h,
+                 unnest(generate_series(0, length(h) // 512 - 1))
+                     AS frame_idx
+          FROM p)
+    SELECT item_id, frame_idx,
+           substr(h, 1 + CAST(frame_idx AS INTEGER) * 512, 512) AS frame_hex
+    FROM f WHERE frame_idx % 4 = 0
+"""

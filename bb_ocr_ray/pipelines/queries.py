@@ -1312,6 +1312,37 @@ QUERIES.update({
 })
 
 
+def q_frame_sample(sf_dir: str):
+    """Frame sampling over binary payloads (video frame-extraction
+    analog): documents text encoded to bytes, treated as concatenated
+    256-byte frames, every 4th full frame emitted.  Oracle-checked on
+    the frame BYTES via their hex encoding — DuckDB has no blob
+    slicing, but substr(hex(blob)) mirrors byte slicing exactly (2 hex
+    chars per byte)."""
+    from bb_ocr_ray.stages.multimodal import frame_sample
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_payload(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"item_id": b["doc_id"].astype("int64"),
+             "payload": [(t or "").encode("utf-8") for t in b["text"]]})
+
+    ds = docs.map_batches(to_payload, batch_format="pandas")
+    frames = ds.map_batches(frame_sample, batch_format="pyarrow")
+
+    def to_hex(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"item_id": b["item_id"].astype("int64"),
+             "frame_idx": b["frame_idx"].astype("int64"),
+             "frame_hex": [bytes(f).hex().upper() for f in b["frame"]]})
+
+    return frames.map_batches(to_hex, batch_format="pandas")
+
+
+QUERIES.update({"q_frame_sample": q_frame_sample})
+
+
 def q_binary_features(sf_dir: str):
     """Multimodal plumbing over real binary payloads: documents text
     encoded as bytes -> deterministic fake decode (dims) -> byte

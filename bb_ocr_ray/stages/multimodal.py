@@ -84,3 +84,39 @@ def byte_histogram_features(batch: pd.DataFrame, payload_col: str = "payload") -
     batch["byte_hist"] = hists
     batch["byte_entropy"] = pd.Series(ent, dtype="float64")
     return batch
+
+
+def frame_sample(batch: pa.Table, frame_bytes: int = 256, every_k: int = 4,
+                 payload_col: str = "payload",
+                 id_col: str = "item_id") -> pa.Table:
+    """Deterministic frame sampling over an opaque binary payload
+    treated as concatenated fixed-size frames (the raw-container
+    analog of video frame extraction; a real demuxer would replace the
+    slicing, the Ray plumbing — flat_map shape, one input row -> many
+    frame rows, binary zero-copy through Arrow — is identical).
+
+    Emits every ``every_k``-th full frame as
+    (item_id, frame_idx, frame, frame_md5); the trailing partial frame
+    is dropped.  md5 digests make the output SQL-mirrorable (DuckDB
+    substring+md5 over the encoded payload)."""
+    import hashlib
+
+    ids_out, idx_out, frames, digests = [], [], [], []
+    ids = batch.column(id_col).to_pylist()
+    payloads = batch.column(payload_col).to_pylist()
+    for i, buf in zip(ids, payloads):
+        buf = buf or b""
+        for fi in range(0, len(buf) // frame_bytes):
+            if fi % every_k:
+                continue
+            frame = buf[fi * frame_bytes:(fi + 1) * frame_bytes]
+            ids_out.append(i)
+            idx_out.append(fi)
+            frames.append(frame)
+            digests.append(hashlib.md5(frame).hexdigest())
+    return pa.table(
+        {id_col: pa.array(ids_out, pa.int64()),
+         "frame_idx": pa.array(idx_out, pa.int64()),
+         "frame": pa.array(frames, pa.binary()),
+         "frame_md5": pa.array(digests, pa.string())}
+    )

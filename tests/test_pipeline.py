@@ -312,3 +312,23 @@ def test_watermark_sessionizer_late_data(ray_session):
     # folded events: 0,50,100 (one session) + 10_000 (gap > 1800: new)
     assert got.loc[0, "n_sessions"] == 2
     assert got.loc[0, "n_events"] == 4
+
+
+def test_frame_sample_plumbing(ray_session):
+    """Binary frame sampling: full frames only, every k-th, stable md5,
+    flat_map shape (one row -> many frame rows) through Arrow."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.multimodal import frame_sample
+
+    payload = bytes(range(256)) * 9 + b"tail"   # 9 full frames + partial
+    ds = rd.from_items([{"item_id": 1, "payload": payload},
+                        {"item_id": 2, "payload": b"short"}]).repartition(1)
+    out = ds.map_batches(frame_sample, batch_format="pyarrow").to_pandas()
+    # item 1: frames 0,4,8 sampled; item 2: no full frame
+    assert out["item_id"].tolist() == [1, 1, 1]
+    assert out["frame_idx"].tolist() == [0, 4, 8]
+    assert all(len(f) == 256 for f in out["frame"])
+    import hashlib
+    assert out.loc[0, "frame_md5"] == hashlib.md5(bytes(range(256))).hexdigest()
