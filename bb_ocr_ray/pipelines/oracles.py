@@ -697,3 +697,11 @@ ORACLES["q_frame_sample"] = """
            substr(h, 1 + CAST(frame_idx AS INTEGER) * 512, 512) AS frame_hex
     FROM f WHERE frame_idx % 4 = 0
 """
+
+
+ORACLES["q_band_join"] = """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id
+    FROM events a JOIN events b
+      ON a.event_type = 'view' AND b.event_type = 'purchase'
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30000000
+"""

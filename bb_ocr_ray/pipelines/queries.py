@@ -1343,6 +1343,41 @@ def q_frame_sample(sf_dir: str):
 QUERIES.update({"q_frame_sample": q_frame_sample})
 
 
+def q_band_join(sf_dir: str):
+    """Time-band range join: (view, purchase) event pairs within 30 s
+    of each other — the interval/proximity join Ray Data lacks,
+    composed as window-bucketed replication + one coarse shuffle +
+    exact in-task band filter (stages/joins.band_join).  Integer-
+    microsecond epochs on both sides so the band boundary is exact."""
+    from bb_ocr_ray.stages.joins import band_join
+
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "event_type", "ts"])
+
+    def prep(kind: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == kind]
+            return pd.DataFrame(
+                {"event_id": b["event_id"].astype("int64"),
+                 "t_us": b["ts"].astype("datetime64[us]").astype("int64")})
+
+        return fn
+
+    views = ev.map_batches(prep("view"), batch_format="pandas")
+    purchases = ev.map_batches(prep("purchase"), batch_format="pandas")
+    pairs = band_join(views, purchases, time_col="t_us",
+                      band_us=30_000_000)
+    return pairs.map_batches(
+        lambda b: pd.DataFrame(
+            {"view_id": b["event_id"].astype("int64"),
+             "purchase_id": b["event_id_r"].astype("int64")}),
+        batch_format="pandas",
+    )
+
+
+QUERIES.update({"q_band_join": q_band_join})
+
+
 def q_binary_features(sf_dir: str):
     """Multimodal plumbing over real binary payloads: documents text
     encoded as bytes -> deterministic fake decode (dims) -> byte

@@ -332,3 +332,26 @@ def test_frame_sample_plumbing(ray_session):
     assert all(len(f) == 256 for f in out["frame"])
     import hashlib
     assert out.loc[0, "frame_md5"] == hashlib.md5(bytes(range(256))).hexdigest()
+
+
+def test_band_join_exact_boundary(ray_session):
+    """Band join finds all pairs within the band including the exact
+    boundary, across window edges, and nothing outside."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import band_join
+
+    left = rd.from_items([
+        {"event_id": 1, "t_us": 1_000_000},
+        {"event_id": 2, "t_us": 59_000_000},     # near a window edge
+        {"event_id": 3, "t_us": 200_000_000},
+    ]).repartition(1)
+    right = rd.from_items([
+        {"event_id": 10, "t_us": 31_000_000},    # exactly 30s from id 1
+        {"event_id": 11, "t_us": 61_000_000},    # 2s from id 2, next window
+        {"event_id": 12, "t_us": 500_000_000},   # matches nothing
+    ]).repartition(1)
+    out = band_join(left, right, time_col="t_us",
+                    band_us=30_000_000).to_pandas()
+    got = sorted(zip(out["event_id"], out["event_id_r"]))
+    assert got == [(1, 10), (2, 10), (2, 11)]

@@ -41,15 +41,19 @@ def main():
 
     ev = pd.read_parquet(f"{SRC}/events.parquet").head(200)
     extra_ev = pd.DataFrame(
-        {"event_id": [99001, 99002, 99003],
+        {"event_id": [99001, 99002, 99003, 99004, 99005],
          "ts": pd.to_datetime(
              ["2024-01-01 00:10:00.700000", "2024-01-01 01:00:00.000000",
-              "2024-01-01 02:00:00.000000"], format="ISO8601"),
-         "user_id": [1, 1, 2],
-         "event_type": ["click", "error", "view"],
-         "value": [None, 5.0, None],
+              "2024-01-01 02:00:00.000000",
+              # a view/purchase pair EXACTLY 30 s apart: exercises the
+              # band-join boundary (<=) and keeps q_band_join non-empty
+              "2024-01-01 03:00:00.000000", "2024-01-01 03:00:30.000000"],
+             format="ISO8601"),
+         "user_id": [1, 1, 2, 3, 3],
+         "event_type": ["click", "error", "view", "view", "purchase"],
+         "value": [None, 5.0, None, 1.0, 2.0],
          "props": ['{"k": 99999999999999999999999}', "not json at all",
-                   '{"k": 7}']})
+                   '{"k": 7}', "{}", "{}"]})
     extra_ev["ts"] = extra_ev["ts"].astype("datetime64[us]")
     ev = pd.concat([ev, extra_ev], ignore_index=True)
     pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
