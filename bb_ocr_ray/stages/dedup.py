@@ -231,11 +231,11 @@ def simhash_near_dups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     pairs = exploded.groupby(["table_id", "band"]).map_groups(
         verify, batch_format="pandas"
     )
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    # a pair's hamming is the same in every colliding band, so the old
+    # Min-aggregate was pure dedup paying per-PAIR group overhead —
+    # dedup_pairs keeps the (identical) hamming of the first occurrence
+    # at constant group count
+    return dedup_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -368,17 +368,24 @@ def verify_candidates_hash(pairs_ds, docs_ds, id_col: str = "doc_id",
     bloom = build_bloom(mentioned, "mid")
     cand_docs = semi_join_bloom(docs_ds, bloom, id_col)
 
-    def tokset(batch: pd.DataFrame, side: str) -> pd.DataFrame:
+    def tokset(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {f"id_{side}": batch[id_col].astype("int64"),
-             f"toks_{side}": [frozenset((t or "").split(" "))
-                              for t in batch[text_col]]}
+            {"tid": batch[id_col].astype("int64"),
+             "toks": [frozenset((t or "").split(" "))
+                      for t in batch[text_col]]}
         )
 
-    toks_a = cand_docs.map_batches(lambda b: tokset(b, "a"),
-                                   batch_format="pandas")
-    toks_b = cand_docs.map_batches(lambda b: tokset(b, "b"),
-                                   batch_format="pandas")
+    # tokenize ONCE and materialize: toks is consumed by BOTH joins,
+    # and without the checkpoint Ray re-executes the shared lineage
+    # (corpus read + Bloom prune + tokenize) per consumer.  Bounded:
+    # only Bloom-surviving (mentioned) docs' token sets.
+    toks = cand_docs.map_batches(tokset, batch_format="pandas").materialize()
+    toks_a = toks.map_batches(
+        lambda b: b.rename(columns={"tid": "id_a", "toks": "toks_a"}),
+        batch_format="pandas")
+    toks_b = toks.map_batches(
+        lambda b: b.rename(columns={"tid": "id_b", "toks": "toks_b"}),
+        batch_format="pandas")
     j = hash_join(pairs_ds, toks_a, on="id_a")
     j = hash_join(j, toks_b, on="id_b")
 

@@ -148,6 +148,10 @@ def _auto_num_buckets() -> int:
 # scale; pandas copies do not)
 _NATIVE_FALLBACK_BYTES = 32 << 30
 
+# probe-side rows per chunked merge inside a hot-key bucket (module
+# level so tests can shrink it to exercise the chunked path)
+_MERGE_CHUNK = 262_144
+
 
 def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
               impl: str = "auto"):
@@ -254,9 +258,8 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
         right_ds.map_batches(tag(1), batch_format="pandas")
     )
 
-    chunk = 262_144
-
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        chunk = _MERGE_CHUNK
         left = g[g["__side"] == 0][left_cols]
         right = g[g["__side"] == 1][[on] + right_cols]
         if len(left) <= chunk:
@@ -282,8 +285,20 @@ def anti_join_hash(big_ds, keys_ds, on: str, num_buckets: int = 64):
     import numpy as np
 
     big_cols = list(big_ds.schema().names)
+    # capture the big side's pandas dtypes up front: the union pads the
+    # keys side with None across big columns, which degrades int/float
+    # columns to object in mixed blocks — keep() casts them back so
+    # downstream Arrow/numeric consumers see the original schema
+    try:
+        base = big_ds.schema().base_schema
+        try:                                   # Arrow schema
+            big_dtypes = dict(base.empty_table().to_pandas().dtypes)
+        except AttributeError:                 # PandasBlockSchema
+            big_dtypes = dict(zip(base.names, base.types))
+    except Exception:  # noqa: BLE001 — unknown schema: skip restoring
+        big_dtypes = {}
 
-    def tag(side: int, cols):
+    def tag(side: int):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
             for c in big_cols:
@@ -306,14 +321,20 @@ def anti_join_hash(big_ds, keys_ds, on: str, num_buckets: int = 64):
 
         return fn
 
-    both = big_ds.map_batches(tag(0, big_cols), batch_format="pandas").union(
-        keys_ds.map_batches(tag(1, [on]), batch_format="pandas")
+    both = big_ds.map_batches(tag(0), batch_format="pandas").union(
+        keys_ds.map_batches(tag(1), batch_format="pandas")
     )
 
     def keep(g: pd.DataFrame) -> pd.DataFrame:
         drop = g.loc[g["__side"] == 1, on]
-        keepers = g[(g["__side"] == 0) & ~g[on].isin(set(drop))]
-        return keepers[big_cols]
+        keepers = g[(g["__side"] == 0) & ~g[on].isin(set(drop))][big_cols]
+        for c, dt in big_dtypes.items():
+            if c in keepers.columns and keepers[c].dtype != dt:
+                try:
+                    keepers[c] = keepers[c].astype(dt)
+                except (TypeError, ValueError):
+                    pass   # exotic type: leave as-is
+        return keepers
 
     return both.groupby("__bucket").map_groups(keep, batch_format="pandas")
 

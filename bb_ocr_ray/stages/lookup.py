@@ -67,9 +67,10 @@ def provider_fanout(records_ds, providers: dict, key_col: str,
             results = []
             for name, fn in providers.items():
                 try:
-                    results.append((name, fn(batch), None))
+                    results.append((name, fn(batch), None, "ok"))
                 except Exception as exc:  # noqa: BLE001 — error-as-data
-                    results.append((name, None, f"{type(exc).__name__}: {exc}"))
+                    results.append(
+                        (name, None, f"{type(exc).__name__}: {exc}", "error"))
         else:
             import concurrent.futures as cf
             import time
@@ -83,24 +84,24 @@ def provider_fanout(records_ds, providers: dict, key_col: str,
                 try:
                     offers = fut.result(
                         timeout=max(0.0, deadline - time.monotonic()))
-                    results.append((name, offers, None))
+                    results.append((name, offers, None, "ok"))
                 except cf.TimeoutError:
                     fut.cancel()
                     results.append(
                         (name, None,
-                         f"timeout after {per_provider_timeout}s"))
+                         f"timeout after {per_provider_timeout}s", "timeout"))
                 except Exception as exc:  # noqa: BLE001 — error-as-data
-                    results.append((name, None, f"{type(exc).__name__}: {exc}"))
+                    results.append(
+                        (name, None, f"{type(exc).__name__}: {exc}", "error"))
             # wait=False: blocking on shutdown would hand the slow
             # provider the very stall the budget exists to prevent
             pool.shutdown(wait=False)
 
-        for name, offers, err in results:
+        for name, offers, err, status in results:
             if err is None:
                 outs.append(offers.assign(provider=name, status="ok",
                                           error=None))
             else:
-                status = "timeout" if err.startswith("timeout") else "error"
                 outs.append(_error_rows(batch, name, status, err))
         merged = pd.concat(outs, ignore_index=True)
         for c in OFFER_COLUMNS:

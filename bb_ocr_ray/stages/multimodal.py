@@ -93,7 +93,9 @@ def frame_sample(batch: pa.Table, frame_bytes: int = 256, every_k: int = 4,
     treated as concatenated fixed-size frames (the raw-container
     analog of video frame extraction; a real demuxer would replace the
     slicing, the Ray plumbing — flat_map shape, one input row -> many
-    frame rows, binary zero-copy through Arrow — is identical).
+    frame rows, binary columns end-to-end — is identical; payload
+    bytes DO materialize as Python objects in-task, so size
+    frame-heavy batches small).
 
     Emits every ``every_k``-th full frame as
     (item_id, frame_idx, frame, frame_md5); the trailing partial frame

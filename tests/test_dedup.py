@@ -225,3 +225,6 @@ def test_anti_join_hash_matches_broadcast(ray_session):
     b = anti_join_hash(big, keys, on="k").to_pandas()
     assert sorted(a["k"]) == sorted(b["k"])
     assert set(b.columns) == {"k", "val"}
+    # review regression: the keys-side None padding must not degrade
+    # big-side dtypes to object
+    assert b["k"].dtype == "int64", b.dtypes

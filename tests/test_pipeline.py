@@ -355,3 +355,27 @@ def test_band_join_exact_boundary(ray_session):
                     band_us=30_000_000).to_pandas()
     got = sorted(zip(out["event_id"], out["event_id_r"]))
     assert got == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_hash_join_chunked_merge_path(ray_session, monkeypatch):
+    """Force the hot-key chunked merge (probe > _MERGE_CHUNK) and
+    assert it returns exactly the single-merge result."""
+    import ray.data as rd
+
+    import bb_ocr_ray.stages.joins as J
+
+    left = rd.from_items(
+        [{"k": 7, "l": i} for i in range(900)]
+        + [{"k": i % 10, "l": 10_000 + i} for i in range(100)]).repartition(2)
+    right = rd.from_items([{"k": i, "r": i * 11} for i in range(10)]
+                          + [{"k": 7, "r": 777}]).repartition(1)
+    want = J.hash_join(left, right, on="k", num_buckets=4).to_pandas()
+    monkeypatch.setattr(J, "_MERGE_CHUNK", 64)
+    got = J.hash_join(left, right, on="k", num_buckets=4).to_pandas()
+    key = ["k", "l", "r"]
+    pd.testing.assert_frame_equal(
+        want.sort_values(key).reset_index(drop=True)[key],
+        got.sort_values(key).reset_index(drop=True)[key])
+    # key 7 (900 hot rows + 10 from the modulo series) matches two
+    # right rows -> the cross product survives chunking
+    assert (got["k"] == 7).sum() == 910 * 2
