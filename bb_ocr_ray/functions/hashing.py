@@ -124,3 +124,44 @@ def jaccard_tokens(a: set, b: set) -> tuple:
     inter = len(a & b)
     union = len(a) + len(b) - inter
     return inter, union
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (mergeable cardinality sketch, integer-exact)
+# ---------------------------------------------------------------------------
+_HLL_BUCKETS = 64          # 2^6 registers
+_HLL_SUFFIX_BITS = 58      # hash bits after the bucket index
+
+
+def hll_bucket_rho(key: str) -> tuple:
+    """(bucket, rho) of one key for a 64-register HyperLogLog.
+
+    bucket = low 6 bits of the stable 64-bit hash; rho = 1 + trailing
+    zeros of the remaining 58 bits (the all-zero suffix maps to the
+    max, 59).  Trailing zeros — not the classical leading zeros — so
+    the oracle can mirror it EXACTLY with
+    ``bit_count(((h >> 6) XOR (h >> 6 - 1)) >> 1)`` in integer SQL
+    (floor(log2()) float tricks misround near 2^58).  Any fixed
+    first-one-bit convention yields a valid HLL estimator."""
+    h = stable_u64(key)
+    bucket = h & (_HLL_BUCKETS - 1)
+    suffix = h >> 6
+    if suffix == 0:
+        return bucket, _HLL_SUFFIX_BITS + 1
+    rho = 1 + (((suffix ^ (suffix - 1)) >> 1).bit_count())
+    return bucket, min(rho, _HLL_SUFFIX_BITS + 1)
+
+
+def hll_estimate(registers: dict) -> float:
+    """Standard HLL estimate from {bucket: max_rho} (m=64, alpha_64),
+    with the small-range linear-counting correction."""
+    import math
+
+    m = _HLL_BUCKETS
+    alpha = 0.709          # alpha_64 (Flajolet et al. 2007)
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if registers.get(b, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est

@@ -705,3 +705,17 @@ ORACLES["q_band_join"] = """
       ON a.event_type = 'view' AND b.event_type = 'purchase'
      AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30000000
 """
+
+
+ORACLES["q_hll_registers"] = """
+    WITH h AS (SELECT md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+               FROM events WHERE user_id IS NOT NULL),
+    b AS (SELECT CAST(hv & 63 AS BIGINT) AS bucket, hv >> 6 AS suffix
+          FROM h),
+    r AS (SELECT bucket,
+                 CASE WHEN suffix = 0 THEN 59
+                      ELSE least(59, 1 + bit_count(
+                               xor(suffix, suffix - 1) >> 1)) END AS rho
+          FROM b)
+    SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho FROM r GROUP BY 1
+"""

@@ -1378,6 +1378,41 @@ def q_band_join(sf_dir: str):
 QUERIES.update({"q_band_join": q_band_join})
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register state over events.user_id — the mergeable
+    approximate-count-distinct sketch as a first-class aggregate.  The
+    query emits the SKETCH STATE (bucket, max_rho), which is
+    integer-exact and oracle-checked; the float estimate derived from
+    it (hashing.hll_estimate) is asserted against the true
+    cardinality in tests.  rho uses trailing zeros so the oracle can
+    mirror it with bit_count in pure integer SQL."""
+    from bb_ocr_ray.functions.hashing import hll_bucket_rho
+
+    ds = _read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].dropna()
+        if not len(u):
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "rho": pd.Series([], dtype="int64")})
+        pairs = [hll_bucket_rho(str(int(x))) for x in u]
+        df = pd.DataFrame(pairs, columns=["bucket", "rho"])
+        return df.groupby("bucket", as_index=False).max()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="max_rho"))
+        .to_pandas()
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["max_rho"] = out["max_rho"].astype("int64")
+    return out
+
+
+QUERIES.update({"q_hll_registers": q_hll_registers})
+
+
 def q_binary_features(sf_dir: str):
     """Multimodal plumbing over real binary payloads: documents text
     encoded as bytes -> deterministic fake decode (dims) -> byte

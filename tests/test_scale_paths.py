@@ -157,3 +157,39 @@ def test_embedding_near_dups_flood_cap_chains(ray_session):
     assert touched == set(range(150))
     # O(cap^2 + B) not O(B^2): full 150-pairwise would be 11175 pairs
     assert len(pairs) <= 32 * 31 // 2 + (150 - 32)
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """HLL registers from the distributed sketch estimate the true
+    user cardinality within the m=64 error band (~13% stderr)."""
+    from bb_ocr_ray.functions.hashing import hll_estimate
+    from bb_ocr_ray.pipelines.queries import q_hll_registers
+
+    sf = "/root/testdata/sf0.01"
+    regs = q_hll_registers(sf)
+    registers = dict(zip(regs["bucket"], regs["max_rho"]))
+    import duckdb
+
+    truth = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    est = hll_estimate(registers)
+    assert abs(est - truth) / truth < 0.35, (est, truth)
+
+
+def test_hll_registers_mergeable():
+    """Register-wise max of two halves == registers of the union (the
+    property that makes the sketch a distributed aggregate)."""
+    from bb_ocr_ray.functions.hashing import hll_bucket_rho
+
+    def regs(keys):
+        r = {}
+        for k in keys:
+            b, rho = hll_bucket_rho(k)
+            r[b] = max(r.get(b, 0), rho)
+        return r
+
+    a = regs(str(i) for i in range(500))
+    b = regs(str(i) for i in range(250, 900))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == regs(str(i) for i in range(900))
