@@ -64,6 +64,45 @@ def cmd_domain_stats(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registry query standalone; write parquet or print."""
+    from bb_ocr_ray.pipelines.queries import QUERIES
+
+    if args.name == "list" or args.name not in QUERIES:
+        names = "\n".join(sorted(QUERIES))
+        if args.name == "list":
+            print(names)
+            return 0
+        print(f"unknown query {args.name!r}; available:\n{names}",
+              file=sys.stderr)
+        return 2
+
+    import pandas as pd
+    import ray.data
+
+    res = QUERIES[args.name](args.sf_dir)
+    if args.out:
+        if isinstance(res, ray.data.Dataset):
+            res.write_parquet(args.out)
+            n = res.count()
+        else:
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            import os
+
+            os.makedirs(args.out, exist_ok=True)
+            df.to_parquet(f"{args.out}/part-0.parquet", index=False)
+            n = len(df)
+        print(json.dumps({"cmd": "query", "name": args.name,
+                          "out": args.out, "rows": int(n)}))
+    else:
+        df = res.to_pandas() if isinstance(res, ray.data.Dataset) else res
+        if not isinstance(df, pd.DataFrame):
+            df = df.to_pandas()
+        print(df.head(args.limit).to_string(index=False))
+        print(f"[{len(df)} rows]")
+    return 0
+
+
 def cmd_bench_entry(args) -> int:
     """Smoke the driver contract the way the driver does."""
     sys.path.insert(0, args.repo)
@@ -92,6 +131,15 @@ def main(argv=None) -> int:
     pdm.add_argument("--sf-dir", required=True)
     pdm.add_argument("--out", default=None)
     pdm.set_defaults(fn=cmd_domain_stats)
+
+    pq = sub.add_parser("query",
+                        help="run a registry query ('list' to enumerate)")
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq.add_argument("--out", default=None,
+                    help="parquet output dir (omit to print)")
+    pq.add_argument("--limit", type=int, default=20)
+    pq.set_defaults(fn=cmd_query)
 
     pb = sub.add_parser("entry-smoke", help="run the driver entry() contract")
     pb.add_argument("--repo", default="/root/repo")

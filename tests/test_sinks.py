@@ -89,3 +89,21 @@ def test_flatten_nan_authors_total():
         {"text": ["abc", "def"], "status": ["ok", "ok"],
          "authors": [["Jane"], np.nan]}))
     assert flat["authors_csv"].tolist() == ["Jane", ""]
+
+
+def test_cli_query_subcommand(ray_session, sf_tiny, tmp_path):
+    """The query CLI runs a registry query in-process (reusing the
+    session fixture's Ray) and writes parquet."""
+    import pandas as pd
+
+    from bb_ocr_ray.cli import cmd_query
+
+    class A:
+        name = "q_doc_stats"
+        sf_dir = sf_tiny
+        out = str(tmp_path / "q")
+        limit = 20
+
+    assert cmd_query(A) == 0
+    df = pd.read_parquet(A.out)
+    assert len(df) == 5 and "sum_tokens" in df.columns
