@@ -85,6 +85,7 @@ class _SegmenterCore:
     def _init_core(self, cfg: ExtractConfig):
         self.cfg = cfg
         self.stack: list = []
+        self._open_counts: dict = {}   # tag -> open count (O(1) membership)
         self.skip_depth = 0
         self.link_depth = 0
         self.drop_depth = 0    # nesting inside drop_ancestors subtrees
@@ -127,6 +128,7 @@ class _SegmenterCore:
         if tag in BLOCK_TAGS:
             self._flush()
         self.stack.append(tag)
+        self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
         if self.current is not None:
             self.current.n_tags += 1
 
@@ -141,9 +143,13 @@ class _SegmenterCore:
         if tag in VOID_TAGS:
             return
         # Pop up to and including the matching open tag; ignore strays.
-        if tag in self.stack:
+        # Membership via the open-count dict, not an O(depth) list scan
+        # (end tags are ~1/3 of all events on real pages).
+        if self._open_counts.get(tag, 0) > 0:
+            counts = self._open_counts
             while self.stack:
                 popped = self.stack.pop()
+                counts[popped] -= 1
                 if popped in SKIP_TAGS and self.skip_depth > 0:
                     self.skip_depth -= 1
                 if popped == "a" and self.link_depth > 0:
@@ -157,6 +163,14 @@ class _SegmenterCore:
 
     def handle_data(self, data):
         if self.skip_depth > 0:
+            return
+        # whitespace-only fast path: data.isspace() <=> collapse_ws
+        # yields "" (ASCII runs -> one space, then unicode strip — the
+        # same character set str.isspace covers), so skip the regex
+        # entirely for inter-tag whitespace, the most common data event
+        if not data or data.isspace():
+            if self.current is not None:
+                self.current.runs.append(data)   # zero stripped chars
             return
         stripped_len = len(collapse_ws(data))
         if stripped_len == 0 and self.current is None:
