@@ -83,6 +83,9 @@ def cmd_query(args) -> int:
     res = QUERIES[args.name](args.sf_dir)
     if args.out:
         if isinstance(res, ray.data.Dataset):
+            # materialize once: write_parquet consumes the lazy plan,
+            # and a following count() would re-run it from scratch
+            res = res.materialize()
             res.write_parquet(args.out)
             n = res.count()
         else:
@@ -146,6 +149,17 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_bench_entry)
 
     args = p.parse_args(argv)
+    if args.cmd == "query":
+        # metadata-only paths don't need a Ray cluster
+        from bb_ocr_ray.pipelines.queries import QUERIES
+
+        if args.name == "list":
+            print("\n".join(sorted(QUERIES)))
+            return 0
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; available:\n"
+                  + "\n".join(sorted(QUERIES)), file=sys.stderr)
+            return 2
     _init_ray(args.num_cpus)
     try:
         return args.fn(args)

@@ -140,7 +140,8 @@ def hll_bucket_rho(key: str) -> tuple:
     zeros of the remaining 58 bits (the all-zero suffix maps to the
     max, 59).  Trailing zeros — not the classical leading zeros — so
     the oracle can mirror it EXACTLY with
-    ``bit_count(((h >> 6) XOR (h >> 6 - 1)) >> 1)`` in integer SQL
+    ``bit_count((suffix XOR (suffix - 1)) >> 1)`` for
+    ``suffix = h >> 6`` in integer SQL
     (floor(log2()) float tricks misround near 2^58).  Any fixed
     first-one-bit convention yields a valid HLL estimator."""
     h = stable_u64(key)
