@@ -707,6 +707,100 @@ ORACLES["q_band_join"] = """
 """
 
 
+ORACLES["q_left_join"] = """
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_custkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+"""
+
+
+ORACLES["q_pivot_events"] = """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           round(coalesce(
+               sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2)
+               AS purchase_value
+    FROM events GROUP BY 1
+"""
+
+
+ORACLES["q_event_gaps"] = """
+    WITH lagged AS (
+        SELECT user_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events WHERE ts IS NOT NULL)
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+           max(gap_us)   AS max_gap_us
+    FROM lagged GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+ORACLES["q_group_concat"] = """
+    SELECT r_name,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY 1
+"""
+
+
+ORACLES["q_cube"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# Tokenization fragment shared with the sketch oracles: the engine's
+# ws_tokens (ASCII whitespace class, empties dropped).  The \t\n\r\f\v
+# below are REAL characters in the SQL string — RE2 char class.
+_TOKS = ("list_filter(regexp_split_to_array(coalesce(text, ''), "
+         "'[ \t\n\r\f\v]+'), x -> x <> '')")
+
+ORACLES["q_repetition"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM pc GROUP BY 1, 2),
+    agg AS (SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
+                   max(c) AS max_tok_count
+            FROM cnt GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_distinct, 0) AS n_distinct,
+           coalesce(a.max_tok_count, 0) AS max_tok_count
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+ORACLES["q_decontaminate"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(generate_series(1, len(tk) - 7),
+                                i -> array_to_string(tk[i:i+7], ' '))
+                  END AS shs
+           FROM toks),
+    ev AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 50 = 0),
+    cand AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 50 <> 0)
+    SELECT c.doc_id, count(DISTINCT c.s) AS n_hit_shingles
+    FROM cand c JOIN ev e USING (s) GROUP BY 1
+"""
+
+
 ORACLES["q_hll_registers"] = """
     WITH h AS (SELECT md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
                FROM events WHERE user_id IS NOT NULL),

@@ -1510,3 +1510,279 @@ def q_provider_fanout(sf_dir: str):
 
 
 QUERIES.update({"q_provider_fanout": q_provider_fanout})
+
+
+# ---------------------------------------------------------------------------
+# Left outer join (hash_join how="left"): customers keep their row even
+# with zero orders
+# ---------------------------------------------------------------------------
+def q_left_join(sf_dir: str):
+    """Left outer join at scale: customer LEFT JOIN a per-custkey order
+    aggregate; customers without any order survive with zeroed stats
+    (the unmatched-row path of ``hash_join(how="left")``).
+
+    Scale shape: orders are aggregated per custkey BEFORE the join
+    (aggregate-then-join), so the join shuffle moves one row per
+    ordering customer instead of every order row."""
+    from bb_ocr_ray.stages.joins import hash_join
+
+    orders = _read_parquet(_t(sf_dir, "orders"),
+                           columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            total_spent=("o_totalprice", "sum"))
+
+    agg = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_spent", alias_name="total_spent"))
+        .map_batches(lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+                     batch_format="pandas")
+    )
+    cust = _read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    out = hash_join(cust, agg, on="c_custkey", how="left").to_pandas()
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    out["total_spent"] = _round_sql(
+        out["total_spent"].astype("float64").fillna(0.0), 2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long -> wide): per-user event-type count columns
+# ---------------------------------------------------------------------------
+def q_pivot_events(sf_dir: str):
+    """Pivot: one count column per event type plus summed purchase
+    value, per user.  The per-batch partial is ALREADY wide (a local
+    crosstab), so the groupby shuffles one wide row per (batch, user)
+    instead of one long row per event."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "event_type", "value"])
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [f"n_{t}" for t in types]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b["user_id"], b["event_type"])
+        ct = ct.reindex(columns=types, fill_value=0)
+        ct.columns = cols
+        pv = (b[b["event_type"] == "purchase"]
+              .groupby("user_id")["value"].sum())
+        ct["purchase_value"] = pv.reindex(ct.index).fillna(0.0)
+        return ct.reset_index()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols],
+                   Sum("purchase_value", alias_name="purchase_value"))
+        .to_pandas()
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    out["purchase_value"] = _round_sql(out["purchase_value"], 2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Window lag: per-user inter-event gaps (integer-microsecond exact)
+# ---------------------------------------------------------------------------
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap stats via the lag window shape: events
+    ordered by (ts, event_id) per user; gaps summed/maxed as EXACT
+    integer microseconds (no float summation-order drift to absorb).
+    Users with a single event have no gap and are omitted (mirrors
+    HAVING count(*) >= 2)."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_id"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["ts"])  # mirror WHERE ts IS NOT NULL
+        if len(g) < 2:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_gaps": pd.Series([], dtype="int64"),
+                                 "sum_gap_us": pd.Series([], dtype="int64"),
+                                 "max_gap_us": pd.Series([], dtype="int64")})
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        # unit-safe exact microseconds (parquet timestamps arrive as
+        # datetime64[us]; a plain .astype(int64) would be ns-dependent)
+        d = (g["ts"].diff().dropna()
+             .astype("timedelta64[us]").astype("int64"))
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_gaps": [len(d)],
+                             "sum_gap_us": [int(d.sum())],
+                             "max_gap_us": [int(d.max())]})
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+QUERIES.update({
+    "q_left_join": q_left_join,
+    "q_pivot_events": q_pivot_events,
+    "q_event_gaps": q_event_gaps,
+})
+
+
+# ---------------------------------------------------------------------------
+# Ordered fold (A6 as a query-level op): grouped string_agg
+# ---------------------------------------------------------------------------
+def q_group_concat(sf_dir: str):
+    """Per region name, the '|'-joined ALPHABETICAL list of its nations
+    — the reference's ordered list->string fold (authors -> CSV,
+    `stages/sinks.flatten_metadata`) expressed as a grouped aggregate
+    with a deterministic intra-group order."""
+    from bb_ocr_ray.stages.joins import broadcast_join
+
+    nation = _read_parquet(_t(sf_dir, "nation"),
+                           columns=["n_regionkey", "n_name"])
+    region = pd.read_parquet(_t(sf_dir, "region"),
+                             columns=["r_regionkey", "r_name"])
+
+    folded = nation.groupby("n_regionkey").map_groups(
+        lambda g: pd.DataFrame({
+            "n_regionkey": [int(g["n_regionkey"].iloc[0])],
+            "nations": ["|".join(sorted(g["n_name"]))],
+            "n_nations": [len(g)]}),
+        batch_format="pandas")
+    out = broadcast_join(
+        folded, region.rename(columns={"r_regionkey": "n_regionkey"}),
+        on="n_regionkey").to_pandas()
+    out = out[["r_name", "nations", "n_nations"]]
+    out["n_nations"] = out["n_nations"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all four grouping sets from one distributed pass
+# ---------------------------------------------------------------------------
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE (status, priority): the fine level comes from the
+    one distributed partial-agg pass; the three coarser grouping sets
+    — (status), (priority), () — are derived from the TINY fine-level
+    aggregate on the driver (aggregate-of-aggregate; no second scan).
+    Extends q_rollup's level-union pattern to the full cross."""
+    ds = _read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["o_orderstatus", "o_orderpriority"],
+                             as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            revenue=("o_totalprice", "sum"))
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    by_status = fine.groupby("o_orderstatus", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum"))
+    by_status["o_orderpriority"] = None
+    by_prio = fine.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum"))
+    by_prio["o_orderstatus"] = None
+    total = pd.DataFrame(
+        {"o_orderstatus": [None], "o_orderpriority": [None],
+         "n_orders": [fine["n_orders"].sum()],
+         "revenue": [fine["revenue"].sum()]})
+    out = pd.concat([fine, by_status, by_prio, total], ignore_index=True)
+    out["revenue"] = _round_sql(out["revenue"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]]
+
+
+# ---------------------------------------------------------------------------
+# Token-repetition quality stats (Gopher-style repetition filter inputs)
+# ---------------------------------------------------------------------------
+def q_repetition(sf_dir: str):
+    """Per-document token-repetition stats — the inputs to a
+    Gopher/C4-style repetition quality filter: total whitespace tokens,
+    distinct tokens, and the frequency of the most repeated token.
+    Doc-local by construction: one vectorized explode+groupby per
+    batch, NO shuffle.  Tokenization is the shared ASCII class
+    (`functions.hashing.ws_tokens`), the same one the sketch oracles
+    mirror; zero-token docs emit zeros."""
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def rep(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [ws_tokens(t or "") for t in b["text"]]
+        lens = [len(t) for t in toks]
+        ex = pd.DataFrame({
+            "doc_id": np.repeat(b["doc_id"].to_numpy(), lens),
+            "tok": [w for t in toks for w in t]})
+        pc = ex.groupby(["doc_id", "tok"], as_index=False).size()
+        agg = pc.groupby("doc_id").agg(
+            n_tokens=("size", "sum"), n_distinct=("size", "size"),
+            max_tok_count=("size", "max")).reset_index()
+        out = pd.DataFrame({"doc_id": b["doc_id"]}).merge(
+            agg, on="doc_id", how="left").fillna(0)
+        for c in ("n_tokens", "n_distinct", "max_tok_count"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.map_batches(rep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+def q_decontaminate(sf_dir: str, k: int = 8):
+    """Decontamination: flag corpus docs sharing any k-token shingle
+    with the eval set (doc_id % 50 == 0) and count the DISTINCT
+    overlapping shingles.  The eval side is a benchmark — inherently
+    small — so its distinct-shingle set is built once and broadcast
+    via ray.put; the corpus streams through one map_batches with no
+    shuffle (the standard scale shape for training-data decontam)."""
+    import ray
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def sh_of(text: str) -> set:
+        tk = ws_tokens(text or "")
+        return {" ".join(tk[i:i + k]) for i in range(len(tk) - k + 1)}
+
+    eval_pd = docs.map_batches(lambda b: b[b["doc_id"] % 50 == 0],
+                               batch_format="pandas").to_pandas()
+    eval_sh = set().union(*map(sh_of, eval_pd["text"])) \
+        if len(eval_pd) else set()
+    ref = ray.put(eval_sh)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        es = ray.get(ref)
+        ids, hits = [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            if d % 50 == 0:
+                continue
+            n = len(sh_of(t) & es)
+            if n:
+                ids.append(int(d))
+                hits.append(n)
+        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                             "n_hit_shingles": pd.array(hits, dtype="int64")})
+
+    out = docs.map_batches(flag, batch_format="pandas").to_pandas()
+    if out.empty:
+        # an all-empty Dataset loses its schema through to_pandas()
+        # (Ray drops empty blocks); re-type the contamination report so
+        # a clean corpus still yields the contract columns
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "n_hit_shingles": pd.Series([], dtype="int64")})
+    return out
+
+
+QUERIES.update({
+    "q_group_concat": q_group_concat,
+    "q_cube": q_cube,
+    "q_repetition": q_repetition,
+    "q_decontaminate": q_decontaminate,
+})

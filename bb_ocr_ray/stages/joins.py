@@ -154,8 +154,16 @@ _MERGE_CHUNK = 262_144
 
 
 def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
-              impl: str = "auto"):
-    """Large-large inner equality join on one integer/string key column.
+              impl: str = "auto", how: str = "inner"):
+    """Large-large equality join on one integer/string key column.
+
+    ``how`` is ``"inner"`` (default) or ``"left"`` (left outer).  The
+    bucketed left join is exact because every left row hashes to
+    exactly ONE bucket — its unmatched null-extended copy is emitted
+    once, independent of block boundaries (unlike a per-batch
+    broadcast right/outer merge, see broadcast_join).  Left-side NULL
+    keys follow pandas merge semantics (NaN matches NaN); use non-null
+    keys or filter first where SQL NULL-key semantics matter.
 
     Two implementations, both hash-partitioned on the key:
 
@@ -182,6 +190,8 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
     Column-name overlap between the sides is the caller's problem
     (project first) — deliberate, to keep the hot path copy-free.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join supports inner/left, not {how!r}")
     if num_buckets is None:
         num_buckets = _auto_num_buckets()
     if impl == "auto":
@@ -196,7 +206,8 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
         sz = _est(left_ds) + _est(right_ds)
         impl = "native" if sz > _NATIVE_FALLBACK_BYTES else "bucketed"
     if impl == "native":
-        return left_ds.join(right_ds, "inner", num_buckets, on=(on,))
+        join_type = "inner" if how == "inner" else "left_outer"
+        return left_ds.join(right_ds, join_type, num_buckets, on=(on,))
 
     import numpy as np
 
@@ -263,11 +274,13 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
         left = g[g["__side"] == 0][left_cols]
         right = g[g["__side"] == 1][[on] + right_cols]
         if len(left) <= chunk:
-            return left.merge(right, on=on)
+            return left.merge(right, on=on, how=how)
         # hot-key/skewed bucket: probe in chunks so the merge working
         # set (hash table + intermediates) stays bounded; output order
-        # is identical to the single merge (left order preserved)
-        parts = [left.iloc[i:i + chunk].merge(right, on=on)
+        # is identical to the single merge (left order preserved; for
+        # how="left" each left row lives in exactly one chunk, so its
+        # unmatched null-extension is still emitted exactly once)
+        parts = [left.iloc[i:i + chunk].merge(right, on=on, how=how)
                  for i in range(0, len(left), chunk)]
         return pd.concat(parts, ignore_index=True)
 

@@ -192,6 +192,68 @@ def test_hash_join_skewed_key(ray_session):
     assert (b.loc[b["k"] == 7, "r"] == 77).all()
 
 
+def test_hash_join_left_outer(ray_session, monkeypatch):
+    """how="left": unmatched left rows survive exactly once with null
+    right columns — independent of bucketing and of the chunked
+    hot-key merge path."""
+    import ray.data as rd
+
+    import bb_ocr_ray.stages.joins as J
+
+    # keys 0..9 on the left; right side only has 0..4, key 7 is hot
+    left = rd.from_items(
+        [{"k": 7, "l": i} for i in range(300)]
+        + [{"k": i % 10, "l": 10_000 + i} for i in range(100)]).repartition(2)
+    right = rd.from_items([{"k": i, "r": i * 11} for i in range(5)]
+                          ).repartition(1)
+
+    def check(df):
+        assert len(df) == 400                      # every left row once
+        unmatched = df[df["r"].isna()]
+        assert set(unmatched["k"]) == {5, 6, 7, 8, 9}
+        assert len(unmatched) == 300 + 50          # hot key + 5 cold keys
+        matched = df[df["r"].notna()]
+        assert (matched["r"] == matched["k"] * 11).all()
+
+    check(J.hash_join(left, right, on="k", num_buckets=4,
+                      how="left").to_pandas())
+    monkeypatch.setattr(J, "_MERGE_CHUNK", 64)     # chunked probe path
+    check(J.hash_join(left, right, on="k", num_buckets=4,
+                      how="left").to_pandas())
+    # native impl agrees on the row multiset
+    nat = J.hash_join(left, right, on="k", impl="native", num_buckets=4,
+                      how="left").to_pandas()
+    assert len(nat) == 400 and nat["r"].isna().sum() == 350
+
+
+def test_decontaminate_planted_overlap(ray_session, tmp_path):
+    """q_decontaminate flags exactly the docs sharing an 8-token
+    shingle with the eval set (doc_id % 50 == 0), counting DISTINCT
+    overlapping shingles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bb_ocr_ray.pipelines.queries import q_decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.table({
+        "doc_id": pa.array([0, 50, 1, 2, 3], type=pa.int64()),
+        "text": [eval_text,                           # eval doc
+                 "unrelated eval words entirely different corpus here",
+                 # contains tokens 1..8 and 2..9 of eval_text -> 2 hits
+                 "xx " + " ".join(eval_text.split()[:9]) + " yy",
+                 # one 8-token shingle (tokens 1..8), repeated twice ->
+                 # still 1 DISTINCT hit
+                 " ".join(eval_text.split()[:8] * 2),
+                 "no overlap at all with anything in the eval set ok"]})
+    sf = str(tmp_path)
+    pq.write_table(docs, f"{sf}/documents.parquet")
+
+    out = q_decontaminate(sf).sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_hit_shingles"]) == [2, 1]
+
+
 def test_full_lifecycle(ray_session, sf_tiny, tmp_path):
     """SURVEY §3 lifecycle end-to-end: extract -> heuristics -> validate
     -> accept/reject partitioned write -> audit flatten."""
