@@ -96,14 +96,49 @@ def bench_extract(sf_dir: str) -> dict:
             "html_mb_per_sec": round(agg["html_bytes"] / 1e6 / dt, 1)}
 
 
+def kernel_canary(sf_dir: str, n_docs: int = 2000) -> float:
+    """Single-threaded kernel docs/s on this box, best-of-2 — a
+    calibration constant, not a pipeline number.  Sandbox VM speed
+    drifts 20-30% between sessions (measured 4393 vs 3564 docs/s on
+    identical code); reporting the canary alongside wall times lets a
+    cross-session comparison separate box drift from real regressions."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from bb_ocr_ray.kernel.extract import extract_page
+    from bb_ocr_ray.sources.pages import pages_batch
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"]).head(n_docs)
+    tbl = pages_batch(pa.Table.from_pandas(docs))
+    urls = tbl.column("url").to_pylist()
+    htmls = tbl.column("html").to_pylist()
+    for u, h in zip(urls[:100], htmls[:100]):   # warm (regex JIT, caches)
+        extract_page(u, h)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for u, h in zip(urls, htmls):
+            extract_page(u, h)
+        best = min(best, time.time() - t0)
+    return round(len(urls) / best, 1)
+
+
 def bench_query(fn, sf_dir: str) -> float:
+    """Best-of-2 per query (same protocol as the headline): the first
+    execution of a shuffle-heavy query also pays groupby-aggregator /
+    worker cold costs a long-running cluster never pays per job, and
+    single-shot wall clocks on this box vary ±30%."""
     import ray.data
 
-    t0 = time.time()
-    res = fn(sf_dir)
-    if isinstance(res, ray.data.Dataset):
-        res.count()
-    return round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def run_plain() -> dict:
@@ -121,11 +156,25 @@ def run_plain() -> dict:
         with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
             f.read()
 
-    # warm the Ray worker pool (untimed): spawn worker processes + import
-    # the library once, so timings measure steady-state throughput rather
-    # than session cold-start (which a long-running cluster never pays)
+    # warm the Ray worker pool (untimed): spawn worker processes AND
+    # import the library + compile its regexes in EVERY worker, so
+    # timings measure steady-state throughput rather than session
+    # cold-start (which a long-running cluster never pays).  A plain
+    # rd.range warm-up is not enough: the first extraction run would
+    # still pay ~0.5-1 s of bb_ocr_ray import per worker, and with
+    # best-of-2 that cold cost leaks into the reported number
+    # (measured 8.1 s -> 3.0 s -> 2.0 s on consecutive runs after a
+    # range-only warm-up).
     import ray.data as rd
 
+    from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
+    from bb_ocr_ray.sources.pages import read_pages
+
+    warm_sf = SF_DIR.replace("sf0.1", "sf0.001")
+    if not os.path.exists(f"{warm_sf}/documents.parquet"):
+        warm_sf = SF_DIR
+    warm = read_pages(warm_sf, num_blocks=4 * NUM_CPUS)
+    extract_pages(warm).count()
     rd.range(10_000).map_batches(lambda b: b, batch_size=None).count()
 
     from bb_ocr_ray.pipelines import queries as Q
@@ -170,6 +219,7 @@ def run_plain() -> dict:
         "docs": ext["docs"],
         "docs_per_sec": ext["docs_per_sec"],
         "html_mb_per_sec": ext["html_mb_per_sec"],
+        "canary_docs_per_sec_1core": kernel_canary(SF_DIR),
     }
     ray.shutdown()
     return out
