@@ -369,9 +369,13 @@ def verify_candidates_hash(pairs_ds, docs_ds, id_col: str = "doc_id",
     cand_docs = semi_join_bloom(docs_ds, bloom, id_col)
 
     def tokset(batch: pd.DataFrame) -> pd.DataFrame:
+        # DEDUPED token lists, not frozensets: an Arrow list<string>
+        # column moves through the join shuffle zero-copy, where a
+        # Python-object column would be pickled per block (and the
+        # Arrow-native hash_join could not carry it at all)
         return pd.DataFrame(
             {"tid": batch[id_col].astype("int64"),
-             "toks": [frozenset((t or "").split(" "))
+             "toks": [sorted(set((t or "").split(" ")))
                       for t in batch[text_col]]}
         )
 
@@ -393,7 +397,8 @@ def verify_candidates_hash(pairs_ds, docs_ds, id_col: str = "doc_id",
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         inter, uni, keep = [], [], []
-        for sa, sb in zip(batch["toks_a"], batch["toks_b"]):
+        for la, lb in zip(batch["toks_a"], batch["toks_b"]):
+            sa, sb = set(la), set(lb)   # lists are already deduped
             i = len(sa & sb)
             u = len(sa) + len(sb) - i
             keep.append(u > 0 and i * jfrac.denominator >= jfrac.numerator * u)
