@@ -801,6 +801,55 @@ ORACLES["q_decontaminate"] = f"""
 """
 
 
+ORACLES["q_percentiles"] = """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.75) AS p75
+    FROM events GROUP BY 1
+"""
+
+
+ORACLES["q_first_last"] = """
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events)
+    SELECT f.user_id,
+           f.event_id   AS first_event_id,
+           f.event_type AS first_type,
+           l.event_id   AS last_event_id,
+           l.event_type AS last_type,
+           f.n          AS n_events
+    FROM ordered f
+    JOIN ordered l ON f.user_id = l.user_id AND l.rn = l.n
+    WHERE f.rn = 1
+"""
+
+
+ORACLES["q_ngram_freq"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bg AS (SELECT CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(generate_series(1, len(tk) - 1),
+                                i -> tk[i] || ' ' || tk[i+1])
+                  END AS bgs
+           FROM toks)
+    SELECT ngram, count(*) AS n
+    FROM (SELECT unnest(bgs) AS ngram FROM bg)
+    GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20
+"""
+
+
+ORACLES["q_doc_freq"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    dt AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM toks)
+    SELECT tok, count(*) AS df FROM dt
+    GROUP BY 1 ORDER BY df DESC, tok LIMIT 20
+"""
+
+
 ORACLES["q_hll_registers"] = """
     WITH h AS (SELECT md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
                FROM events WHERE user_id IS NOT NULL),

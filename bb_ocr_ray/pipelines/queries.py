@@ -1786,3 +1786,130 @@ QUERIES.update({
     "q_repetition": q_repetition,
     "q_decontaminate": q_decontaminate,
 })
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact discrete quantiles (p25/p50/p75)
+# ---------------------------------------------------------------------------
+def q_percentiles(sf_dir: str):
+    """Exact grouped quantiles at three points — extends q_median's
+    shape.  quantile_disc picks the element at ceil(q*n)-1 of the
+    NULL-free sorted values (probed against DuckDB for n=4..6), so the
+    output is an exact element, bit-identical on both sides."""
+    import math
+
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "value"])
+
+    def qtl(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["value"].dropna().sort_values(kind="mergesort").to_numpy()
+
+        def pick(q: float) -> float:
+            return float(v[math.ceil(q * len(v)) - 1]) if len(v) else np.nan
+
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "p25": pd.Series([pick(0.25)], dtype="float64"),
+            "p50": pd.Series([pick(0.50)], dtype="float64"),
+            "p75": pd.Series([pick(0.75)], dtype="float64")})
+
+    return ds.groupby("event_type").map_groups(qtl, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# first_value / last_value window shape: first and last event per user
+# ---------------------------------------------------------------------------
+def q_first_last(sf_dir: str):
+    """First and last event per user in (ts, event_id) order — the
+    first_value/last_value window pair as one per-group pass (the
+    sessionizer's ordering convention; NULL ts sorts last on both
+    sides)."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_id", "event_type"])
+
+    def fl(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "first_event_id": [int(g["event_id"].iloc[0])],
+            "first_type": [g["event_type"].iloc[0]],
+            "last_event_id": [int(g["event_id"].iloc[-1])],
+            "last_type": [g["event_type"].iloc[-1]],
+            "n_events": [len(g)]})
+
+    return ds.groupby("user_id").map_groups(fl, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics (training-corpus vocabulary analysis)
+# ---------------------------------------------------------------------------
+def q_ngram_freq(sf_dir: str):
+    """Top-20 corpus bigrams by total occurrence count.  The per-batch
+    Counter partial bounds the shuffle at O(per-batch vocabulary) —
+    one (ngram, n) row per distinct bigram per batch instead of one
+    row per occurrence; the groupby-sum then moves counts, not text.
+    Deterministic (count desc, ngram asc) tiebreak."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in b["text"]:
+            tk = ws_tokens(t or "")
+            c.update(tk[i] + " " + tk[i + 1] for i in range(len(tk) - 1))
+        return pd.DataFrame({"ngram": list(c.keys()),
+                             "n": pd.array(list(c.values()), dtype="int64")})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["n"] = agg["n"].astype("int64")
+    return (agg.sort_values(["n", "ngram"], ascending=[False, True],
+                            kind="mergesort")
+            .head(20).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Document frequency (how many docs contain each token)
+# ---------------------------------------------------------------------------
+def q_doc_freq(sf_dir: str):
+    """Top-20 tokens by DOCUMENT frequency (each doc counts once per
+    token) — the IDF numerator of a corpus.  Per-batch distinct-per-doc
+    Counter partial, groupby-sum, (df desc, token asc) tiebreak."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in b["text"]:
+            c.update(set(ws_tokens(t or "")))
+        return pd.DataFrame({"tok": list(c.keys()),
+                             "df": pd.array(list(c.values()), dtype="int64")})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    agg["df"] = agg["df"].astype("int64")
+    return (agg.sort_values(["df", "tok"], ascending=[False, True],
+                            kind="mergesort")
+            .head(20).reset_index(drop=True))
+
+
+QUERIES.update({
+    "q_percentiles": q_percentiles,
+    "q_first_last": q_first_last,
+    "q_ngram_freq": q_ngram_freq,
+    "q_doc_freq": q_doc_freq,
+})
