@@ -308,12 +308,19 @@ def _bucketed_arrow(left_ds, right_ds, on, num_buckets, how, left_cols,
             (zlib.crc32(_canon(k).encode()) % num_buckets
              for k in keys.to_pylist()), dtype=np.int64, count=len(keys))
 
+    # every block must carry the SAME Arrow schema through the sort
+    # shuffle: pad missing columns with typed nulls AND cast to the
+    # union schema (covers int32-vs-int64 key sides and runtime
+    # string-vs-large_string batches that differ from the declared
+    # schema)
+    union_schema = pa.schema([pa.field(c, types[c]) for c in all_cols])
+
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
             for c in all_cols:
                 if c not in t.column_names:
                     t = t.append_column(c, pa.nulls(len(t), types[c]))
-            t = t.select(all_cols)
+            t = t.select(all_cols).cast(union_schema)
             t = t.append_column(
                 "__side", pa.array(np.full(len(t), side, dtype=np.int8)))
             t = t.append_column(

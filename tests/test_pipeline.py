@@ -226,6 +226,27 @@ def test_hash_join_left_outer(ray_session, monkeypatch):
     assert len(nat) == 400 and nat["r"].isna().sum() == 350
 
 
+def test_hash_join_mixed_int_widths(ray_session):
+    """int32 key on one side, int64 on the other: the union-schema
+    cast routes equal logical keys to the same bucket and the same
+    acero key type (a silent-match-drop class of bug)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import hash_join
+
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3, 4], pa.int32()),
+         "l": pa.array([10, 20, 30, 40], pa.int64())}))
+    right = rd.from_arrow(pa.table(
+        {"k": pa.array([2, 3, 5], pa.int64()), "r": ["b", "c", "e"]}))
+    inner = hash_join(left, right, on="k", num_buckets=4).to_pandas()
+    assert sorted(zip(inner["k"], inner["r"])) == [(2, "b"), (3, "c")]
+    lo = hash_join(left, right, on="k", num_buckets=4,
+                   how="left").to_pandas()
+    assert len(lo) == 4 and int(lo["r"].isna().sum()) == 2
+
+
 def test_decontaminate_planted_overlap(ray_session, tmp_path):
     """q_decontaminate flags exactly the docs sharing an 8-token
     shingle with the eval set (doc_id % 50 == 0), counting DISTINCT
