@@ -630,6 +630,15 @@ WHERE doc_id NOT IN (SELECT node FROM comp WHERE component < node)
 ORACLES.update({
     "q_minhash_candidates":
         f"WITH {_minhash_cte()} SELECT id_a, id_b FROM mh_pairs",
+    "q_minhash_est": f"""
+        WITH {_minhash_cte()}
+        SELECT p.id_a, p.id_b,
+               count(*) FILTER (WHERE sa.v = sb.v) AS n_eq_slots
+        FROM mh_pairs p
+        JOIN sig2 sa ON sa.doc_id = p.id_a
+        JOIN sig2 sb ON sb.doc_id = p.id_b AND sb.p = sa.p
+        GROUP BY 1, 2
+    """,
     "q_simhash_near_dups": _SIMHASH_SQL,
     "q_near_dup_dedup": _near_dup_dedup_sql(),
 })

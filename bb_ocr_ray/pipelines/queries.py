@@ -1913,3 +1913,49 @@ QUERIES.update({
     "q_ngram_freq": q_ngram_freq,
     "q_doc_freq": q_doc_freq,
 })
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard estimation (sketch-based similarity, integer-exact)
+# ---------------------------------------------------------------------------
+def q_minhash_est(sf_dir: str):
+    """Signature-slot Jaccard estimate for every LSH candidate pair:
+    ``n_eq_slots`` = number of equal MinHash slots (of 128), the
+    integer numerator of est = n_eq/128 — reported as an int so the
+    oracle comparison is exact.  Signatures are computed distributed
+    for MENTIONED docs only and collected (bounded by the candidate
+    set — the verify-stage pattern); the pair list never reshuffles."""
+    import ray
+
+    from bb_ocr_ray.functions.hashing import minhash_signature
+    from bb_ocr_ray.stages.dedup import minhash_candidates
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    pairs = minhash_candidates(docs).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "n_eq_slots": pd.Series([], dtype="int64")})
+    mentioned = frozenset(pairs["id_a"]) | frozenset(pairs["id_b"])
+    ref = ray.put(mentioned)
+
+    def sigs(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        rows = [(int(d), minhash_signature(t or "").tobytes())
+                for d, t in zip(b["doc_id"], b["text"]) if d in m]
+        return pd.DataFrame({"doc_id": pd.array([r[0] for r in rows],
+                                                dtype="int64"),
+                             "sig": [r[1] for r in rows]})
+
+    sig_pd = docs.map_batches(sigs, batch_format="pandas").to_pandas()
+    lut = {d: np.frombuffer(s, dtype=np.uint64)
+           for d, s in zip(sig_pd["doc_id"], sig_pd["sig"])}
+    out = pairs[["id_a", "id_b"]].copy()
+    out["n_eq_slots"] = pd.array(
+        [int((lut[a] == lut[b]).sum())
+         for a, b in zip(pairs["id_a"], pairs["id_b"])], dtype="int64")
+    return out
+
+
+QUERIES.update({"q_minhash_est": q_minhash_est})
