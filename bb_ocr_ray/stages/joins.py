@@ -248,12 +248,18 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
 
     # both sides must ship the SAME columns through the shuffle (the
     # sort operator needs one schema); absent columns ride as typed
-    # nulls.
+    # nulls.  Shared columns PROMOTE to the common type (int32+int64 ->
+    # int64, int+float -> double) — taking the left type verbatim would
+    # safe-cast a wider right key DOWN and crash on out-of-range values
+    # that should simply not match.  Un-unifiable schemas (string vs
+    # int key) take the pandas path, which merges by value equality.
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
-    types = {}
-    for schema in (left_schema, right_schema):
-        for f in schema:
-            types.setdefault(f.name, f.type)
+    try:
+        unified = pa.unify_schemas([left_schema, right_schema],
+                                   promote_options="permissive")
+        types = {f.name: f.type for f in unified}
+    except pa.ArrowError:
+        types, left_clean = {}, False   # force the pandas path
 
     # Pick ONE hash path for BOTH sides up front: dispatching on each
     # side's dtype independently would route equal logical keys (int 1

@@ -238,8 +238,12 @@ def test_hash_join_mixed_int_widths(ray_session):
     left = rd.from_arrow(pa.table(
         {"k": pa.array([1, 2, 3, 4], pa.int32()),
          "l": pa.array([10, 20, 30, 40], pa.int64())}))
+    # 5_000_000_000 does not fit int32: the union schema must promote
+    # the key UP (int64), not safe-cast the right side down (which
+    # raised ArrowInvalid instead of treating the row as unmatched)
     right = rd.from_arrow(pa.table(
-        {"k": pa.array([2, 3, 5], pa.int64()), "r": ["b", "c", "e"]}))
+        {"k": pa.array([2, 3, 5_000_000_000], pa.int64()),
+         "r": ["b", "c", "e"]}))
     inner = hash_join(left, right, on="k", num_buckets=4).to_pandas()
     assert sorted(zip(inner["k"], inner["r"])) == [(2, "b"), (3, "c")]
     lo = hash_join(left, right, on="k", num_buckets=4,
