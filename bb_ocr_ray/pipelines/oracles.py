@@ -871,3 +871,20 @@ ORACLES["q_hll_registers"] = """
           FROM b)
     SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho FROM r GROUP BY 1
 """
+
+
+ORACLES["q_hll_grouped"] = """
+    WITH h AS (SELECT event_type,
+                      md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+               FROM events WHERE user_id IS NOT NULL),
+    b AS (SELECT event_type, CAST(hv & 63 AS BIGINT) AS bucket,
+                 hv >> 6 AS suffix
+          FROM h),
+    r AS (SELECT event_type, bucket,
+                 CASE WHEN suffix = 0 THEN 59
+                      ELSE least(59, 1 + bit_count(
+                               xor(suffix, suffix - 1) >> 1)) END AS rho
+          FROM b)
+    SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS max_rho
+    FROM r GROUP BY 1, 2
+"""

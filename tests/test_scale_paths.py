@@ -177,6 +177,26 @@ def test_hll_estimate_accuracy(ray_session):
     assert abs(est - truth) / truth < 0.35, (est, truth)
 
 
+def test_hll_grouped_estimates(ray_session):
+    """Per-group HLL registers estimate each event_type's distinct-user
+    count within the m=64 error band."""
+    import duckdb
+
+    from bb_ocr_ray.functions.hashing import hll_estimate
+    from bb_ocr_ray.pipelines.queries import q_hll_grouped
+
+    sf = "/root/testdata/sf0.01"
+    regs = q_hll_grouped(sf)
+    truth = dict(duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) "
+        f"FROM '{sf}/events.parquet' GROUP BY 1").fetchall())
+    for etype, g in regs.groupby("event_type"):
+        registers = dict(zip(g["bucket"], g["max_rho"]))
+        est = hll_estimate(registers)
+        assert abs(est - truth[etype]) / truth[etype] < 0.35, (
+            etype, est, truth[etype])
+
+
 def test_hll_registers_mergeable():
     """Register-wise max of two halves == registers of the union (the
     property that makes the sketch a distributed aggregate)."""
