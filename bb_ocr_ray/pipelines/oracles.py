@@ -873,6 +873,18 @@ ORACLES["q_hll_registers"] = """
 """
 
 
+ORACLES["q_composite_join"] = """
+    SELECT l.l_linestatus AS status,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_linestatus = o.o_orderstatus
+    GROUP BY 1
+"""
+
+
 ORACLES["q_hll_grouped"] = """
     WITH h AS (SELECT event_type,
                       md5_number_upper(CAST(user_id AS VARCHAR)) AS hv

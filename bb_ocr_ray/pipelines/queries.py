@@ -1997,3 +1997,46 @@ def q_minhash_est(sf_dir: str):
 
 
 QUERIES.update({"q_minhash_est": q_minhash_est})
+
+
+# ---------------------------------------------------------------------------
+# Composite-key join: lineitem x orders on (orderkey, status)
+# ---------------------------------------------------------------------------
+def q_composite_join(sf_dir: str):
+    """Two-column equality join: lineitem rows whose line status equals
+    their order's status, revenue per status — exercises hash_join's
+    composite keys (ordered-tuple bucket hash + multi-key acero join).
+    Both sides project the key pair to shared names first (the join
+    contract: align names, then join)."""
+    from bb_ocr_ray.stages.joins import hash_join
+
+    li = _read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linestatus", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"okey": b["l_orderkey"], "status": b["l_linestatus"],
+             "revenue": b["l_extendedprice"] * (1 - b["l_discount"])}),
+        batch_format="pandas")
+    orders = _read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: pd.DataFrame({"okey": b["o_orderkey"],
+                                "status": b["o_orderstatus"]}),
+        batch_format="pandas")
+    joined = hash_join(li, orders, on=["okey", "status"])
+    partials = joined.map_batches(
+        lambda b: b.groupby("status", as_index=False).agg(
+            revenue=("revenue", "sum"), n=("revenue", "size")),
+        batch_format="pandas")
+    out = partials.groupby("status").aggregate(
+        Sum("revenue", alias_name="revenue"),
+        Sum("n", alias_name="n"),
+    ).to_pandas()
+    out["revenue"] = _round_sql(out["revenue"], 2)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+QUERIES.update({"q_composite_join": q_composite_join})

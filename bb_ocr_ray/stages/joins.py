@@ -182,7 +182,9 @@ def _arrow_schema(ds):
 
 def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
               impl: str = "auto", how: str = "inner"):
-    """Large-large equality join on one integer/string key column.
+    """Large-large equality join on one or more integer/string key
+    columns (``on`` is a column name or a list — composite keys hash
+    as an ordered tuple, so (a, b) joins never collide with (b, a)).
 
     ``how`` is ``"inner"`` (default) or ``"left"`` (left outer).  The
     bucketed left join is exact because every left row hashes to
@@ -221,6 +223,7 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
     """
     if how not in ("inner", "left"):
         raise ValueError(f"hash_join supports inner/left, not {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
     if num_buckets is None:
         num_buckets = _auto_num_buckets()
     if impl == "auto":
@@ -236,7 +239,8 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
         impl = "native" if sz > _NATIVE_FALLBACK_BYTES else "bucketed"
     if impl == "native":
         join_type = "inner" if how == "inner" else "left_outer"
-        return left_ds.join(right_ds, join_type, num_buckets, on=(on,))
+        return left_ds.join(right_ds, join_type, num_buckets,
+                            on=tuple(keys))
 
     import numpy as np
     import pyarrow as pa
@@ -244,7 +248,7 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
     left_schema, left_clean = _arrow_schema(left_ds)
     right_schema, right_clean = _arrow_schema(right_ds)
     left_cols = list(left_schema.names)
-    right_cols = [c for c in right_schema.names if c != on]
+    right_cols = [c for c in right_schema.names if c not in keys]
 
     # both sides must ship the SAME columns through the shuffle (the
     # sort operator needs one schema); absent columns ride as typed
@@ -258,7 +262,7 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
         unified = pa.unify_schemas([left_schema, right_schema],
                                    promote_options="permissive")
         types = {f.name: f.type for f in unified}
-    except pa.ArrowError:
+    except Exception:  # noqa: BLE001 — ArrowTypeError etc.: un-unifiable
         types, left_clean = {}, False   # force the pandas path
 
     # Pick ONE hash path for BOTH sides up front: dispatching on each
@@ -267,8 +271,9 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
     # silently drop matches.
     import pyarrow.types as pat
 
-    both_int = (pat.is_integer(left_schema.field(on).type)
-                and pat.is_integer(right_schema.field(on).type))
+    both_int = all(pat.is_integer(left_schema.field(k).type)
+                   and pat.is_integer(right_schema.field(k).type)
+                   for k in keys)
 
     def _canon(k):
         # float that is a whole number hashes like the int it equals
@@ -289,30 +294,38 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
     # PandasBlockSchema.
     if left_clean and right_clean:
         return _bucketed_arrow(
-            left_ds, right_ds, on, num_buckets, how, left_cols,
+            left_ds, right_ds, keys, num_buckets, how, left_cols,
             right_cols, all_cols, types, both_int, _canon)
     return _bucketed_pandas(
-        left_ds, right_ds, on, num_buckets, how, left_cols, right_cols,
+        left_ds, right_ds, keys, num_buckets, how, left_cols, right_cols,
         all_cols, both_int, _canon)
 
 
-def _bucketed_arrow(left_ds, right_ds, on, num_buckets, how, left_cols,
+def _bucketed_arrow(left_ds, right_ds, keys, num_buckets, how, left_cols,
                     right_cols, all_cols, types, both_int, _canon):
     import numpy as np
     import pyarrow as pa
 
-    def _bucket_of(keys: pa.ChunkedArray) -> np.ndarray:
+    def _bucket_of(t: pa.Table) -> np.ndarray:
         if both_int:
             import pyarrow.compute as pc
 
-            arr = pc.fill_null(keys, 0).to_numpy()  # null key: bucket
-            return ((arr.astype(np.uint64) * _KNUTH % (1 << 32))  # of 0
-                    % num_buckets).astype(np.int64)
+            # composite keys fold left with a distinct multiplier so
+            # (a, b) and (b, a) land in different buckets; single-key
+            # output is bit-identical to the original formula
+            acc = np.zeros(len(t), dtype=np.uint64)
+            for k in keys:
+                arr = pc.fill_null(t.column(k), 0).to_numpy()  # null: 0
+                acc = acc * np.uint64(1000003) + (
+                    arr.astype(np.uint64) * _KNUTH % (1 << 32))
+            return (acc % num_buckets).astype(np.int64)
         import zlib
 
+        cols = [t.column(k).to_pylist() for k in keys]
         return np.fromiter(
-            (zlib.crc32(_canon(k).encode()) % num_buckets
-             for k in keys.to_pylist()), dtype=np.int64, count=len(keys))
+            (zlib.crc32("\x1f".join(map(_canon, row)).encode())
+             % num_buckets for row in zip(*cols)),
+            dtype=np.int64, count=len(t))
 
     # every block must carry the SAME Arrow schema through the sort
     # shuffle: pad missing columns with typed nulls AND cast to the
@@ -329,8 +342,7 @@ def _bucketed_arrow(left_ds, right_ds, on, num_buckets, how, left_cols,
             t = t.select(all_cols).cast(union_schema)
             t = t.append_column(
                 "__side", pa.array(np.full(len(t), side, dtype=np.int8)))
-            t = t.append_column(
-                "__bucket", pa.array(_bucket_of(t.column(on))))
+            t = t.append_column("__bucket", pa.array(_bucket_of(t)))
             return t
 
         return fn
@@ -346,14 +358,14 @@ def _bucketed_arrow(left_ds, right_ds, on, num_buckets, how, left_cols,
         chunk = _MERGE_CHUNK
         mask = pc.equal(g.column("__side"), pa.scalar(0, pa.int8()))
         left = g.filter(mask).select(left_cols)
-        right = g.filter(pc.invert(mask)).select([on] + right_cols)
+        right = g.filter(pc.invert(mask)).select(keys + right_cols)
         if len(left) <= chunk:
-            return left.join(right, keys=on, join_type=join_type)
+            return left.join(right, keys=keys, join_type=join_type)
         # hot-key/skewed bucket: probe in chunks so the join working
         # set (hash table + intermediates) stays bounded; for
         # how="left" each left row lives in exactly one chunk, so its
         # unmatched null-extension is still emitted exactly once
-        parts = [left.slice(i, chunk).join(right, keys=on,
+        parts = [left.slice(i, chunk).join(right, keys=keys,
                                            join_type=join_type)
                  for i in range(0, len(left), chunk)]
         return pa.concat_tables(parts)
@@ -362,18 +374,24 @@ def _bucketed_arrow(left_ds, right_ds, on, num_buckets, how, left_cols,
                                                batch_format="pyarrow")
 
 
-def _bucketed_pandas(left_ds, right_ds, on, num_buckets, how, left_cols,
+def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
                      right_cols, all_cols, both_int, _canon):
     import numpy as np
 
-    def _bucket_of(keys: pd.Series):
-        arr = keys.to_numpy()
-        if both_int and arr.dtype.kind in "iu":
-            return (arr.astype(np.uint64) * _KNUTH % (1 << 32)) % num_buckets
+    def _bucket_of(df: pd.DataFrame):
+        arrs = [df[k].to_numpy() for k in keys]
+        if both_int and all(a.dtype.kind in "iu" for a in arrs):
+            acc = np.zeros(len(df), dtype=np.uint64)
+            for a in arrs:
+                acc = acc * np.uint64(1000003) + (
+                    a.astype(np.uint64) * _KNUTH % (1 << 32))
+            return acc % num_buckets
         import zlib
 
-        return np.fromiter((zlib.crc32(_canon(k).encode()) % num_buckets
-                            for k in arr), dtype=np.int64, count=len(arr))
+        return np.fromiter(
+            (zlib.crc32("\x1f".join(map(_canon, row)).encode())
+             % num_buckets for row in zip(*arrs)),
+            dtype=np.int64, count=len(df))
 
     def tag(side: int):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -383,7 +401,7 @@ def _bucketed_pandas(left_ds, right_ds, on, num_buckets, how, left_cols,
                     batch[c] = None
             batch = batch[all_cols]
             batch["__side"] = np.int8(side)
-            batch["__bucket"] = _bucket_of(batch[on])
+            batch["__bucket"] = _bucket_of(batch)
             return batch
 
         return fn
@@ -395,11 +413,11 @@ def _bucketed_pandas(left_ds, right_ds, on, num_buckets, how, left_cols,
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         chunk = _MERGE_CHUNK
         left = g[g["__side"] == 0][left_cols]
-        right = g[g["__side"] == 1][[on] + right_cols]
+        right = g[g["__side"] == 1][keys + right_cols]
         if len(left) <= chunk:
-            return left.merge(right, on=on, how=how)
+            return left.merge(right, on=keys, how=how)
         # hot-key/skewed bucket: probe in chunks (see _bucketed_arrow)
-        parts = [left.iloc[i:i + chunk].merge(right, on=on, how=how)
+        parts = [left.iloc[i:i + chunk].merge(right, on=keys, how=how)
                  for i in range(0, len(left), chunk)]
         return pd.concat(parts, ignore_index=True)
 

@@ -251,6 +251,31 @@ def test_hash_join_mixed_int_widths(ray_session):
     assert len(lo) == 4 and int(lo["r"].isna().sum()) == 2
 
 
+def test_hash_join_composite_key(ray_session):
+    """Composite (int, string) key: only rows matching BOTH columns
+    join; ordered-tuple hashing means (a,b) never collides with (b,a);
+    left outer keeps unmatched pairs once."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import hash_join
+
+    left = rd.from_items(
+        [{"k1": i % 3, "k2": "xy"[i % 2], "l": i} for i in range(60)]
+    ).repartition(3)
+    right = rd.from_items(
+        [{"k1": 0, "k2": "x", "r": 100}, {"k1": 1, "k2": "y", "r": 200},
+         {"k1": 2, "k2": "z", "r": 300}]).repartition(1)
+    inner = hash_join(left, right, on=["k1", "k2"],
+                      num_buckets=4).to_pandas()
+    # i%3==0 and i%2==0 -> i%6==0 (10 rows); i%3==1 and i%2==1 -> i%6==1
+    assert len(inner) == 20
+    assert set(zip(inner["k1"], inner["k2"])) == {(0, "x"), (1, "y")}
+    assert (inner.loc[inner["k1"] == 0, "r"] == 100).all()
+    lo = hash_join(left, right, on=["k1", "k2"], num_buckets=4,
+                   how="left").to_pandas()
+    assert len(lo) == 60 and int(lo["r"].isna().sum()) == 40
+
+
 def test_decontaminate_planted_overlap(ray_session, tmp_path):
     """q_decontaminate flags exactly the docs sharing an 8-token
     shingle with the eval set (doc_id % 50 == 0), counting DISTINCT
