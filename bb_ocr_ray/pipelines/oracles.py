@@ -885,6 +885,19 @@ ORACLES["q_composite_join"] = """
 """
 
 
+ORACLES["q_chunk_docs"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    starts AS (SELECT doc_id, tk,
+                      unnest(generate_series(1, len(tk), 24)) AS s
+               FROM toks WHERE len(tk) > 0)
+    SELECT doc_id,
+           CAST((s - 1) / 24 + 1 AS BIGINT) AS chunk_id,
+           array_to_string(tk[s:s+31], ' ') AS chunk_text,
+           CAST(least(32, len(tk) - s + 1) AS BIGINT) AS n_tok
+    FROM starts
+"""
+
+
 ORACLES["q_hll_grouped"] = """
     WITH h AS (SELECT event_type,
                       md5_number_upper(CAST(user_id AS VARCHAR)) AS hv

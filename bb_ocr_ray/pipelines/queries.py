@@ -2040,3 +2040,42 @@ def q_composite_join(sf_dir: str):
 
 
 QUERIES.update({"q_composite_join": q_composite_join})
+
+
+# ---------------------------------------------------------------------------
+# Training-data chunking: fixed token windows with stride (flat_map)
+# ---------------------------------------------------------------------------
+def q_chunk_docs(sf_dir: str, window: int = 32, stride: int = 24):
+    """Split each document into token windows of ``window`` tokens at
+    ``stride`` spacing (overlap = window - stride) — the standard LLM
+    training-prep chunker, expressed as a 1->N batch expansion.  Chunk
+    starts are every stride-th token position, so every token lands in
+    at least one chunk; empty docs produce none.  Doc-local: one
+    map_batches, NO shuffle."""
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, texts, ntoks = [], [], [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            tk = ws_tokens(t or "")
+            for ci, s in enumerate(range(0, len(tk), stride), start=1):
+                w = tk[s:s + window]
+                ids.append(int(d))
+                cids.append(ci)
+                texts.append(" ".join(w))
+                ntoks.append(len(w))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "chunk_id": pd.array(cids, dtype="int64"),
+            "chunk_text": pd.array(texts, dtype="object"),
+            "n_tok": pd.array(ntoks, dtype="int64")})
+
+    # returned as a STREAMING Dataset: chunks are corpus-sized (unlike
+    # the decontamination report), so the consumer decides whether to
+    # write or aggregate them — never materialized here
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
+QUERIES.update({"q_chunk_docs": q_chunk_docs})
