@@ -885,6 +885,18 @@ ORACLES["q_composite_join"] = """
 """
 
 
+ORACLES["q_full_join"] = """
+    WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+               WHERE event_type = 'click' AND user_id % 2 = 0 GROUP BY 1),
+    p AS (SELECT user_id, count(*) AS n_purchases FROM events
+          WHERE event_type = 'purchase' AND user_id % 3 = 0 GROUP BY 1)
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(n_clicks, 0)    AS n_clicks,
+           coalesce(n_purchases, 0) AS n_purchases
+    FROM c FULL JOIN p ON c.user_id = p.user_id
+"""
+
+
 ORACLES["q_chunk_docs"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     starts AS (SELECT doc_id, tk,

@@ -2079,3 +2079,41 @@ def q_chunk_docs(sf_dir: str, window: int = 32, stride: int = 24):
 
 
 QUERIES.update({"q_chunk_docs": q_chunk_docs})
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: two sparse per-user aggregates, either side survives
+# ---------------------------------------------------------------------------
+def q_full_join(sf_dir: str):
+    """Full outer join (hash_join how="full"): click counts of
+    even-id users x purchase counts of div-by-3-id users — the
+    disjoint predicates guarantee unmatched rows on BOTH sides, which
+    survive with zeroed counts (aggregate-then-join, as in
+    q_left_join)."""
+    from bb_ocr_ray.stages.joins import hash_join
+
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "event_type"])
+
+    def side(etype: str, mod: int, out_col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[(b["event_type"] == etype) & (b["user_id"] % mod == 0)]
+            g = b.groupby("user_id", as_index=False).agg(
+                **{out_col: ("event_type", "size")})
+            return g
+
+        return ev.map_batches(fn, batch_format="pandas") \
+                 .groupby("user_id") \
+                 .aggregate(Sum(out_col, alias_name=out_col))
+
+    clicks = side("click", 2, "n_clicks")
+    purchases = side("purchase", 3, "n_purchases")
+    out = hash_join(clicks, purchases, on="user_id",
+                    how="full").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_clicks"] = out["n_clicks"].fillna(0).astype("int64")
+    out["n_purchases"] = out["n_purchases"].fillna(0).astype("int64")
+    return out
+
+
+QUERIES.update({"q_full_join": q_full_join})

@@ -165,7 +165,11 @@ def _arrow_schema(ds):
 
     base = ds.schema().base_schema
     if isinstance(base, pa.Schema):
-        clean = not any(pa.types.is_nested(f.type) for f in base)
+        # null-typed fields appear when Ray cannot infer an aggregate
+        # column's type — acero rejects them as join payloads, and the
+        # true type is unknowable here, so: not clean
+        clean = not any(pa.types.is_nested(f.type)
+                        or pa.types.is_null(f.type) for f in base)
         return base, clean
     fields, clean = [], True
     for name, dt in zip(base.names, base.types):
@@ -186,11 +190,12 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
     columns (``on`` is a column name or a list — composite keys hash
     as an ordered tuple, so (a, b) joins never collide with (b, a)).
 
-    ``how`` is ``"inner"`` (default) or ``"left"`` (left outer).  The
-    bucketed left join is exact because every left row hashes to
-    exactly ONE bucket — its unmatched null-extended copy is emitted
-    once, independent of block boundaries (unlike a per-batch
-    broadcast right/outer merge, see broadcast_join).  NULL keys: the
+    ``how`` is ``"inner"`` (default), ``"left"`` (left outer) or
+    ``"full"`` (full outer).  The bucketed outer joins are exact
+    because every row hashes to exactly ONE bucket — each side's
+    unmatched null-extended copy is emitted once, independent of block
+    boundaries (unlike a per-batch broadcast right/outer merge, see
+    broadcast_join).  NULL keys: the
     Arrow in-bucket path follows SQL semantics (null never matches
     null); the pandas fallback for object/nested payloads keeps
     pandas semantics (NaN matches NaN) — filter null keys first where
@@ -221,8 +226,8 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
     Column-name overlap between the sides is the caller's problem
     (project first) — deliberate, to keep the hot path copy-free.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join supports inner/left, not {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"hash_join supports inner/left/full, not {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if num_buckets is None:
         num_buckets = _auto_num_buckets()
@@ -238,7 +243,8 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
         sz = _est(left_ds) + _est(right_ds)
         impl = "native" if sz > _NATIVE_FALLBACK_BYTES else "bucketed"
     if impl == "native":
-        join_type = "inner" if how == "inner" else "left_outer"
+        join_type = {"inner": "inner", "left": "left_outer",
+                     "full": "full_outer"}[how]
         return left_ds.join(right_ds, join_type, num_buckets,
                             on=tuple(keys))
 
@@ -350,7 +356,8 @@ def _bucketed_arrow(left_ds, right_ds, keys, num_buckets, how, left_cols,
     both = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
         right_ds.map_batches(tag(1), batch_format="pyarrow")
     )
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -359,15 +366,50 @@ def _bucketed_arrow(left_ds, right_ds, keys, num_buckets, how, left_cols,
         mask = pc.equal(g.column("__side"), pa.scalar(0, pa.int8()))
         left = g.filter(mask).select(left_cols)
         right = g.filter(pc.invert(mask)).select(keys + right_cols)
+
+        # Ray's sort shuffle rebuilds group blocks through pandas, so a
+        # column whose rows in THIS bucket are all null (its owning
+        # side contributed no rows) arrives as Arrow type `null`, which
+        # acero rejects even with zero rows.  One-sided buckets are
+        # also exactly the cases acero isn't needed for — short-circuit
+        # them with explicit null-extension (typed from the union
+        # schema), which restores the declared types as a bonus.
+        def _pad(t: pa.Table, cols: list) -> pa.Table:
+            for c in cols:
+                t = t.append_column(c, pa.nulls(len(t), types[c]))
+            return t
+
+        out_cols = left_cols + right_cols
+        if len(right) == 0:
+            lt = left if how in ("left", "full") else left.slice(0, 0)
+            return _pad(lt, right_cols).select(out_cols)
+        if len(left) == 0:
+            if how != "full":
+                return _pad(left, right_cols).select(out_cols)
+            rt = _pad(right, [c for c in left_cols if c not in keys])
+            return rt.select(out_cols)
         if len(left) <= chunk:
             return left.join(right, keys=keys, join_type=join_type)
         # hot-key/skewed bucket: probe in chunks so the join working
-        # set (hash table + intermediates) stays bounded; for
-        # how="left" each left row lives in exactly one chunk, so its
-        # unmatched null-extension is still emitted exactly once
+        # set (hash table + intermediates) stays bounded; for outer
+        # joins each left row lives in exactly one chunk, so its
+        # unmatched null-extension is still emitted exactly once.
+        # full outer cannot chunk directly (right unmatched rows would
+        # repeat per chunk): chunk as left-outer, then append the
+        # right-anti remainder once, null-extended.
+        chunk_type = "left outer" if how == "full" else join_type
         parts = [left.slice(i, chunk).join(right, keys=keys,
-                                           join_type=join_type)
+                                           join_type=chunk_type)
                  for i in range(0, len(left), chunk)]
+        if how == "full":
+            # right rows with no left match (right table is the LEFT
+            # operand here, hence "left anti")
+            ra = right.join(left.select(keys), keys=keys,
+                            join_type="left anti")
+            for c in left_cols:
+                if c not in ra.column_names:
+                    ra = ra.append_column(c, pa.nulls(len(ra), types[c]))
+            parts.append(ra.select(parts[0].column_names))
         return pa.concat_tables(parts)
 
     return both.groupby("__bucket").map_groups(merge_bucket,
@@ -410,15 +452,29 @@ def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
         right_ds.map_batches(tag(1), batch_format="pandas")
     )
 
+    pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         chunk = _MERGE_CHUNK
         left = g[g["__side"] == 0][left_cols]
         right = g[g["__side"] == 1][keys + right_cols]
         if len(left) <= chunk:
-            return left.merge(right, on=keys, how=how)
-        # hot-key/skewed bucket: probe in chunks (see _bucketed_arrow)
-        parts = [left.iloc[i:i + chunk].merge(right, on=keys, how=how)
+            return left.merge(right, on=keys, how=pd_how)
+        # hot-key/skewed bucket: probe in chunks (see _bucketed_arrow).
+        # full outer cannot chunk directly (right unmatched rows would
+        # repeat per chunk): chunk as left, append the right-anti
+        # remainder once.
+        chunk_how = "left" if how == "full" else pd_how
+        parts = [left.iloc[i:i + chunk].merge(right, on=keys,
+                                              how=chunk_how)
                  for i in range(0, len(left), chunk)]
+        if how == "full":
+            probe = right.merge(left[keys].drop_duplicates(), on=keys,
+                                how="left", indicator=True)
+            ra = probe[probe["_merge"] == "left_only"].drop(
+                columns=["_merge"])
+            ra = ra.reindex(columns=parts[0].columns)
+            parts.append(ra)
         return pd.concat(parts, ignore_index=True)
 
     return both.groupby("__bucket").map_groups(merge_bucket,

@@ -226,6 +226,38 @@ def test_hash_join_left_outer(ray_session, monkeypatch):
     assert len(nat) == 400 and nat["r"].isna().sum() == 350
 
 
+def test_hash_join_full_outer(ray_session, monkeypatch):
+    """how="full": unmatched rows from BOTH sides survive exactly once
+    — across one-sided buckets (Ray's pandas-rebuilt group blocks turn
+    an absent side's columns into null-typed arrays) and across the
+    chunked hot-key path (right-anti remainder appended once)."""
+    import ray.data as rd
+
+    import bb_ocr_ray.stages.joins as J
+
+    # left keys: 300x key 7 (hot) + 0..9; right keys: 0..4 and 100..102
+    left = rd.from_items(
+        [{"k": 7, "l": i} for i in range(300)]
+        + [{"k": i % 10, "l": 10_000 + i} for i in range(100)]).repartition(2)
+    right = rd.from_items(
+        [{"k": i, "r": i * 11} for i in range(5)]
+        + [{"k": 100 + i, "r": 900 + i} for i in range(3)]).repartition(1)
+
+    def check(df):
+        assert len(df) == 400 + 3          # every left row + 3 right-only
+        right_only = df[df["l"].isna()]
+        assert sorted(right_only["k"]) == [100, 101, 102]
+        assert sorted(right_only["r"]) == [900, 901, 902]
+        left_only = df[df["r"].isna()]
+        assert set(left_only["k"]) == {5, 6, 7, 8, 9}
+
+    check(J.hash_join(left, right, on="k", num_buckets=4,
+                      how="full").to_pandas())
+    monkeypatch.setattr(J, "_MERGE_CHUNK", 64)     # chunked probe path
+    check(J.hash_join(left, right, on="k", num_buckets=4,
+                      how="full").to_pandas())
+
+
 def test_hash_join_mixed_int_widths(ray_session):
     """int32 key on one side, int64 on the other: the union-schema
     cast routes equal logical keys to the same bucket and the same
