@@ -897,6 +897,37 @@ ORACLES["q_full_join"] = """
 """
 
 
+ORACLES["q_training_prep"] = f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS tk,
+                         coalesce(text, '') AS txt
+                  FROM documents),
+    qual AS (SELECT * FROM toks
+             WHERE len(tk) >= 10 AND doc_id % 50 <> 0),
+    keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(txt)),
+    surv AS (SELECT q.* FROM qual q JOIN keep k USING (doc_id)),
+    esh AS (SELECT DISTINCT unnest(
+                CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(generate_series(1, len(tk) - 7),
+                              i -> array_to_string(tk[i:i+7], ' '))
+                END) AS s
+            FROM toks WHERE doc_id % 50 = 0),
+    ssh AS (SELECT doc_id, unnest(
+                CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(generate_series(1, len(tk) - 7),
+                              i -> array_to_string(tk[i:i+7], ' '))
+                END) AS s
+            FROM surv),
+    contaminated AS (SELECT DISTINCT doc_id FROM ssh JOIN esh USING (s)),
+    clean AS (SELECT * FROM surv
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum((len(tk) - 1) // 24 + 1) AS BIGINT) AS n_chunks,
+           CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+    FROM clean GROUP BY 1
+"""
+
+
 ORACLES["q_chunk_docs"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     starts AS (SELECT doc_id, tk,

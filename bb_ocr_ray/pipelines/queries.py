@@ -2117,3 +2117,83 @@ def q_full_join(sf_dir: str):
 
 
 QUERIES.update({"q_full_join": q_full_join})
+
+
+# ---------------------------------------------------------------------------
+# Flagship training-data prep: quality -> dedup -> decontam -> chunk
+# ---------------------------------------------------------------------------
+def q_training_prep(sf_dir: str):
+    """END-TO-END training-data preparation as ONE streaming pipeline
+    over the documents corpus:
+
+      1. quality filter   — keep docs with >= 10 whitespace tokens
+                            (and exclude the eval set doc_id%50==0);
+      2. exact dedup      — keep the min doc_id per md5(text)
+                            (`stages.dedup.dedup_exact`);
+      3. decontamination  — drop docs sharing any 8-token shingle with
+                            the eval set (shingle set broadcast once);
+      4. chunking         — 32-token windows at stride 24 (counted,
+                            not materialized);
+      5. summary          — per-source surviving docs / chunks /
+                            tokens (partial agg, tiny final groupby).
+
+    Every stage streams; nothing corpus-sized touches the driver."""
+    import ray
+
+    from bb_ocr_ray.functions.hashing import md5_hex, ws_tokens
+    from bb_ocr_ray.stages.dedup import dedup_exact
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text", "source"])
+
+    def sh8(text: str) -> set:
+        tk = ws_tokens(text or "")
+        return {" ".join(tk[i:i + 8]) for i in range(len(tk) - 7)}
+
+    eval_pd = docs.map_batches(lambda b: b[b["doc_id"] % 50 == 0],
+                               batch_format="pandas").to_pandas()
+    eval_sh = set().union(*map(sh8, eval_pd["text"])) \
+        if len(eval_pd) else set()
+    ref = ray.put(eval_sh)
+
+    def qual_and_hash(b: pd.DataFrame) -> pd.DataFrame:
+        keep = [d % 50 != 0 and len(ws_tokens(t or "")) >= 10
+                for d, t in zip(b["doc_id"], b["text"])]
+        b = b[pd.Series(keep, index=b.index)].copy()
+        b["content_hash"] = [md5_hex(t or "") for t in b["text"]]
+        return b
+
+    qual = docs.map_batches(qual_and_hash, batch_format="pandas")
+    survivors = dedup_exact(qual, key="content_hash",
+                            order_col="doc_id")
+
+    def decon(b: pd.DataFrame) -> pd.DataFrame:
+        es = ray.get(ref)
+        keep = [not (sh8(t) & es) if es else True for t in b["text"]]
+        return b[pd.Series(keep, index=b.index)]
+
+    clean = survivors.map_batches(decon, batch_format="pandas")
+
+    def chunk_stats(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for s, t in zip(b["source"], b["text"]):
+            n = len(ws_tokens(t or ""))
+            rows.append((s, 1, (n - 1) // 24 + 1 if n else 0, n))
+        df = pd.DataFrame(rows, columns=["source", "n_docs", "n_chunks",
+                                         "n_tokens"])
+        return df.groupby("source", as_index=False).sum()
+
+    out = (
+        clean.map_batches(chunk_stats, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_chunks", alias_name="n_chunks"),
+                   Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_chunks", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+QUERIES.update({"q_training_prep": q_training_prep})

@@ -291,9 +291,13 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
     # (VERDICT r1: pandas batch formats across the join layer were the
     # standing efficiency tax).  Measured NEUTRAL at sf0.1/32 cpus
     # (interleaved best-of-4: 4.0-4.6 s vs 4.0-4.2 s — fixed costs
-    # dominate locally); kept because at multi-TB shuffles the Arrow
-    # blocks move through the object store zero-copy while pandas
-    # blocks pay pickle+copy per hop.  Pandas-object / nested payloads
+    # dominate locally); kept because the map/union stages then move
+    # zero-copy Arrow blocks and the in-bucket join is acero, not a
+    # pandas hash merge.  NOTE the sort shuffle itself still rebuilds
+    # group blocks through pandas in this Ray version (observed: an
+    # all-null int64 column comes back null-typed, a mixed one comes
+    # back double), so the zero-copy win is bounded to the stages
+    # around the shuffle.  Pandas-object / nested payloads
     # (e.g. token-list columns in verify_candidates_hash) keep the
     # pandas merge path: acero cannot carry nested non-key fields, and
     # an object column's true Arrow type is unknowable from a
