@@ -928,6 +928,25 @@ ORACLES["q_training_prep"] = f"""
 """
 
 
+ORACLES["q_pushdown_filter"] = """
+    SELECT count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem WHERE l_quantity < 10.0
+"""
+
+
+ORACLES["q_inverted_index"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    dt AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM toks),
+    top AS (SELECT tok, count(*) AS df FROM dt
+            GROUP BY 1 ORDER BY df DESC, tok LIMIT 10)
+    SELECT t.tok, t.df,
+           string_agg(d.doc_id, '|' ORDER BY d.doc_id) AS postings
+    FROM top t JOIN dt d USING (tok)
+    GROUP BY 1, 2
+"""
+
+
 ORACLES["q_chunk_docs"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     starts AS (SELECT doc_id, tk,

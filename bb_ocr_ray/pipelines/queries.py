@@ -2197,3 +2197,89 @@ def q_training_prep(sf_dir: str):
 
 
 QUERIES.update({"q_training_prep": q_training_prep})
+
+
+# ---------------------------------------------------------------------------
+# Read-level predicate pushdown ("prune at the read" as a query)
+# ---------------------------------------------------------------------------
+def q_pushdown_filter(sf_dir: str):
+    """The quantity predicate is evaluated INSIDE the parquet scan
+    (``filter=`` pushes to the fragment reader; row-group statistics
+    prune whole groups), so filtered-out rows never enter the object
+    store — unlike q6's post-read mask.  Q6-shaped aggregate on the
+    pushed-down subset."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_quantity") < 10.0),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [len(b)],
+             "revenue": [(b["l_extendedprice"]
+                          * (1 - b["l_discount"])).sum()]})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("revenue", alias_name="revenue")))
+    return pd.DataFrame({"n": pd.array([agg["n"]], dtype="int64"),
+                         "revenue": [float(_round_sql(agg["revenue"], 2))]})
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (search-index shape)
+# ---------------------------------------------------------------------------
+def q_inverted_index(sf_dir: str):
+    """Inverted index for the 10 highest-document-frequency tokens:
+    token -> '|'-joined doc-id posting list in ascending order.  Scale
+    shape: document frequencies come from the bounded counts
+    aggregate FIRST; only the winning tokens' (token, doc_id) pairs
+    survive a broadcast filter into the 10-group ordered fold — the
+    full vocabulary never becomes a map_groups key."""
+    import ray
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        ids, tks = [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            for tok in set(ws_tokens(t or "")):
+                ids.append(int(d))
+                tks.append(tok)
+        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                             "tok": pd.array(tks, dtype="object")})
+
+    p = docs.map_batches(pairs, batch_format="pandas")
+    df_counts = (
+        p.map_batches(lambda b: b.groupby("tok", as_index=False).agg(
+            df=("doc_id", "size")), batch_format="pandas")
+        .groupby("tok").aggregate(Sum("df", alias_name="df")).to_pandas()
+    )
+    df_counts["df"] = df_counts["df"].astype("int64")
+    top = (df_counts.sort_values(["df", "tok"], ascending=[False, True],
+                                 kind="mergesort").head(10))
+    top_ref = ray.put(dict(zip(top["tok"], top["df"])))
+
+    def keep_top(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(top_ref)
+        return b[b["tok"].isin(t)]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(d) for d in g["doc_id"])
+        return pd.DataFrame({"tok": [g["tok"].iloc[0]],
+                             "df": pd.array([len(ids)], dtype="int64"),
+                             "postings": ["|".join(map(str, ids))]})
+
+    return (p.map_batches(keep_top, batch_format="pandas")
+            .groupby("tok").map_groups(fold, batch_format="pandas"))
+
+
+QUERIES.update({"q_pushdown_filter": q_pushdown_filter,
+                "q_inverted_index": q_inverted_index})
