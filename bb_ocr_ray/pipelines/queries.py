@@ -1779,15 +1779,14 @@ def q_decontaminate(sf_dir: str, k: int = 8):
     small — so its distinct-shingle set is built once and broadcast
     via ray.put; the corpus streams through one map_batches with no
     shuffle (the standard scale shape for training-data decontam)."""
+    import functools
+
     import ray
 
-    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.functions.hashing import shingle_set
 
     docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def sh_of(text: str) -> set:
-        tk = ws_tokens(text or "")
-        return {" ".join(tk[i:i + k]) for i in range(len(tk) - k + 1)}
+    sh_of = functools.partial(shingle_set, k=k)
 
     eval_pd = docs.map_batches(lambda b: b[b["doc_id"] % 50 == 0],
                                batch_format="pandas").to_pandas()
@@ -2138,17 +2137,16 @@ def q_training_prep(sf_dir: str):
                             tokens (partial agg, tiny final groupby).
 
     Every stage streams; nothing corpus-sized touches the driver."""
+    import functools
+
     import ray
 
-    from bb_ocr_ray.functions.hashing import md5_hex, ws_tokens
+    from bb_ocr_ray.functions.hashing import md5_hex, shingle_set, ws_tokens
     from bb_ocr_ray.stages.dedup import dedup_exact
 
     docs = _read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text", "source"])
-
-    def sh8(text: str) -> set:
-        tk = ws_tokens(text or "")
-        return {" ".join(tk[i:i + 8]) for i in range(len(tk) - 7)}
+    sh8 = functools.partial(shingle_set, k=8)
 
     eval_pd = docs.map_batches(lambda b: b[b["doc_id"] % 50 == 0],
                                batch_format="pandas").to_pandas()
@@ -2209,7 +2207,6 @@ def q_pushdown_filter(sf_dir: str):
     store — unlike q6's post-read mask.  Q6-shaped aggregate on the
     pushed-down subset."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
     ds = _read_parquet(
         _t(sf_dir, "lineitem"),
@@ -2256,7 +2253,11 @@ def q_inverted_index(sf_dir: str):
         return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
                              "tok": pd.array(tks, dtype="object")})
 
-    p = docs.map_batches(pairs, batch_format="pandas")
+    # materialize: `p` is consumed TWICE (df counts, postings fold) —
+    # without the checkpoint Ray re-executes the corpus read +
+    # tokenization per consumer (the dominant cost); the pinned pairs
+    # are bounded by distinct tokens per doc
+    p = docs.map_batches(pairs, batch_format="pandas").materialize()
     df_counts = (
         p.map_batches(lambda b: b.groupby("tok", as_index=False).agg(
             df=("doc_id", "size")), batch_format="pandas")

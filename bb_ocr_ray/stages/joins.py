@@ -426,12 +426,21 @@ def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
 
     def _bucket_of(df: pd.DataFrame):
         arrs = [df[k].to_numpy() for k in keys]
-        if both_int and all(a.dtype.kind in "iu" for a in arrs):
+        if both_int:
+            # the int-vs-string hash choice is SCHEMA-level (both_int),
+            # never per-batch: a block whose int key column arrives as
+            # float/object (any null in that block upcasts it) must
+            # still hash like the other blocks, or its matches silently
+            # land in different buckets.  Nulls hash as 0, mirroring
+            # the Arrow path's fill_null(0).
             acc = np.zeros(len(df), dtype=np.uint64)
             for a in arrs:
+                if a.dtype.kind not in "iu":
+                    a = (pd.to_numeric(pd.Series(a), errors="coerce")
+                         .fillna(0).to_numpy())
                 acc = acc * np.uint64(1000003) + (
                     a.astype(np.uint64) * _KNUTH % (1 << 32))
-            return acc % num_buckets
+            return (acc % num_buckets).astype(np.int64)
         import zlib
 
         return np.fromiter(

@@ -308,6 +308,31 @@ def test_hash_join_composite_key(ray_session):
     assert len(lo) == 60 and int(lo["r"].isna().sum()) == 40
 
 
+def test_hash_join_pandas_path_mixed_dtype_blocks(ray_session):
+    """Pandas-path join (object payload) where ONE left block's int key
+    column arrives as float64 (a null upcast): the bucket hash must
+    stay on the schema-level int path for every block, or that block's
+    matches silently land in the wrong buckets (review-confirmed: 44
+    of 99 matches dropped before the fix)."""
+    import numpy as np
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import hash_join
+
+    df1 = pd.DataFrame({"k": np.arange(1, 51, dtype=np.int64),
+                        "payload": [[1]] * 50})
+    df2 = pd.DataFrame({"k": np.append(
+        np.arange(51, 100).astype(np.float64), np.nan),
+        "payload": [[2]] * 50})
+    left = rd.from_pandas([df1, df2])
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(1, 101, dtype=np.int64),
+         "r": np.arange(1, 101) * 3}))
+    out = hash_join(left, right, on="k", num_buckets=8).to_pandas()
+    assert len(out) == 99                      # NaN key matches nothing
+    assert sorted(out["r"]) == [i * 3 for i in range(1, 100)]
+
+
 def test_decontaminate_planted_overlap(ray_session, tmp_path):
     """q_decontaminate flags exactly the docs sharing an 8-token
     shingle with the eval set (doc_id % 50 == 0), counting DISTINCT
