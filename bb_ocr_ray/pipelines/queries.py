@@ -1572,13 +1572,25 @@ def q_left_join(sf_dir: str):
             n_orders=("o_totalprice", "size"),
             total_spent=("o_totalprice", "sum"))
 
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"),
+            total_spent=("total_spent", "sum"))
+        return g.rename(columns={"o_custkey": "c_custkey"})
+
+    # The partial set is BOUNDED (<= ordering customers x blocks), so
+    # the final aggregate coalesces into ONE pandas task instead of
+    # Ray's sort-based Aggregate, whose per-block boundary cost ran
+    # 1.2 s/block on 700-row partials (measured: 7.7 s -> ~1 s).  At
+    # key cardinalities past one task's heap, use the salted
+    # groupby path (stages/domain_agg) instead.  materialize():
+    # hash_join's schema inspection executes a lazy pandas lineage
+    # once and the join run would execute it again.
     agg = (
         orders.map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("n_orders", alias_name="n_orders"),
-                   Sum("total_spent", alias_name="total_spent"))
-        .map_batches(lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
-                     batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .materialize()
     )
     cust = _read_parquet(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_mktsegment"])
@@ -2101,9 +2113,17 @@ def q_full_join(sf_dir: str):
                 **{out_col: ("event_type", "size")})
             return g
 
-        return ev.map_batches(fn, batch_format="pandas") \
-                 .groupby("user_id") \
-                 .aggregate(Sum(out_col, alias_name=out_col))
+        def final(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby("user_id", as_index=False).agg(
+                **{out_col: (out_col, "sum")})
+
+        # bounded partial set -> one-task final aggregate +
+        # materialize (see q_left_join for both rationales)
+        return (ev.map_batches(fn, batch_format="pandas")
+                .repartition(1)
+                .map_batches(final, batch_format="pandas",
+                             batch_size=None)
+                .materialize())
 
     clicks = side("click", 2, "n_clicks")
     purchases = side("purchase", 3, "n_purchases")
