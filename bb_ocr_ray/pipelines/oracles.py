@@ -960,6 +960,33 @@ ORACLES["q_chunk_docs"] = f"""
 """
 
 
+def _pii_redact_sql() -> str:
+    """Three-stage RE2 cascade mirroring functions.pii.REDACTION_CASCADE
+    — generated from the engine's own pattern constants so pattern
+    edits cannot drift the oracle."""
+    from bb_ocr_ray.functions.pii import EMAIL_PAT, IPV4_PAT, PHONE_PAT
+
+    return f"""
+    WITH t0 AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(tx, '{EMAIL_PAT}')) AS n_emails,
+                  regexp_replace(tx, '{EMAIL_PAT}', '<EMAIL>', 'g') AS tx
+           FROM t0),
+    s2 AS (SELECT doc_id, n_emails,
+                  len(regexp_extract_all(tx, '{PHONE_PAT}')) AS n_phones,
+                  regexp_replace(tx, '{PHONE_PAT}', '<PHONE>', 'g') AS tx
+           FROM s1),
+    s3 AS (SELECT doc_id, n_emails, n_phones,
+                  len(regexp_extract_all(tx, '{IPV4_PAT}')) AS n_ips,
+                  regexp_replace(tx, '{IPV4_PAT}', '<IP>', 'g') AS tx
+           FROM s2)
+    SELECT doc_id, tx AS clean_text, n_emails, n_phones, n_ips FROM s3
+    """
+
+
+ORACLES["q_pii_redact"] = _pii_redact_sql()
+
+
 ORACLES["q_hll_grouped"] = """
     WITH h AS (SELECT event_type,
                       md5_number_upper(CAST(user_id AS VARCHAR)) AS hv

@@ -2304,3 +2304,33 @@ def q_inverted_index(sf_dir: str):
 
 QUERIES.update({"q_pushdown_filter": q_pushdown_filter,
                 "q_inverted_index": q_inverted_index})
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (training-data hygiene transform)
+# ---------------------------------------------------------------------------
+def q_pii_redact(sf_dir: str):
+    """Redact emails / international phone numbers / IPv4 literals from
+    every document and count each category.  Pure per-row transform —
+    one map_batches, zero shuffle, the ideal 100-TB shape: compiled
+    patterns live in module scope (compiled once per worker process,
+    not per batch), and the value-hash gate proves the redacted TEXT is
+    byte-identical to the RE2 cascade in the oracle, not just the
+    counts.  Pattern-parity rules in ``functions/pii.py``."""
+    from bb_ocr_ray.functions.pii import redact_text
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def redact(b: pd.DataFrame) -> pd.DataFrame:
+        out = [redact_text(t) for t in b["text"]]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "clean_text": [r[0] for r in out],
+            "n_emails": pd.array([r[1] for r in out], dtype="int64"),
+            "n_phones": pd.array([r[2] for r in out], dtype="int64"),
+            "n_ips": pd.array([r[3] for r in out], dtype="int64")})
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+QUERIES.update({"q_pii_redact": q_pii_redact})

@@ -184,3 +184,47 @@ def test_registrable_domain():
     assert rd("CDN1.Site3.Co.JP") == "site3.co.jp"   # case-folded
     assert rd("host.example.com.") == "example.com"  # trailing dot
     assert rd("") == ""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction cascade (functions/pii.py)
+# ---------------------------------------------------------------------------
+def test_pii_redact_cascade_counts_each_category_once():
+    from bb_ocr_ray.functions.pii import redact_text
+
+    clean, ne, np_, ni = redact_text(
+        "contact bob.smith+spam@example.co.uk or call +1 555 123 4567 now")
+    assert clean == "contact <EMAIL> or call <PHONE> now"
+    assert (ne, np_, ni) == (1, 1, 0)
+
+
+def test_pii_redact_phone_inside_email_counted_as_email_only():
+    from bb_ocr_ray.functions.pii import redact_text
+
+    clean, ne, np_, ni = redact_text("mail +15551234567@sms.gateway.net x")
+    assert clean == "mail <EMAIL> x"
+    assert (ne, np_, ni) == (1, 0, 0)
+
+
+def test_pii_redact_ipv4_and_documented_version_false_positive():
+    from bb_ocr_ray.functions.pii import redact_text
+
+    clean, ne, np_, ni = redact_text("host 10.0.0.1 runs release 1.2.3.4")
+    assert clean == "host <IP> runs release <IP>"
+    assert (ne, np_, ni) == (0, 0, 2)
+
+
+def test_pii_redact_null_and_clean_text_passthrough():
+    from bb_ocr_ray.functions.pii import redact_text
+
+    assert redact_text(None) == ("", 0, 0, 0)
+    assert redact_text("no pii here at all") == ("no pii here at all", 0, 0, 0)
+
+
+def test_pii_unicode_digit_not_matched():
+    # RE2 classes are ASCII-only; the explicit [0-9] classes keep the
+    # Python side identical (\\d would match Arabic-Indic digits).
+    from bb_ocr_ray.functions.pii import redact_text
+
+    text = "١٢٣.١.١.١ not an ip"
+    assert redact_text(text)[0] == text

@@ -28,11 +28,29 @@ def main():
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
 
     docs = pd.read_parquet(f"{SRC}/documents.parquet").head(50)
+    # 9101-9103: multi-paragraph docs sharing paragraphs (intra- and
+    # inter-doc duplicates for paragraph-level dedup); 9104-9106: PII
+    # (emails, +CC phones, IPv4 incl. the version-string false-positive
+    # the pattern contract documents, and a phone-inside-email that the
+    # sequential cascade must count once).
+    para_a = "the shared boilerplate paragraph"
+    para_b = "unique to nine one oh one"
+    para_c = "another shared block of text"
     extra = pd.DataFrame(
-        {"doc_id": [9001, 9002, 9003, 9004, 9005, 9090],
+        {"doc_id": [9001, 9002, 9003, 9004, 9005, 9090,
+                    9101, 9102, 9103, 9104, 9105, 9106],
          "text": ["tiny", "", None, "café — ünïcode pünct!", "   \t  ",
-                  "short!"],
-         "lang": ["en"] * 6, "source": ["edge"] * 6})
+                  "short!",
+                  f"{para_a}\n\n{para_b}\n\n{para_a}",
+                  f"{para_c}\n\n{para_a}\n\n\n\ntrailing empty para case",
+                  f"{para_c}",
+                  "contact bob.smith+spam@example.co.uk or call "
+                  "+1 555 123 4567 now",
+                  "server at 10.0.0.1 running release 1.2.3.4 — "
+                  "café reachable via +44-207-946-0958",
+                  "mail +15551234567@sms.gateway.net (phone inside "
+                  "an email address)"],
+         "lang": ["en"] * 12, "source": ["edge"] * 12})
     extra["n_chars"] = extra["text"].map(
         lambda t: len(t) if isinstance(t, str) else 0)
     docs = pd.concat([docs, extra], ignore_index=True)
