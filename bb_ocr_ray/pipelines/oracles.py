@@ -987,6 +987,34 @@ def _pii_redact_sql() -> str:
 ORACLES["q_pii_redact"] = _pii_redact_sql()
 
 
+# Paragraph-level exact dedup: first global (doc_id, idx) occurrence of
+# each non-empty paragraph wins; docs keep surviving paragraphs joined
+# in original order.  One row per doc with >= 1 non-empty paragraph.
+ORACLES["q_paragraph_dedup"] = """
+    WITH p AS (SELECT doc_id,
+                      string_split(coalesce(text, ''),
+                                   chr(10) || chr(10)) AS ps
+               FROM documents),
+    ex AS (SELECT doc_id, ps,
+                  unnest(generate_series(1, len(ps))) AS i
+           FROM p),
+    occ AS (SELECT doc_id, i, ps[i] AS para FROM ex WHERE ps[i] <> ''),
+    rk AS (SELECT doc_id, i, para,
+                  row_number() OVER (PARTITION BY para
+                                     ORDER BY doc_id, i) AS rn
+           FROM occ),
+    tot AS (SELECT doc_id, count(*) AS n_paras FROM occ GROUP BY 1),
+    kept AS (SELECT doc_id, count(*) AS n_kept,
+                    string_agg(para, chr(10) || chr(10) ORDER BY i)
+                        AS new_text
+             FROM rk WHERE rn = 1 GROUP BY doc_id)
+    SELECT t.doc_id, t.n_paras,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.new_text, '') AS new_text
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 ORACLES["q_hll_grouped"] = """
     WITH h AS (SELECT event_type,
                       md5_number_upper(CAST(user_id AS VARCHAR)) AS hv

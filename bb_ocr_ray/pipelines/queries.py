@@ -2334,3 +2334,25 @@ def q_pii_redact(sf_dir: str):
 
 
 QUERIES.update({"q_pii_redact": q_pii_redact})
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (sub-document dedup granularity)
+# ---------------------------------------------------------------------------
+def q_paragraph_dedup(sf_dir: str):
+    """Remove every repeated paragraph corpus-wide (first global
+    occurrence by (doc_id, idx) wins, later copies dropped — including
+    intra-document repeats) and re-emit each document's surviving
+    text.  On the single-paragraph synthetic corpus this degenerates
+    to whole-doc exact dedup; the edge fixture exercises the real
+    multi-paragraph sharing.  Scale shape in
+    ``stages.dedup.paragraph_dedup``: two coarse-bucket shuffles
+    (paragraph hash, then doc id), paragraph text shuffled once,
+    value-hash gate covers the reconstructed text byte-for-byte."""
+    from bb_ocr_ray.stages.dedup import paragraph_dedup
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return paragraph_dedup(docs, id_col="doc_id", text_col="text")
+
+
+QUERIES.update({"q_paragraph_dedup": q_paragraph_dedup})

@@ -228,3 +228,48 @@ def test_anti_join_hash_matches_broadcast(ray_session):
     # review regression: the keys-side None padding must not degrade
     # big-side dtypes to object
     assert b["k"].dtype == "int64", b.dtypes
+
+
+def test_paragraph_dedup_first_wins_across_and_within_docs(ray_session):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import paragraph_dedup
+
+    A, B, C = "shared para alpha", "unique beta", "shared gamma"
+    docs = rd.from_items([
+        {"doc_id": 1, "text": f"{A}\n\n{B}\n\n{A}"},   # intra-doc repeat
+        {"doc_id": 2, "text": f"{C}\n\n{A}\n\n\n\nlast"},  # empty segment
+        {"doc_id": 3, "text": C},                      # fully deduplicated
+        {"doc_id": 4, "text": ""},                     # no paragraphs: no row
+        {"doc_id": 5, "text": None},                   # NULL: no row
+    ]).repartition(2)
+    out = (paragraph_dedup(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "new_text"] == f"{A}\n\n{B}"      # repeat dropped
+    assert (out.loc[1, "n_paras"], out.loc[1, "n_kept"]) == (3, 2)
+    assert out.loc[2, "new_text"] == f"{C}\n\nlast"     # A claimed by doc 1
+    assert (out.loc[2, "n_paras"], out.loc[2, "n_kept"]) == (3, 2)
+    assert out.loc[3, "new_text"] == ""                 # everything claimed
+    assert (out.loc[3, "n_paras"], out.loc[3, "n_kept"]) == (1, 0)
+
+
+def test_paragraph_dedup_idempotent(ray_session):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import paragraph_dedup
+
+    docs = rd.from_items([
+        {"doc_id": i, "text": f"common intro\n\nbody {i}"} for i in range(6)
+    ]).repartition(2)
+    first = paragraph_dedup(docs).to_pandas()
+    again_in = rd.from_items(
+        [{"doc_id": int(r.doc_id), "text": r.new_text}
+         for r in first.itertuples() if r.new_text]).repartition(2)
+    again = paragraph_dedup(again_in).to_pandas()
+    # a deduplicated corpus is a fixed point
+    merged = first[first.new_text != ""].merge(
+        again, on="doc_id", suffixes=("_1", "_2"))
+    assert (merged["new_text_1"] == merged["new_text_2"]).all()
+    assert (merged["n_kept_2"] == merged["n_kept_1"]).all()
