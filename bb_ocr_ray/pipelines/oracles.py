@@ -1015,6 +1015,54 @@ ORACLES["q_paragraph_dedup"] = """
 """
 
 
+# TF-IDF top-3 per doc: the rank key is the integer triple
+# (tf DESC, df ASC, tok ASC); the float score is decoration (round 6).
+ORACLES["q_tfidf"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM pc GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    rk AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+                  row_number() OVER (PARTITION BY t.doc_id
+                                     ORDER BY t.tf DESC, d.df ASC, t.tok)
+                      AS rn
+           FROM tf t JOIN df d USING (tok))
+    SELECT doc_id, tok, tf, df,
+           round(tf * ln((SELECT n FROM n) * 1.0 / df), 6) AS score
+    FROM rk WHERE rn <= 3
+"""
+
+
+# Bloom register state: md5-only Kirsch-Mitzenmacher double hashing,
+# (h1 + i*h2) % 512 for i in 0..2 — mirrors hashing.bloom_positions_u64.
+ORACLES["q_bloom_registers"] = """
+    WITH h AS (SELECT md5_number_upper(CAST(o_custkey AS VARCHAR)) AS hv
+               FROM orders WHERE o_custkey IS NOT NULL),
+    d AS (SELECT CAST(hv & 4294967295 AS BIGINT) AS h1,
+                 CAST(((hv >> 32) & 4294967295) | 1 AS BIGINT) AS h2
+          FROM h),
+    p AS (SELECT (h1 + i * h2) % 512 AS bit_pos
+          FROM d, (SELECT unnest(generate_series(0, 2)) AS i) t)
+    SELECT DISTINCT CAST(bit_pos AS BIGINT) AS bit_pos FROM p
+"""
+
+
+ORACLES["q_train_split"] = """
+    WITH h AS (SELECT source, n_chars,
+                      md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS b
+               FROM documents),
+    s AS (SELECT CASE WHEN b < 90 THEN 'train'
+                      WHEN b < 95 THEN 'val'
+                      ELSE 'test' END AS split,
+                 source, n_chars
+          FROM h)
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY 1, 2
+"""
+
+
 ORACLES["q_hll_grouped"] = """
     WITH h AS (SELECT event_type,
                       md5_number_upper(CAST(user_id AS VARCHAR)) AS hv

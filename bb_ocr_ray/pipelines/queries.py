@@ -2356,3 +2356,146 @@ def q_paragraph_dedup(sf_dir: str):
 
 
 QUERIES.update({"q_paragraph_dedup": q_paragraph_dedup})
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top-3 scored terms per document
+# ---------------------------------------------------------------------------
+def q_tfidf(sf_dir: str, topk: int = 3):
+    """Top-3 TF-IDF terms per document.  Two corpus passes, ZERO
+    per-doc shuffle: pass 1 builds document frequencies (per-batch
+    distinct-per-doc Counter partial -> vocabulary-sized groupby, the
+    q_doc_freq shape), the df map is broadcast once via ray.put, and
+    pass 2 re-tokenizes each doc and ranks locally.  Tokenizing twice
+    trades pure CPU for not shuffling (doc_id, tok, tf) rows per doc
+    — at 100 TB the per-doc shuffle (or a corpus-sized materialize
+    feeding two consumers) loses to a second pruned read.
+    Cross-engine determinism: the RANKING key is the integer triple
+    (tf desc, df asc, tok asc) — never the float score, which only
+    decorates the output (round 6, absorbed by the gate's rounding).
+    Bounded-vocabulary assumption documented: the df map must fit one
+    worker's heap (hundreds of MB at web scale after stopword-level
+    truncation; this corpus: tiny)."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in b["text"]:
+            c.update(set(ws_tokens(t or "")))
+        return pd.DataFrame({"tok": list(c.keys()),
+                             "df": pd.array(list(c.values()), dtype="int64")})
+
+    df_pd = (ds.map_batches(df_partial, batch_format="pandas")
+             .groupby("tok").aggregate(Sum("df", alias_name="df"))
+             .to_pandas())
+    df_ref = ray.put(dict(zip(df_pd["tok"], (int(x) for x in df_pd["df"]))))
+
+    def rank(b: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        ids, toks, tfs, dfs, scores = [], [], [], [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            tf = Counter(ws_tokens(t or ""))
+            top = sorted(tf.items(),
+                         key=lambda kv: (-kv[1], dfm[kv[0]], kv[0]))[:topk]
+            for tok, c in top:
+                ids.append(int(d))
+                toks.append(tok)
+                tfs.append(c)
+                dfs.append(dfm[tok])
+                scores.append(float(_round_sql(
+                    c * math.log(n_docs / dfm[tok]), 6)))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "tok": pd.array(toks, dtype="object"),
+            "tf": pd.array(tfs, dtype="int64"),
+            "df": pd.array(dfs, dtype="int64"),
+            "score": pd.array(scores, dtype="float64")})
+
+    return ds.map_batches(rank, batch_format="pandas")
+
+
+QUERIES.update({"q_tfidf": q_tfidf})
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter register state (mergeable membership sketch)
+# ---------------------------------------------------------------------------
+def q_bloom_registers(sf_dir: str):
+    """Set bit positions of a 512-bit / 3-hash Bloom filter built over
+    every order's customer key — the register-state-as-output pattern
+    of q_hll_registers applied to the join layer's membership filter
+    (``stages.joins.build_bloom`` is the production consumer; this
+    md5-only variant is the SQL-mirrorable cousin, see
+    ``hashing.bloom_positions_u64``).  Per-batch partial bitmaps are
+    64-byte numpy arrays OR-merged on the driver — the mergeable-
+    sketch shape: shuffle bytes are O(batches × 64 B), never O(keys)."""
+    import ray.data  # noqa: F401  (Dataset already imported)
+
+    from bb_ocr_ray.functions.hashing import _BLOOM_BITS, bloom_positions_u64
+
+    ds = _read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(_BLOOM_BITS, dtype=bool)
+        for k in b["o_custkey"]:
+            if pd.isna(k):
+                continue
+            for p in bloom_positions_u64(str(int(k))):
+                bits[p] = True
+        return pd.DataFrame({"bits": [np.packbits(bits).tobytes()]})
+
+    merged = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for part in ds.map_batches(partial,
+                               batch_format="pandas").to_pandas()["bits"]:
+        merged |= np.frombuffer(part, dtype=np.uint8)
+    pos = np.nonzero(np.unpackbits(merged))[0]
+    return pd.DataFrame({"bit_pos": pd.array(pos, dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+def q_train_split(sf_dir: str):
+    """Hash-based 90/5/5 train/val/test assignment over documents with
+    per-(split, source) doc and char counts — the canonical
+    training-data partitioning step.  Assignment is a pure function of
+    doc_id (stable md5 bucket % 100), so it is reproducible across
+    runs, machines, and engines — never random state.  Per-batch
+    partial -> one-task final groupby (bounded: 3 × |sources| keys)."""
+    from bb_ocr_ray.functions.hashing import stable_u64
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        buck = np.array([stable_u64(str(int(d))) % 100 for d in b["doc_id"]],
+                        dtype=np.int64)
+        split = np.where(buck < 90, "train",
+                         np.where(buck < 95, "val", "test"))
+        g = (b.assign(split=split)
+             .groupby(["split", "source"], as_index=False)
+             .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")))
+        return g
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["split", "source"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["sum_chars"] = g["sum_chars"].astype("int64")
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+QUERIES.update({"q_bloom_registers": q_bloom_registers,
+                "q_train_split": q_train_split})
