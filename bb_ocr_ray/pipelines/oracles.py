@@ -1078,3 +1078,105 @@ ORACLES["q_hll_grouped"] = """
     SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS max_rho
     FROM r GROUP BY 1, 2
 """
+
+
+# Unigram LM cross-entropy: -avg ln(corpus_count(tok)/N) over each
+# doc's token occurrences.  Empty docs emit no row on either engine.
+ORACLES["q_lm_score"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    tc AS (SELECT tok, count(*) AS c FROM pc GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc)
+    SELECT p.doc_id, count(*) AS n_tok,
+           round(-sum(ln(CAST(t.c AS DOUBLE) / (SELECT n FROM n)))
+                 / count(*), 6) AS cross_entropy
+    FROM pc p JOIN tc t USING (tok)
+    GROUP BY p.doc_id
+"""
+
+
+# Concat-and-split packing: per-source doc_id-ordered token cumsum,
+# integer-exact; each doc spans seqs st//L .. (st+n-1)//L.
+ORACLES["q_pack_sequences"] = f"""
+    WITH toks AS (SELECT doc_id, coalesce(source, '') AS source,
+                         CAST(len({_TOKS}) AS BIGINT) AS n
+                  FROM documents),
+    nz AS (SELECT * FROM toks WHERE n > 0),
+    c AS (SELECT source, doc_id, n,
+                 CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n
+                      AS BIGINT) AS st
+          FROM nz),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total
+            FROM nz GROUP BY 1),
+    spans AS (SELECT source,
+                     unnest(generate_series(st // 64, (st + n - 1) // 64))
+                         AS seq_id
+              FROM c),
+    g AS (SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+                 count(*) AS n_docs
+          FROM spans GROUP BY 1, 2)
+    SELECT g.source, g.seq_id, g.n_docs,
+           CAST(least(64, t.total - g.seq_id * 64) AS BIGINT) AS n_tok
+    FROM g JOIN tot t ON g.source = t.source
+"""
+
+
+# Hash-rank quota: rank by (md5 hash, doc_id) inside each source,
+# keep the first 50.  md5_number_upper == hashing.stable_u64.
+ORACLES["q_domain_quota"] = """
+    WITH h AS (SELECT coalesce(source, '') AS source, n_chars, doc_id,
+                      md5_number_upper(CAST(doc_id AS VARCHAR)) AS hv
+               FROM documents WHERE doc_id IS NOT NULL),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY hv, doc_id) AS rn
+          FROM h)
+    SELECT source, count(*) AS n_total,
+           CAST(sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(coalesce(sum(CASE WHEN rn <= 50 THEN n_chars END), 0)
+                AS BIGINT) AS sum_chars_kept
+    FROM r GROUP BY 1
+"""
+
+
+# C4 line filter: strip ' \t\r', require terminal [.!?"], >= 3 words
+# ('[ \t\r\f\v]+' splitter, REAL chars below), no 'javascript' after
+# an explicit A-Z -> a-z translate (never lower(): exotic case maps).
+ORACLES["q_line_filter"] = """
+    WITH lines AS (SELECT doc_id,
+                          unnest(string_split(coalesce(text, ''),
+                                              chr(10))) AS raw
+                   FROM documents WHERE doc_id IS NOT NULL),
+    s AS (SELECT doc_id, trim(raw, ' ' || chr(9) || chr(13)) AS line
+          FROM lines),
+    k AS (SELECT doc_id, line,
+                 (line <> ''
+                  AND regexp_matches(line, '[.!?"]$')
+                  AND NOT contains(
+                        translate(line, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                  'abcdefghijklmnopqrstuvwxyz'),
+                        'javascript')
+                  AND len(list_filter(regexp_split_to_array(line,
+                        '[ \t\r\f\v]+'), x -> x <> '')) >= 3) AS keep
+          FROM s)
+    SELECT doc_id, count(*) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(coalesce(sum(CASE WHEN keep THEN len(line) END), 0)
+                + greatest(sum(CASE WHEN keep THEN 1 ELSE 0 END) - 1, 0)
+                AS BIGINT) AS n_chars_kept
+    FROM k GROUP BY 1
+"""
+
+
+# Per-label centroids in long form; dims 1-based, avg in DOUBLE.
+ORACLES["q_centroids"] = """
+    WITH e AS (SELECT label,
+                      unnest(generate_series(1, len(embedding))) AS dim,
+                      unnest(embedding) AS v
+               FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n_vecs,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean_val
+    FROM e GROUP BY 1, 2
+"""

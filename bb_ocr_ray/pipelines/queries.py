@@ -2499,3 +2499,313 @@ def q_train_split(sf_dir: str):
 
 QUERIES.update({"q_bloom_registers": q_bloom_registers,
                 "q_train_split": q_train_split})
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM cross-entropy scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+def q_lm_score(sf_dir: str):
+    """Per-document cross-entropy under a corpus-trained unigram LM —
+    the shape of CCNet's perplexity quality filter with the KenLM
+    5-gram swapped for a unigram model (no LM artifacts in this env;
+    the Ray plumbing — train pass, broadcast model, score pass — is
+    identical).  Pass 1 builds corpus token counts (per-batch Counter
+    partial -> vocabulary-sized groupby, the q_doc_freq shape with
+    multiplicity), the model is broadcast ONCE via ray.put, and pass 2
+    re-tokenizes and scores each doc locally: zero per-doc shuffle,
+    same two-pass tradeoff as q_tfidf.  Bounded-vocabulary assumption:
+    the count map must fit one worker's heap.  Empty/NULL-text docs
+    produce no row (no tokens to score).  Float note: the per-doc sum
+    of ln() terms accumulates ~1e-13 error across engines — absorbed
+    by the gate's round-6."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in b["text"]:
+            c.update(ws_tokens(t or ""))
+        return pd.DataFrame({"tok": list(c.keys()),
+                             "c": pd.array(list(c.values()), dtype="int64")})
+
+    tc_pd = (ds.map_batches(tc_partial, batch_format="pandas")
+             .groupby("tok").aggregate(Sum("c", alias_name="c"))
+             .to_pandas())
+    n_total = int(tc_pd["c"].sum())
+    model_ref = ray.put(dict(zip(tc_pd["tok"], (int(x) for x in tc_pd["c"]))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        model = ray.get(model_ref)
+        ids, ntoks, ces = [], [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            tf = Counter(ws_tokens(t or ""))
+            n = sum(tf.values())
+            if n == 0:
+                continue
+            lp = sum(c * math.log(model[tok] / n_total)
+                     for tok, c in tf.items())
+            ids.append(int(d))
+            ntoks.append(n)
+            ces.append(float(_round_sql(-lp / n, 6)))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "n_tok": pd.array(ntoks, dtype="int64"),
+            "cross_entropy": pd.array(ces, dtype="float64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-split, GPT-style training prep)
+# ---------------------------------------------------------------------------
+def q_pack_sequences(sf_dir: str, seq_len: int = 64):
+    """Concat-and-split sequence packing: within each source, token
+    streams are concatenated in doc_id order and cut into fixed
+    ``seq_len`` sequences (documents straddle cuts — the GPT
+    pre-training packing discipline, vs first-fit bin packing which is
+    neither order-stable nor SQL-mirrorable).  Emits one row per
+    (source, seq_id): how many docs contributed and the sequence's
+    token count (= seq_len except the tail).  Packing is inherently
+    sequential per stream, so the unit of parallelism is the stream:
+    ``groupby(source).map_groups`` gives each source one task that
+    sorts by doc_id and does integer cumsum arithmetic — at 100 TB the
+    stream key is the SHARD (source × shard_id), keeping groups
+    worker-sized; a giant single source here would serialize, and
+    that's a property of the semantics, not the plan.  Integer-exact:
+    no floats anywhere.  Zero-token and NULL-text docs contribute
+    nothing (they'd otherwise claim a phantom slot in whichever
+    sequence the cursor is on)."""
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "source", "text"])
+
+    def count_toks(b: pd.DataFrame) -> pd.DataFrame:
+        n = pd.array([len(ws_tokens(t or "")) for t in b["text"]],
+                     dtype="int64")
+        out = pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                            "source": b["source"].fillna("").astype(object),
+                            "n": n})
+        return out[out["n"] > 0]
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n"].to_numpy(dtype=np.int64)
+        st = np.cumsum(n) - n                     # start offset per doc
+        first = st // seq_len                     # first seq touched
+        last = (st + n - 1) // seq_len            # last seq touched
+        total = int(n.sum())
+        n_seqs = (total + seq_len - 1) // seq_len
+        # docs-per-seq via difference array (vectorized interval add)
+        diff = np.zeros(n_seqs + 1, dtype=np.int64)
+        np.add.at(diff, first, 1)
+        np.add.at(diff, last + 1, -1)
+        n_docs = np.cumsum(diff[:-1])
+        seq_id = np.arange(n_seqs, dtype=np.int64)
+        n_tok = np.minimum(seq_len, total - seq_id * seq_len)
+        return pd.DataFrame({
+            "source": pd.array([g["source"].iloc[0]] * n_seqs,
+                               dtype="object"),
+            "seq_id": pd.array(seq_id, dtype="int64"),
+            "n_docs": pd.array(n_docs, dtype="int64"),
+            "n_tok": pd.array(n_tok, dtype="int64")})
+
+    return (ds.map_batches(count_toks, batch_format="pandas")
+            .groupby("source")
+            .map_groups(pack, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota cap (deterministic hash-rank downsampling)
+# ---------------------------------------------------------------------------
+def q_domain_quota(sf_dir: str, quota: int = 50):
+    """Cap each source at ``quota`` documents chosen by ascending
+    stable md5 hash of doc_id — the per-domain downsampling step every
+    crawl pipeline runs so no single site dominates the training mix.
+    Hash-rank selection is a reproducible "random" sample (pure
+    function of doc_id, no RNG state).  Per-batch partial keeps only
+    its local top-``quota`` per source plus (count, char-sum) totals,
+    so the merge task sees O(sources × quota) candidate rows, never
+    the corpus — the bounded-aggregate shape of q_train_split with a
+    top-k twist.  Output per source: n_total, n_kept, sum_chars_kept."""
+    from bb_ocr_ray.functions.hashing import stable_u64
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"].notna()].copy()
+        if not len(b):
+            return pd.DataFrame({
+                "source": pd.array([], dtype="object"),
+                "hv": pd.array([], dtype="object"),
+                "doc_id": pd.array([], dtype="int64"),
+                "n_chars": pd.array([], dtype="float64"),
+                "n_sub": pd.array([], dtype="int64")})
+        b["source"] = b["source"].fillna("").astype(object)
+        # object dtype: hashes are full-width uint64 (> int64 max)
+        b["hv"] = pd.array(
+            [stable_u64(str(int(d))) for d in b["doc_id"]], dtype="object")
+        b["n_sub"] = 1  # rows this candidate row stands for (count only)
+        keep = (b.sort_values(["source", "hv", "doc_id"], kind="mergesort")
+                .groupby("source", as_index=False, sort=False)
+                .head(quota))
+        # totals rows: candidates dropped here must still be counted
+        dropped = b.loc[~b.index.isin(keep.index)]
+        if len(dropped):
+            tot = dropped.groupby("source", as_index=False).agg(
+                n_sub=("doc_id", "size"))
+            tot["hv"] = None       # sorts nowhere: never selectable
+            tot["doc_id"] = -1
+            tot["n_chars"] = np.nan
+            keep = pd.concat([keep, tot[keep.columns]], ignore_index=True)
+        return keep
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        cand = b[b["hv"].notna()].copy()
+        kept = (cand.sort_values(["source", "hv", "doc_id"],
+                                 kind="mergesort")
+                .groupby("source", as_index=False, sort=False)
+                .head(quota))
+        out = b.groupby("source", as_index=False).agg(
+            n_total=("n_sub", "sum"))
+        ks = kept.groupby("source", as_index=False).agg(
+            n_kept=("doc_id", "size"),
+            sum_chars_kept=("n_chars", "sum"))
+        out = out.merge(ks, on="source", how="left")
+        out["n_total"] = out["n_total"].astype("int64")
+        out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+        out["sum_chars_kept"] = (
+            out["sum_chars_kept"].fillna(0).astype("int64"))
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level filtering
+# ---------------------------------------------------------------------------
+_ASCII_LOWER = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                             "abcdefghijklmnopqrstuvwxyz")
+
+
+def q_line_filter(sf_dir: str, min_words: int = 3):
+    """C4's line-level cleaning rules as a doc-local batch transform:
+    a line survives iff (after stripping ASCII space/tab/CR) it ends
+    in terminal punctuation [.!?"], has >= ``min_words`` words, and
+    does not mention 'javascript' (C4 drops boilerplate JS warnings).
+    Emits per doc: total lines, kept lines, and the char length of the
+    newline-rejoined cleaned text.  One map_batches, NO shuffle — the
+    ideal 100-TB operator shape.  Cross-engine determinism: the
+    case-fold for the javascript test is an explicit A-Z->a-z
+    translate (Python .lower()/SQL lower() disagree on exotic unicode
+    case maps, cf. detect_lang), the strip set and the word splitter
+    '[ \\t\\r\\f\\v]+' are shared ASCII classes, and lengths are code
+    points on both engines."""
+    import re
+
+    word_re = re.compile("[ \t\r\f\v]+")
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        ids, nl, nk, nc = [], [], [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            if pd.isna(d):
+                continue
+            lines = (t or "").split("\n")
+            kept_len = 0
+            kept = 0
+            for raw in lines:
+                s = raw.strip(" \t\r")
+                if not s or s[-1] not in '.!?"':
+                    continue
+                if "javascript" in s.translate(_ASCII_LOWER):
+                    continue
+                if len([w for w in word_re.split(s) if w]) < min_words:
+                    continue
+                kept += 1
+                kept_len += len(s)
+            ids.append(int(d))
+            nl.append(len(lines))
+            nk.append(kept)
+            nc.append(kept_len + max(0, kept - 1))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "n_lines": pd.array(nl, dtype="int64"),
+            "n_kept": pd.array(nk, dtype="int64"),
+            "n_chars_kept": pd.array(nc, dtype="int64")})
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids
+# ---------------------------------------------------------------------------
+def q_centroids(sf_dir: str):
+    """Per-label mean embedding in long form (label, dim, n_vecs,
+    mean_val) — the assignment-free half of a k-means iteration and
+    the class-prototype builder for embedding-space analytics.
+    Per-batch partial: one float64 sum vector + count per label
+    (mergeable, O(labels × 64) per batch regardless of batch size);
+    final merge in one bounded task.  Accumulation is float64 even
+    though storage is float32 — cast is exact, and cross-engine sum
+    order differs by ~1e-13, absorbed by round-6."""
+    ds = _read_parquet(_t(sf_dir, "embeddings"),
+                       columns=["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sums: dict = {}
+        counts: dict = {}
+        for lab, emb in zip(b["label"], b["embedding"]):
+            if emb is None or (isinstance(emb, float) and pd.isna(emb)):
+                continue
+            v = np.asarray(emb, dtype=np.float64)
+            key = None if pd.isna(lab) else int(lab)
+            if key in sums:
+                sums[key] += v
+                counts[key] += 1
+            else:
+                sums[key] = v.copy()
+                counts[key] = 1
+        labs, dims, ns, ss = [], [], [], []
+        for key, v in sums.items():
+            d = len(v)
+            labs.extend([key] * d)
+            dims.extend(range(1, d + 1))
+            ns.extend([counts[key]] * d)
+            ss.extend(v)
+        return pd.DataFrame({
+            "label": pd.array(labs, dtype="object"),
+            "dim": pd.array(dims, dtype="int64"),
+            "n_vecs": pd.array(ns, dtype="int64"),
+            "s": pd.array(ss, dtype="float64")})
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["label", "dim"], as_index=False, dropna=False).agg(
+            n_vecs=("n_vecs", "sum"), s=("s", "sum"))
+        g["n_vecs"] = g["n_vecs"].astype("int64")
+        g["mean_val"] = _round_sql(g["s"] / g["n_vecs"], 6)
+        # labels are non-null in every fixture; a null would need the
+        # Int64 extension dtype, which the gate's canon can't compare
+        g["label"] = g["label"].astype("int64")
+        return g[["label", "dim", "n_vecs", "mean_val"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+QUERIES.update({"q_lm_score": q_lm_score,
+                "q_pack_sequences": q_pack_sequences,
+                "q_domain_quota": q_domain_quota,
+                "q_line_filter": q_line_filter,
+                "q_centroids": q_centroids})
