@@ -1180,3 +1180,127 @@ ORACLES["q_centroids"] = """
            round(avg(CAST(v AS DOUBLE)), 6) AS mean_val
     FROM e GROUP BY 1, 2
 """
+
+
+# Outlier filter: exact quantile_disc bounds, per-source kept/dropped
+# summary; NULL n_chars lands in no bucket (FILTER semantics).
+ORACLES["q_outlier_filter"] = """
+    WITH b AS (SELECT quantile_disc(n_chars, 0.01) AS lo,
+                      quantile_disc(n_chars, 0.99) AS hi
+               FROM documents)
+    SELECT coalesce(source, '') AS source,
+           CAST(coalesce(count(*) FILTER (n_chars >= lo
+                                          AND n_chars <= hi), 0)
+                AS BIGINT) AS n_kept,
+           CAST(coalesce(count(*) FILTER (n_chars < lo), 0) AS BIGINT)
+               AS n_low,
+           CAST(coalesce(count(*) FILTER (n_chars > hi), 0) AS BIGINT)
+               AS n_high,
+           CAST(coalesce(sum(n_chars) FILTER (n_chars >= lo
+                                              AND n_chars <= hi), 0)
+                AS BIGINT) AS chars_kept,
+           CAST(any_value(lo) AS BIGINT) AS lo,
+           CAST(any_value(hi) AS BIGINT) AS hi
+    FROM documents, b GROUP BY 1
+"""
+
+
+# Greedy-earliest 3-step funnel; strict (ts, event_id) succession.
+ORACLES["q_funnel"] = """
+    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    u AS (SELECT DISTINCT user_id FROM e),
+    v1 AS (SELECT user_id, ts, event_id FROM (
+               SELECT user_id, ts, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM e WHERE event_type = 'view') WHERE rn = 1),
+    c1 AS (SELECT user_id, ts, event_id FROM (
+               SELECT e.user_id, e.ts, e.event_id,
+                      row_number() OVER (PARTITION BY e.user_id
+                                         ORDER BY e.ts, e.event_id) AS rn
+               FROM e JOIN v1 USING (user_id)
+               WHERE e.event_type = 'click'
+                 AND (e.ts, e.event_id) > (v1.ts, v1.event_id))
+           WHERE rn = 1),
+    p1 AS (SELECT user_id FROM (
+               SELECT e.user_id,
+                      row_number() OVER (PARTITION BY e.user_id
+                                         ORDER BY e.ts, e.event_id) AS rn
+               FROM e JOIN c1 USING (user_id)
+               WHERE e.event_type = 'purchase'
+                 AND (e.ts, e.event_id) > (c1.ts, c1.event_id))
+           WHERE rn = 1)
+    SELECT u.user_id,
+           CAST(CASE WHEN p1.user_id IS NOT NULL THEN 3
+                     WHEN c1.user_id IS NOT NULL THEN 2
+                     WHEN v1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM u LEFT JOIN v1 ON u.user_id = v1.user_id
+           LEFT JOIN c1 ON u.user_id = c1.user_id
+           LEFT JOIN p1 ON u.user_id = p1.user_id
+"""
+
+
+# Cohort retention: epoch-day // 7 week index (never date_trunc);
+# distinct users per (cohort_week, offset) cell.
+ORACLES["q_retention"] = """
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(datediff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) // 7
+                           AS BIGINT) AS wk
+               FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    s AS (SELECT user_id, min(wk) AS cohort_week FROM e
+          WHERE event_type = 'signup' GROUP BY 1),
+    a AS (SELECT DISTINCT e.user_id, s.cohort_week,
+                          e.wk - s.cohort_week AS week_offset
+          FROM e JOIN s USING (user_id))
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM a GROUP BY 1, 2
+"""
+
+
+# Five-stage CTE mirror of q_corpus_pipeline: short-line clean ->
+# keep-min exact dedup on md5 -> hash-rank quota 50 -> 90/5/5 split.
+ORACLES["q_corpus_pipeline"] = """
+    WITH sp AS (SELECT doc_id, coalesce(source, '') AS source,
+                       string_split(coalesce(text, ''), chr(10)) AS ls
+                FROM documents WHERE doc_id IS NOT NULL),
+    lines AS (SELECT doc_id, source, unnest(ls) AS raw,
+                     unnest(generate_series(1, len(ls))) AS ln
+              FROM sp),
+    st AS (SELECT doc_id, source, ln,
+                  trim(raw, ' ' || chr(9) || chr(13)) AS line
+           FROM lines),
+    k AS (SELECT * FROM st
+          WHERE line <> ''
+            AND NOT contains(
+                  translate(line, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz'), 'javascript')
+            AND len(list_filter(regexp_split_to_array(line,
+                  '[ \t\r\f\v]+'), x -> x <> '')) >= 15),
+    cl AS (SELECT doc_id, any_value(source) AS source,
+                  string_agg(line, chr(10) ORDER BY ln) AS ctext
+           FROM k GROUP BY doc_id),
+    dd AS (SELECT *, row_number() OVER (PARTITION BY md5(ctext)
+                                        ORDER BY doc_id) AS rn
+           FROM cl),
+    d1 AS (SELECT doc_id, source, len(ctext) AS n FROM dd WHERE rn = 1),
+    q AS (SELECT *, row_number() OVER (
+              PARTITION BY source
+              ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)),
+                       doc_id) AS qr
+          FROM d1),
+    q1 AS (SELECT source, n,
+                  md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 AS b
+           FROM q WHERE qr <= 50),
+    sp2 AS (SELECT CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   source, n
+            FROM q1)
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_chars
+    FROM sp2 GROUP BY 1, 2
+"""

@@ -2809,3 +2809,298 @@ QUERIES.update({"q_lm_score": q_lm_score,
                 "q_domain_quota": q_domain_quota,
                 "q_line_filter": q_line_filter,
                 "q_centroids": q_centroids})
+
+
+# ---------------------------------------------------------------------------
+# Percentile-bounds outlier filter (two-pass, exact global quantiles)
+# ---------------------------------------------------------------------------
+def q_outlier_filter(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99):
+    """Drop length outliers outside the corpus's exact [p1, p99] of
+    n_chars — the Gopher/RefinedWeb "remove the freak documents" step.
+    Exact GLOBAL quantiles over an unbounded corpus normally need a
+    sort; n_chars is a bounded-cardinality integer domain, so pass 1
+    builds a value histogram instead (per-batch value->count partial
+    -> distinct-value-sized groupby -> driver cumsum picks the
+    quantile_disc element, ceil(q*n)-1 of the sorted multiset — exact
+    at any corpus size with shuffle bytes O(distinct lengths)).  The
+    two scalar bounds ride into pass 2 as closure constants; pass 2 is
+    a shuffle-free per-source summary (kept / below / above + kept
+    char mass).  NULL lengths fall in no bucket on either engine
+    (NaN comparisons and SQL FILTER agree)."""
+    import math
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "source", "n_chars"])
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["n_chars"].dropna().astype("int64").value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(dtype=np.int64),
+                             "c": vc.to_numpy(dtype=np.int64)})
+
+    hist = (ds.map_batches(hist_partial, batch_format="pandas")
+            .groupby("v").aggregate(Sum("c", alias_name="c"))
+            .to_pandas().sort_values("v", kind="mergesort"))
+    n = int(hist["c"].sum())
+    cum = hist["c"].cumsum().to_numpy()
+    vals = hist["v"].to_numpy(dtype=np.int64)
+
+    def pick(q: float) -> int:
+        # quantile_disc: element at index ceil(q*n)-1 of the sorted
+        # multiset == first value whose cumulative count exceeds it
+        return int(vals[np.searchsorted(cum, math.ceil(q * n) - 1,
+                                        side="right")])
+
+    lo, hi = pick(lo_q), pick(hi_q)
+
+    def summary(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["source"] = b["source"].fillna("").astype(object)
+        v = b["n_chars"]
+        b["n_kept"] = ((v >= lo) & (v <= hi)).astype("int64")
+        b["n_low"] = (v < lo).astype("int64")
+        b["n_high"] = (v > hi).astype("int64")
+        b["chars_kept"] = v.where(b["n_kept"] == 1, 0)
+        g = b.groupby("source", as_index=False).agg(
+            n_kept=("n_kept", "sum"), n_low=("n_low", "sum"),
+            n_high=("n_high", "sum"), chars_kept=("chars_kept", "sum"))
+        return g
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source", as_index=False).agg(
+            n_kept=("n_kept", "sum"), n_low=("n_low", "sum"),
+            n_high=("n_high", "sum"), chars_kept=("chars_kept", "sum"))
+        for c in ("n_kept", "n_low", "n_high", "chars_kept"):
+            g[c] = g[c].astype("int64")
+        g["lo"] = np.int64(lo)
+        g["hi"] = np.int64(hi)
+        return g
+
+    return (ds.map_batches(summary, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+QUERIES.update({"q_outlier_filter": q_outlier_filter})
+
+
+# ---------------------------------------------------------------------------
+# Sequential funnel (view -> click -> purchase), per-user stage
+# ---------------------------------------------------------------------------
+def q_funnel(sf_dir: str):
+    """Three-step strict-order funnel: each user's furthest stage,
+    where a step counts only if it occurs strictly after the PREVIOUS
+    matched step in (ts, event_id) order — the earliest view, then the
+    earliest click after that view, then the earliest purchase after
+    that click (MATCH_RECOGNIZE-lite; greedy-earliest matching is the
+    standard funnel semantics and is order-deterministic).  NULL-ts
+    events can't be ordered and NULL users can't be grouped; both are
+    excluded on both engines.  One
+    shuffle by user_id (inherent: the match is a per-user sequential
+    scan), then a linear pass per group — the sessionizer's scale
+    shape.  Output: (user_id, stage 0-3)."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_id", "event_type"])
+
+    steps = ("view", "click", "purchase")
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["ts"].notna()]
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.array([], dtype="int64"),
+                                 "stage": pd.array([], dtype="int64")})
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        stage = 0
+        i = 0
+        for step in steps:
+            nxt = np.nonzero(et[i:] == step)[0]
+            if not len(nxt):
+                break
+            stage += 1
+            i += nxt[0] + 1   # next step must come strictly after
+        return pd.DataFrame({
+            "user_id": pd.array([int(g["user_id"].iloc[0])], dtype="int64"),
+            "stage": pd.array([stage], dtype="int64")})
+
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["ts"].notna() & b["user_id"].notna()]
+
+    return (ds.map_batches(prefilter, batch_format="pandas")
+            .groupby("user_id").map_groups(scan, batch_format="pandas"))
+
+
+QUERIES.update({"q_funnel": q_funnel})
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (signup week x week offset -> distinct users)
+# ---------------------------------------------------------------------------
+def q_retention(sf_dir: str):
+    """Weekly cohort retention: users grouped by the week of their
+    first 'signup' event, counted (distinct) in every week offset
+    where they have ANY activity — the canonical product-analytics
+    matrix.  Week index is integer epoch-day // 7 on both engines
+    (never date_trunc: week-start conventions differ across engines).
+    Plan: per-batch min-signup partial -> distributed groupby-Min
+    (cohort side, user-cardinality — NOT assumed to fit anywhere),
+    hash_join back to the batch-deduped (user, week) activity pairs,
+    then a bounded groupby over (cohort_week, offset) cells whose
+    group sizes are capped by cohort size.  NULL ts/user rows are
+    unorderable/ungroupable and excluded on both engines.  Offsets
+    can be negative (pre-signup activity) and are reported as such."""
+    from bb_ocr_ray.stages.joins import hash_join
+
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_type"])
+
+    _US_PER_DAY = 86_400_000_000
+
+    def _wk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["ts"].notna() & b["user_id"].notna()].copy()
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        b["wk"] = (us // _US_PER_DAY // 7).astype("int64")
+        b["user_id"] = b["user_id"].astype("int64")
+        return b
+
+    def sign_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = _wk(b)
+        b = b[b["event_type"] == "signup"]
+        return (b.groupby("user_id", as_index=False)
+                .agg(cohort_week=("wk", "min")))
+
+    sign = (ds.map_batches(sign_partial, batch_format="pandas")
+            .groupby("user_id")
+            .aggregate(Min("cohort_week", alias_name="cohort_week"))
+            .materialize())
+
+    def act_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = _wk(b)
+        return (b[["user_id", "wk"]].drop_duplicates()
+                .rename(columns={"wk": "act_week"}))
+
+    act = ds.map_batches(act_partial, batch_format="pandas")
+
+    def cell_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["week_offset"] = (b["act_week"].astype("int64")
+                            - b["cohort_week"].astype("int64"))
+        return (b[["cohort_week", "week_offset", "user_id"]]
+                .drop_duplicates())
+
+    def cell_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_week": pd.array([int(g["cohort_week"].iloc[0])],
+                                    dtype="int64"),
+            "week_offset": pd.array([int(g["week_offset"].iloc[0])],
+                                    dtype="int64"),
+            "n_users": pd.array([g["user_id"].nunique()], dtype="int64")})
+
+    return (hash_join(act, sign, on="user_id", how="inner")
+            .map_batches(cell_partial, batch_format="pandas")
+            .groupby(["cohort_week", "week_offset"])
+            .map_groups(cell_count, batch_format="pandas"))
+
+
+QUERIES.update({"q_retention": q_retention})
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition #2: clean -> dedup -> quota -> split -> summary
+# ---------------------------------------------------------------------------
+def q_corpus_pipeline(sf_dir: str, quota: int = 50):
+    """Five-stage web-corpus curation pipeline composed from this
+    round's operators, one streaming lineage end-to-end:
+
+      1. line-level clean (RefinedWeb-style short-line removal:
+         keep lines with >= 15 words and no 'javascript' — the C4
+         terminal-punct rule has zero signal on this corpus), drop
+         docs with no surviving line, rejoin kept lines with newline;
+      2. exact dedup on md5(cleaned text), keep-min-doc_id (the
+         q_dedup_exact discipline) — ONE sort shuffle on the 32-char
+         hash, payload never shuffled twice;
+      3. per-source quota cap by stable hash rank (q_domain_quota);
+      4. deterministic 90/5/5 split (q_train_split);
+      5. per-(split, source) doc/char summary.
+
+    Stages 3-5 run on bounded data (partial top-quota per batch ->
+    one merge task sees O(sources x quota)); stages 1-2 are the
+    corpus-sized part and are shuffle-minimal.  The oracle is one CTE
+    chain over the same five stages — integer/string-exact
+    throughout, so the value-hash gate covers the whole composition,
+    not just the stages in isolation."""
+    import re
+
+    from bb_ocr_ray.functions.hashing import md5_hex, stable_u64
+
+    word_re = re.compile("[ \t\r\f\v]+")
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "source", "text"])
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        ids, srcs, hs, ns = [], [], [], []
+        for d, src, t in zip(b["doc_id"], b["source"], b["text"]):
+            if pd.isna(d):
+                continue
+            kept = []
+            for raw in (t or "").split("\n"):
+                s = raw.strip(" \t\r")
+                if (s and "javascript" not in s.translate(_ASCII_LOWER)
+                        and len([w for w in word_re.split(s) if w]) >= 15):
+                    kept.append(s)
+            if not kept:
+                continue
+            ctext = "\n".join(kept)
+            ids.append(int(d))
+            srcs.append("" if pd.isna(src) else src)
+            hs.append(md5_hex(ctext))
+            ns.append(len(ctext))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "source": pd.array(srcs, dtype="object"),
+            "h": pd.array(hs, dtype="object"),
+            "n": pd.array(ns, dtype="int64")})
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("doc_id", kind="mergesort").head(1)
+                [["doc_id", "source", "n"]])
+
+    def quota_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["hv"] = pd.array(
+            [stable_u64(str(int(d))) for d in b["doc_id"]], dtype="object")
+        return (b.sort_values(["source", "hv", "doc_id"], kind="mergesort")
+                .groupby("source", as_index=False, sort=False).head(quota))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        kept = (b.sort_values(["source", "hv", "doc_id"], kind="mergesort")
+                .groupby("source", as_index=False, sort=False)
+                .head(quota).copy())
+        buck = np.array([stable_u64(str(int(d))) % 100
+                         for d in kept["doc_id"]], dtype=np.int64)
+        kept["split"] = np.where(buck < 90, "train",
+                                 np.where(buck < 95, "val", "test"))
+        g = kept.groupby(["split", "source"], as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["sum_chars"] = g["sum_chars"].astype("int64")
+        return g
+
+    out = (ds.map_batches(clean, batch_format="pandas")
+           .groupby("h").map_groups(keep_min, batch_format="pandas")
+           .map_batches(quota_partial, batch_format="pandas")
+           .repartition(1)
+           .map_batches(finish, batch_format="pandas", batch_size=None)
+           .to_pandas())
+    if not len(out.columns):
+        # all-empty Datasets lose their schema through to_pandas();
+        # the output is report-shaped (splits x sources), so the
+        # typed-empty driver-side fallback is the repo convention
+        out = pd.DataFrame({"split": pd.array([], dtype="object"),
+                            "source": pd.array([], dtype="object"),
+                            "n_docs": pd.array([], dtype="int64"),
+                            "sum_chars": pd.array([], dtype="int64")})
+    return out
+
+
+QUERIES.update({"q_corpus_pipeline": q_corpus_pipeline})
