@@ -1304,3 +1304,22 @@ ORACLES["q_corpus_pipeline"] = """
            CAST(sum(n) AS BIGINT) AS sum_chars
     FROM sp2 GROUP BY 1, 2
 """
+
+
+# Code-point Shannon entropy; log2 via ln/ln(2), per-occurrence sum.
+ORACLES["q_char_entropy"] = """
+    WITH ch AS (SELECT doc_id,
+                       unnest(string_split_regex(text, '')) AS c
+                FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  AND text <> ''),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                   count(*) AS n_distinct,
+                   sum(k * ln(CAST(k AS DOUBLE))) AS slk
+            FROM cnt GROUP BY 1)
+    SELECT doc_id, n AS n_chars, n_distinct,
+           round((ln(CAST(n AS DOUBLE)) - slk / n) / ln(2.0), 6)
+               AS entropy
+    FROM agg
+"""

@@ -3104,3 +3104,46 @@ def q_corpus_pipeline(sf_dir: str, quota: int = 50):
 
 
 QUERIES.update({"q_corpus_pipeline": q_corpus_pipeline})
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy (quality signal)
+# ---------------------------------------------------------------------------
+def q_char_entropy(sf_dir: str):
+    """Per-document Shannon entropy over code points, plus the
+    distinct-char count — the Gopher-family "gibberish / binary
+    spill" quality signal (natural text sits ~3.5-4.5 bits; base64
+    blobs and repeated-char padding fall far outside).  Doc-local,
+    one map_batches, NO shuffle.  entropy = log2(n) - (1/n) * sum
+    c*log2(c) over char counts c — the engine folds per DISTINCT char
+    while the oracle sums per occurrence; both accumulate ~1e-13
+    float error, absorbed by round-6.  Empty/NULL docs emit no row
+    (entropy of nothing is undefined, not zero)."""
+    import math
+    from collections import Counter
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ent(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, nd, es = [], [], [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            if pd.isna(d) or not t:
+                continue
+            c = Counter(t)
+            n = len(t)
+            h = math.log2(n) - sum(v * math.log2(v)
+                                   for v in c.values()) / n
+            ids.append(int(d))
+            ns.append(n)
+            nd.append(len(c))
+            es.append(float(_round_sql(h, 6)))
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "n_chars": pd.array(ns, dtype="int64"),
+            "n_distinct": pd.array(nd, dtype="int64"),
+            "entropy": pd.array(es, dtype="float64")})
+
+    return ds.map_batches(ent, batch_format="pandas")
+
+
+QUERIES.update({"q_char_entropy": q_char_entropy})
