@@ -200,3 +200,24 @@ def bloom_positions_u64(key: str, n_bits: int = _BLOOM_BITS,
     h1 = h & 0xFFFFFFFF
     h2 = ((h >> 32) & 0xFFFFFFFF) | 1
     return [(h1 + i * h2) % n_bits for i in range(n_hashes)]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch buckets (mergeable frequency sketch, integer-exact)
+# ---------------------------------------------------------------------------
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def cms_buckets(key: str, depth: int = _CMS_DEPTH,
+                width: int = _CMS_WIDTH) -> list:
+    """Bucket of ``key`` in each of the sketch's ``depth`` rows.
+
+    Row i hashes the salted key ``"cms{i}|{key}"`` through the stable
+    md5-derived 64-bit hash and takes it mod ``width`` — the salt
+    string (not a seeded permutation) keeps the DuckDB mirror a plain
+    ``md5_number_upper('cms0|' || k) % width`` so the register STATE
+    and the per-key min-over-rows estimate are both integer-exact and
+    oracle-checkable (same pattern as the HLL / Bloom registers
+    above)."""
+    return [stable_u64(f"cms{i}|{key}") % width for i in range(depth)]

@@ -1323,3 +1323,66 @@ ORACLES["q_char_entropy"] = """
                AS entropy
     FROM agg
 """
+
+
+# Count-Min sketch: register state and per-key estimate mirrored in
+# integer SQL (md5_number_upper == hashing.stable_u64, verified
+# bit-identical; salt 'cms{i}|' and width 1024 from hashing._CMS_*).
+# Heavy hitter := TRUE count * 125 >= n (the engine's est-based
+# prefilter is recall-1 because est >= true by construction, and its
+# local-candidate pass is recall-1 by pigeonhole, so both sides name
+# the same keys); est_count is reported alongside and must match the
+# register math exactly.
+ORACLES["q_cms_heavy_hitters"] = """
+    WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k
+                FROM events WHERE user_id IS NOT NULL),
+    tot AS (SELECT count(*) AS n FROM ev),
+    rowh AS (SELECT user_id,
+                    CAST(md5_number_upper('cms0|' || k) % 1024 AS BIGINT) AS h0,
+                    CAST(md5_number_upper('cms1|' || k) % 1024 AS BIGINT) AS h1,
+                    CAST(md5_number_upper('cms2|' || k) % 1024 AS BIGINT) AS h2,
+                    CAST(md5_number_upper('cms3|' || k) % 1024 AS BIGINT) AS h3
+             FROM ev),
+    reg AS (SELECT i, b, count(*) AS c FROM (
+                SELECT 0 AS i, h0 AS b FROM rowh
+                UNION ALL SELECT 1, h1 FROM rowh
+                UNION ALL SELECT 2, h2 FROM rowh
+                UNION ALL SELECT 3, h3 FROM rowh)
+            GROUP BY 1, 2),
+    keyh AS (SELECT user_id, any_value(h0) AS h0, any_value(h1) AS h1,
+                    any_value(h2) AS h2, any_value(h3) AS h3
+             FROM rowh GROUP BY user_id),
+    est AS (SELECT kh.user_id,
+                   least(r0.c, r1.c, r2.c, r3.c) AS est_count
+            FROM keyh kh
+            JOIN reg r0 ON r0.i = 0 AND r0.b = kh.h0
+            JOIN reg r1 ON r1.i = 1 AND r1.b = kh.h1
+            JOIN reg r2 ON r2.i = 2 AND r2.b = kh.h2
+            JOIN reg r3 ON r3.i = 3 AND r3.b = kh.h3),
+    truec AS (SELECT user_id, count(*) AS true_count FROM ev GROUP BY 1)
+    SELECT e.user_id, CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(t.true_count AS BIGINT) AS true_count
+    FROM est e JOIN truec t USING (user_id), tot
+    WHERE t.true_count * 125 >= tot.n
+    ORDER BY e.user_id
+"""
+
+
+ORACLES["q_rank_window"] = """
+    WITH r AS (SELECT s_nationkey, s_name, s_acctbal,
+                      rank() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal DESC) AS rnk
+               FROM supplier WHERE s_acctbal IS NOT NULL)
+    SELECT n.n_name, r.s_name, round(r.s_acctbal, 2) AS s_acctbal,
+           r.rnk
+    FROM r JOIN nation n ON r.s_nationkey = n.n_nationkey
+    WHERE r.rnk <= 3
+    ORDER BY n.n_name, r.rnk, r.s_name
+"""
+
+
+ORACLES["q_cross_join"] = """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    ORDER BY 1, 2
+"""

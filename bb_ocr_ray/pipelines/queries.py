@@ -3147,3 +3147,226 @@ def q_char_entropy(sf_dir: str):
 
 
 QUERIES.update({"q_char_entropy": q_char_entropy})
+
+
+# ---------------------------------------------------------------------------
+# Count-Min-sketch heavy hitters (frequency sketch + exact verify)
+# ---------------------------------------------------------------------------
+def q_cms_heavy_hitters(sf_dir: str):
+    """Heavy hitters over events.user_id via a Count-Min sketch
+    (Cormode & Muthukrishnan 2005) with an exact verify pass — the
+    missing member of the repo's mergeable-sketch family (MinHash /
+    SimHash / HLL / Bloom).
+
+    Pass A (ONE scan): each batch emits (a) its local DEPTH x WIDTH
+    register partial — np.add.at over the batch's UNIQUE keys
+    weighted by their local counts, so hashing cost is per unique
+    key, not per row — and (b) its local heavy-hitter candidates
+    (local_count * 125 >= local_n).  Pigeonhole: a key with global
+    count >= n/125 must clear that bar in at least one batch, so
+    candidate recall is exactly 1 without ever shuffling the key
+    space.  Registers (4096 ints) and candidates (<= key
+    cardinality) are bounded, so they finish in one repartition(1)
+    task (the repo's bounded-aggregate pattern).
+
+    Pass B: exact counts for the est-surviving candidates only —
+    the sketch prunes the verify shuffle to heavy rows; the final
+    filter is on the TRUE count, so the answer is exact while
+    est_count (min over rows of the merged registers, >= true by
+    construction) is reported alongside and oracle-checked
+    integer-exactly."""
+    from bb_ocr_ray.functions.hashing import (_CMS_DEPTH, _CMS_WIDTH,
+                                              cms_buckets)
+
+    PHI_DEN = 125  # heavy hitter := count * PHI_DEN >= n_total
+
+    ds = _read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].dropna().astype("int64")
+        empty = pd.DataFrame({
+            "kind": pd.array([], dtype="object"),
+            "i": pd.array([], dtype="int64"),
+            "b": pd.array([], dtype="int64"),
+            "c": pd.array([], dtype="int64"),
+            "key": pd.array([], dtype="int64")})
+        if not len(u):
+            return empty
+        keys, counts = np.unique(u.to_numpy(), return_counts=True)
+        reg = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+        for k, c in zip(keys, counts):
+            bks = cms_buckets(str(int(k)))
+            for i in range(_CMS_DEPTH):
+                reg[i, bks[i]] += int(c)
+        nz_i, nz_b = np.nonzero(reg)
+        local_n = int(counts.sum())
+        cand = keys[counts * PHI_DEN >= local_n]
+        out = pd.DataFrame({
+            "kind": np.concatenate([np.repeat("reg", len(nz_i)),
+                                    np.repeat("cand", len(cand))]),
+            "i": np.concatenate([nz_i.astype(np.int64),
+                                 np.zeros(len(cand), dtype=np.int64)]),
+            "b": np.concatenate([nz_b.astype(np.int64),
+                                 np.zeros(len(cand), dtype=np.int64)]),
+            "c": np.concatenate([reg[nz_i, nz_b],
+                                 np.zeros(len(cand), dtype=np.int64)]),
+            "key": np.concatenate([np.zeros(len(nz_i), dtype=np.int64),
+                                   cand.astype(np.int64)])})
+        return out
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        # Register rows sum across batches; candidate rows (i = -1,
+        # key in "key") dedup to the union of local heavy hitters.
+        r = b[b["kind"] == "reg"]
+        g = r.groupby(["i", "b"], as_index=False)["c"].sum()
+        cand = np.unique(b.loc[b["kind"] == "cand", "key"].to_numpy())
+        return pd.DataFrame({
+            "i": np.concatenate([g["i"].to_numpy(dtype=np.int64),
+                                 np.full(len(cand), -1, dtype=np.int64)]),
+            "b": np.concatenate([g["b"].to_numpy(dtype=np.int64),
+                                 np.zeros(len(cand), dtype=np.int64)]),
+            "c": np.concatenate([g["c"].to_numpy(dtype=np.int64),
+                                 np.zeros(len(cand), dtype=np.int64)]),
+            "key": np.concatenate([np.zeros(len(g), dtype=np.int64),
+                                   cand.astype(np.int64)])})
+
+    state = (ds.map_batches(partial, batch_format="pandas")
+             .repartition(1)
+             .map_batches(merge, batch_format="pandas", batch_size=None)
+             .to_pandas())
+    if not len(state):
+        return pd.DataFrame({
+            "user_id": pd.array([], dtype="int64"),
+            "est_count": pd.array([], dtype="int64"),
+            "true_count": pd.array([], dtype="int64")})
+
+    reg = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    rr = state[state["i"] >= 0]
+    reg[rr["i"].to_numpy(), rr["b"].to_numpy()] = rr["c"].to_numpy()
+    n_total = int(reg[0].sum())
+    cands = sorted(int(x) for x in state.loc[state["i"] < 0, "key"])
+
+    def est(k: int) -> int:
+        bks = cms_buckets(str(k))
+        return int(min(reg[i, bks[i]] for i in range(_CMS_DEPTH)))
+
+    survivors = [k for k in cands if est(k) * PHI_DEN >= n_total]
+    if not survivors:
+        return pd.DataFrame({
+            "user_id": pd.array([], dtype="int64"),
+            "est_count": pd.array([], dtype="int64"),
+            "true_count": pd.array([], dtype="int64")})
+
+    # Pass B: exact counts for survivors only (bounded by |survivors|).
+    keep = set(survivors)
+
+    def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].dropna().astype("int64")
+        u = u[u.isin(keep)]
+        if not len(u):
+            return pd.DataFrame({"user_id": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        k, c = np.unique(u.to_numpy(), return_counts=True)
+        return pd.DataFrame({"user_id": k.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    def exact_merge(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", as_index=False)["n"].sum()
+        g["user_id"] = g["user_id"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    truec = (ds.map_batches(exact_partial, batch_format="pandas")
+             .repartition(1)
+             .map_batches(exact_merge, batch_format="pandas",
+                          batch_size=None)
+             .to_pandas())
+    tmap = dict(zip(truec["user_id"], truec["n"]))
+    rows = [(k, est(k), int(tmap.get(k, 0))) for k in survivors
+            if int(tmap.get(k, 0)) * PHI_DEN >= n_total]
+    return pd.DataFrame(rows, columns=["user_id", "est_count",
+                                       "true_count"]).astype("int64")
+
+
+QUERIES.update({"q_cms_heavy_hitters": q_cms_heavy_hitters})
+
+
+# ---------------------------------------------------------------------------
+# Window rank per partition (SQL rank() OVER semantics, ties included)
+# ---------------------------------------------------------------------------
+def q_rank_window(sf_dir: str):
+    """Top-3-ranked suppliers by account balance within each nation —
+    rank() OVER (PARTITION BY ... ORDER BY ... DESC) with SQL tie
+    semantics (equal balances share a rank; the next rank skips), so
+    boundary ties can return MORE than 3 rows per nation.  Distinct
+    from q_topk_per_group, which is row-limit top-k without a rank
+    column.
+
+    Shape: one groupby(s_nationkey).map_groups — partition key is the
+    shuffle key, rank is computed group-locally via pandas
+    rank(method="min") (== SQL rank()) — then the nation name comes
+    from a broadcast dim lookup, never a second shuffle."""
+    from bb_ocr_ray.stages.joins import broadcast_join
+
+    sup = _read_parquet(
+        _t(sf_dir, "supplier"),
+        columns=["s_nationkey", "s_name", "s_acctbal"])
+
+    def rnk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["s_acctbal"])
+        if not len(g):
+            return pd.DataFrame({
+                "s_nationkey": pd.array([], dtype="int64"),
+                "s_name": pd.array([], dtype="object"),
+                "s_acctbal": pd.array([], dtype="float64"),
+                "rnk": pd.array([], dtype="int64")})
+        out = g.copy()
+        out["rnk"] = (out["s_acctbal"]
+                      .rank(method="min", ascending=False)
+                      .astype("int64"))
+        out = out[out["rnk"] <= 3]
+        return out[["s_nationkey", "s_name", "s_acctbal", "rnk"]]
+
+    ranked = sup.groupby("s_nationkey").map_groups(
+        rnk, batch_format="pandas")
+    dim = _read_parquet(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = dim.rename(columns={"n_nationkey": "s_nationkey"})
+    out = broadcast_join(ranked, dim, on="s_nationkey").to_pandas()
+    out["s_acctbal"] = _round_sql(out["s_acctbal"].astype("float64"), 2)
+    out = (out[["n_name", "s_name", "s_acctbal", "rnk"]]
+           .sort_values(["n_name", "rnk", "s_name"])
+           .reset_index(drop=True))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cross join (cartesian product via broadcast replication)
+# ---------------------------------------------------------------------------
+def q_cross_join(sf_dir: str):
+    """region x nation cartesian product — the small side is put in
+    the object store ONCE and replicated per batch with np.repeat /
+    np.tile (each big-side batch of B rows expands to B x |small|
+    rows inside the task, so the product streams and no shuffle
+    happens).  At 100 TB the big side streams block-by-block and the
+    broadcast side must be driver-small — the same contract as every
+    broadcast join in the repo."""
+    import ray
+
+    nat = _read_parquet(_t(sf_dir, "nation"), columns=["n_name"])
+    reg = _read_parquet(_t(sf_dir, "region"),
+                        columns=["r_name"]).to_pandas()
+    reg_ref = ray.put(reg["r_name"].to_numpy())
+
+    def cross(b: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(reg_ref)
+        return pd.DataFrame({
+            "r_name": np.tile(r, len(b)),
+            "n_name": np.repeat(b["n_name"].to_numpy(), len(r))})
+
+    return (nat.map_batches(cross, batch_format="pandas")
+            .sort(["r_name", "n_name"]))
+
+
+QUERIES.update({"q_rank_window": q_rank_window,
+                "q_cross_join": q_cross_join})
