@@ -1386,3 +1386,47 @@ ORACLES["q_cross_join"] = """
     FROM region r CROSS JOIN nation n
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_intersect"] = """
+    SELECT user_id FROM events
+    WHERE event_type = 'click' AND user_id IS NOT NULL
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 90
+      AND user_id IS NOT NULL
+    ORDER BY user_id
+"""
+
+
+ORACLES["q_except"] = """
+    SELECT user_id FROM events
+    WHERE event_type = 'click' AND user_id IS NOT NULL
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 90
+      AND user_id IS NOT NULL
+    ORDER BY user_id
+"""
+
+
+# Same binning expression as q_value_histogram; quantile pick via
+# integer cross-multiplication (cum*den >= num*tot == cum >= ceil(q*tot)).
+ORACLES["q_quantile_sketch"] = """
+    WITH b AS (SELECT event_type,
+                      CAST(least(greatest(CAST(floor((value - 0.0)
+                           / (100.0 - 0.0) * 20) AS INTEGER), 0), 19)
+                           AS BIGINT) AS bin
+               FROM events WHERE value IS NOT NULL),
+    h AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    c AS (SELECT event_type, bin, n,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                 sum(n) OVER (PARTITION BY event_type) AS tot
+          FROM h)
+    SELECT event_type,
+           min(CASE WHEN cum * 2 >= tot THEN bin END) AS p50_bin,
+           min(CASE WHEN cum * 10 >= tot * 9 THEN bin END) AS p90_bin,
+           min(CASE WHEN cum * 100 >= tot * 99 THEN bin END) AS p99_bin,
+           CAST(any_value(tot) AS BIGINT) AS n
+    FROM c GROUP BY 1 ORDER BY 1
+"""

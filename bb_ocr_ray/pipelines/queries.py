@@ -3370,3 +3370,119 @@ def q_cross_join(sf_dir: str):
 
 QUERIES.update({"q_rank_window": q_rank_window,
                 "q_cross_join": q_cross_join})
+
+
+# ---------------------------------------------------------------------------
+# Distributed set ops: INTERSECT / EXCEPT (tag -> union -> flag groupby)
+# ---------------------------------------------------------------------------
+def _set_op_users(sf_dir: str, keep: str):
+    """Shared core of q_intersect / q_except: distinct click-users vs
+    distinct BIG-purchase users (purchase with value > 90 — every user
+    has every event type in the synthetic corpus, so a plain
+    purchase right side would make EXCEPT vacuously empty).  Each side
+    streams a per-batch DISTINCT partial with a side flag; the union
+    shuffles only (key, flag_a, flag_b) distinct partials — one
+    groupby on the key with Max flags, never the raw rows — then a
+    flag filter picks the set op.  At scale the shuffle payload is
+    bounded by key cardinality x blocks, the same combiner argument
+    as q_dedup_exact."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"])
+        a = np.unique(
+            b.loc[b["event_type"] == "click", "user_id"].to_numpy())
+        p = np.unique(
+            b.loc[(b["event_type"] == "purchase")
+                  & (b["value"] > 90), "user_id"].to_numpy())
+        keys = np.union1d(a, p)
+        return pd.DataFrame({
+            "user_id": keys.astype(np.int64),
+            "in_a": np.isin(keys, a).astype(np.int64),
+            "in_b": np.isin(keys, p).astype(np.int64)})
+
+    flags = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("user_id")
+             .aggregate(Max("in_a", alias_name="in_a"),
+                        Max("in_b", alias_name="in_b"))
+             .to_pandas())
+    if not len(flags):
+        return pd.DataFrame({"user_id": pd.array([], dtype="int64")})
+    if keep == "intersect":
+        out = flags[(flags["in_a"] == 1) & (flags["in_b"] == 1)]
+    else:
+        out = flags[(flags["in_a"] == 1) & (flags["in_b"] == 0)]
+    return (out[["user_id"]].astype("int64")
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def q_intersect(sf_dir: str):
+    """Distinct users present in BOTH the click and purchase streams —
+    SQL INTERSECT as a distributed tag-union-flag groupby (no
+    driver-side sets, no pairwise join)."""
+    return _set_op_users(sf_dir, "intersect")
+
+
+def q_except(sf_dir: str):
+    """Distinct users in the click stream but NOT the purchase stream —
+    SQL EXCEPT via the same one-shuffle flag machinery as
+    q_intersect (an anti-join restricted to distinct keys)."""
+    return _set_op_users(sf_dir, "except")
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles from the mergeable histogram sketch
+# ---------------------------------------------------------------------------
+def q_quantile_sketch(sf_dir: str):
+    """p50/p90/p99 PER event_type estimated from the same fixed-bin
+    histogram sketch as q_value_histogram — the scale path for
+    quantiles (exact per-group percentiles need a per-group sort;
+    the sketch is one additive shuffle of <=20 ints per group per
+    block).  The estimate is the smallest bin whose cumulative count
+    reaches ceil(q*n) — deterministic integer logic the oracle
+    mirrors with integer cross-multiplication (cum * 2 >= n etc.),
+    so the result is value-hash exact, not approximately compared.
+    NULL values are excluded on both sides."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "value"])
+    lo, hi, nbins = 0.0, 100.0, 20
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["value"].notna()]
+        b = np.clip(((batch["value"] - lo) / (hi - lo) * nbins).astype(int),
+                    0, nbins - 1)
+        df = pd.DataFrame({"event_type": batch["event_type"], "bin": b,
+                           "n": 1})
+        return df.groupby(["event_type", "bin"], as_index=False).sum()
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["event_type", "bin"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    if not len(hist):
+        return pd.DataFrame({
+            "event_type": pd.array([], dtype="object"),
+            "p50_bin": pd.array([], dtype="int64"),
+            "p90_bin": pd.array([], dtype="int64"),
+            "p99_bin": pd.array([], dtype="int64"),
+            "n": pd.array([], dtype="int64")})
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("bin")
+        cum = g["n"].cumsum().to_numpy()
+        bins = g["bin"].to_numpy()
+        tot = int(cum[-1])
+        def pick(num, den):
+            # smallest bin with cum * den >= num * tot  (== ceil logic)
+            return int(bins[np.argmax(cum * den >= num * tot)])
+        rows.append((et, pick(1, 2), pick(9, 10), pick(99, 100), tot))
+    return (pd.DataFrame(rows, columns=["event_type", "p50_bin",
+                                        "p90_bin", "p99_bin", "n"])
+            .sort_values("event_type").reset_index(drop=True))
+
+
+QUERIES.update({"q_intersect": q_intersect,
+                "q_except": q_except,
+                "q_quantile_sketch": q_quantile_sketch})
