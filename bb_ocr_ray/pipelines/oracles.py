@@ -1430,3 +1430,13 @@ ORACLES["q_quantile_sketch"] = """
            CAST(any_value(tot) AS BIGINT) AS n
     FROM c GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["q_pseudo_shuffle"] = """
+    SELECT doc_id, md5('shuf1|' || CAST(doc_id AS VARCHAR)) AS h,
+           CAST(row_number() OVER (ORDER BY
+               md5('shuf1|' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+               AS rank
+    FROM documents WHERE doc_id IS NOT NULL
+    ORDER BY h LIMIT 100
+"""

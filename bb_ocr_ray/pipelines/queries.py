@@ -3486,3 +3486,32 @@ def q_quantile_sketch(sf_dir: str):
 QUERIES.update({"q_intersect": q_intersect,
                 "q_except": q_except,
                 "q_quantile_sketch": q_quantile_sketch})
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (hash-order training-data reordering)
+# ---------------------------------------------------------------------------
+def q_pseudo_shuffle(sf_dir: str):
+    """Reproducible global shuffle for training-data ordering: sort by
+    md5('shuf1|' || doc_id) — a seeded hash order that is identical
+    across runs, partition layouts and engines, unlike
+    random_shuffle() whose permutation depends on block boundaries.
+    At scale this is ONE deterministic range-partitioned sort (the
+    same cost as any global sort) and changing the seed string
+    reshuffles every epoch.  Returns the first 100 docs of the
+    shuffled order with their sort rank."""
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["doc_id"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "h": [md5_hex(f"shuf1|{int(d)}") for d in b["doc_id"]]})
+
+    head = (ds.map_batches(keyed, batch_format="pandas")
+            .sort("h").limit(100).to_pandas())
+    head["rank"] = np.arange(1, len(head) + 1, dtype=np.int64)
+    return head
+
+
+QUERIES.update({"q_pseudo_shuffle": q_pseudo_shuffle})
