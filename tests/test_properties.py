@@ -128,3 +128,46 @@ def test_ws_tokens_sql_parity_fuzz(text):
         "'[ \t\n\r\f\v]+'), x -> x <> '') AS tk", params=[text]
     ).fetchone()[0]
     assert list(got) == ws_tokens(text)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=60))
+def test_cms_oracle_parity_fuzz(user_ids):
+    """The q_cms_heavy_hitters register CTE (md5_number_upper % width
+    per salted row) must agree with the engine's cms_buckets / min-
+    over-rows estimate on arbitrary int64 keys — the identity the
+    whole sketch oracle rests on."""
+    from bb_ocr_ray.functions.hashing import _CMS_DEPTH, cms_buckets
+
+    con = duckdb.connect()
+    df = pd.DataFrame({"user_id": pd.array(user_ids, dtype="int64")})
+    con.register("events", df)
+    got = con.sql("""
+        WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k
+                    FROM events WHERE user_id IS NOT NULL),
+        rowh AS (SELECT user_id,
+                    CAST(md5_number_upper('cms0|' || k) % 1024 AS BIGINT) AS h0,
+                    CAST(md5_number_upper('cms1|' || k) % 1024 AS BIGINT) AS h1,
+                    CAST(md5_number_upper('cms2|' || k) % 1024 AS BIGINT) AS h2,
+                    CAST(md5_number_upper('cms3|' || k) % 1024 AS BIGINT) AS h3
+                 FROM ev)
+        SELECT DISTINCT user_id, h0, h1, h2, h3 FROM rowh
+    """).df()
+    for _, row in got.iterrows():
+        assert [int(row[f"h{i}"]) for i in range(_CMS_DEPTH)] == \
+            cms_buckets(str(int(row["user_id"])))
+    # and the min-over-rows estimate upper-bounds the true count
+    import numpy as np
+
+    from bb_ocr_ray.functions.hashing import _CMS_WIDTH
+
+    reg = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    keys, counts = np.unique(np.array(user_ids), return_counts=True)
+    for k, c in zip(keys, counts):
+        for i, b in enumerate(cms_buckets(str(int(k)))):
+            reg[i, b] += int(c)
+    for k, c in zip(keys, counts):
+        est = min(reg[i, b] for i, b in
+                  enumerate(cms_buckets(str(int(k)))))
+        assert est >= c
