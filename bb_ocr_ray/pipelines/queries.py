@@ -3174,7 +3174,14 @@ def q_cms_heavy_hitters(sf_dir: str):
     filter is on the TRUE count, so the answer is exact while
     est_count (min over rows of the merged registers, >= true by
     construction) is reported alongside and oracle-checked
-    integer-exactly."""
+    integer-exactly.
+
+    Distribution note: phi = 1/125 names 13 of 150 users at sf0.01;
+    the synthetic corpus is UNIFORM with key cardinality growing with
+    sf, so at sf0.1 (1500 users, mean count n/1500) no key reaches
+    n/125 and the correct answer is empty — verified empty AGAINST
+    THE ORACLE, not silently.  The planted-flood unit test covers the
+    skewed case the sketch exists for."""
     from bb_ocr_ray.functions.hashing import (_CMS_DEPTH, _CMS_WIDTH,
                                               cms_buckets)
 
