@@ -12,6 +12,7 @@ Usage:
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -74,6 +75,27 @@ def main():
                    '{"k": 7}', "{}", "{}"]})
     extra_ev["ts"] = extra_ev["ts"].astype("datetime64[us]")
     ev = pd.concat([ev, extra_ev], ignore_index=True)
+    # CMS ceil-threshold boundary: pad the non-null-user row count to
+    # exactly 375 (a multiple of 125) with DISTINCT filler users
+    # (count 1 each — never heavy), plus one user with EXACTLY
+    # 375/125 = 3 events, so true_count * 125 == n holds with
+    # equality and any >= / > divergence between engine and oracle
+    # flips the q_cms_heavy_hitters membership.
+    n0 = int(ev["user_id"].notna().sum())
+    target = 375
+    while target < n0 + 3:
+        target += 125
+    n_fill = target - n0 - 3
+    pad = pd.DataFrame(
+        {"event_id": 98000 + np.arange(n_fill + 3),
+         "ts": pd.to_datetime("2024-01-02 00:00:00")
+         + pd.to_timedelta(np.arange(n_fill + 3), unit="min"),
+         "user_id": [777001] * 3 + [800000 + i for i in range(n_fill)],
+         "event_type": "view",
+         "value": 1.0,
+         "props": "{}"})
+    pad["ts"] = pad["ts"].astype("datetime64[us]")
+    ev = pd.concat([ev, pad], ignore_index=True)
     pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
                    f"{DST}/events.parquet")
     print(f"wrote {DST}: {len(docs)} docs, {len(ev)} events")
