@@ -1440,3 +1440,31 @@ ORACLES["q_pseudo_shuffle"] = """
     FROM documents WHERE doc_id IS NOT NULL
     ORDER BY h LIMIT 100
 """
+
+
+# Six-moment OLS mirror; DuckDB's regr_*/corr use running algorithms
+# that agree with the moment formulas to ~1e-12 here — round-6 on both
+# sides absorbs it (the repo's float determinism convention).
+ORACLES["q_regression"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6)
+               AS slope,
+           round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6)
+               AS intercept,
+           round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_xy
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_mode"] = """
+    WITH c AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+                      count(*) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, v AS mode_value, n AS n_mode
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, v) = 1
+    ORDER BY event_type
+"""

@@ -3522,3 +3522,101 @@ def q_pseudo_shuffle(sf_dir: str):
 
 
 QUERIES.update({"q_pseudo_shuffle": q_pseudo_shuffle})
+
+
+# ---------------------------------------------------------------------------
+# Grouped linear regression / correlation (mergeable moment sketches)
+# ---------------------------------------------------------------------------
+def q_regression(sf_dir: str):
+    """Per-event-type OLS of value against hour-of-day via the six
+    mergeable moments (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) — the
+    canonical distributed-statistics pattern: each batch collapses to
+    one moment row per group, the shuffle carries only moments, and
+    slope/intercept/corr are derived after the merge.  Float
+    summation-order drift between engine and oracle is absorbed by
+    round-6 (documented determinism convention).  Groups never have
+    zero x-variance in the fixtures; a production guard would emit
+    NULL like regr_slope does."""
+    ds = _read_parquet(_t(sf_dir, "events"), columns=["event_type",
+                                                      "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna() & b["ts"].notna()]
+        if not len(b):
+            return pd.DataFrame({
+                "event_type": pd.array([], dtype="object"),
+                **{c: pd.array([], dtype="float64")
+                   for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}})
+        x = b["ts"].dt.hour.to_numpy(dtype=np.float64)
+        y = b["value"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"event_type": b["event_type"], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y,
+                          "one": 1.0})
+        agg = g.groupby("event_type", as_index=False).sum()
+        return agg.rename(columns={"one": "n", "x": "sx", "y": "sy",
+                                   "xx": "sxx", "yy": "syy",
+                                   "xy": "sxy"})
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.groupby("event_type", as_index=False)[
+            ["n", "sx", "sy", "sxx", "syy", "sxy"]].sum()
+        n = m["n"]
+        cov = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+        varx = m["n"] * m["sxx"] - m["sx"] ** 2
+        vary = m["n"] * m["syy"] - m["sy"] ** 2
+        slope = cov / varx
+        return pd.DataFrame({
+            "event_type": m["event_type"],
+            "n": n.astype("int64"),
+            "slope": _round_sql(slope, 6),
+            "intercept": _round_sql((m["sy"] - slope * m["sx"]) / n, 6),
+            "corr_xy": _round_sql(cov / np.sqrt(varx * vary), 6)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None)
+            .sort("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode (most frequent value, deterministic tie-break)
+# ---------------------------------------------------------------------------
+def q_mode(sf_dir: str):
+    """Most frequent floor(value) per event_type — the mode aggregate
+    as a two-level count: per-batch (group, value) counts bound the
+    shuffle by value cardinality x groups, then one groupby-sum and a
+    deterministic argmax (highest count, smallest value on ties —
+    QUALIFY row_number() mirror)."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if not len(b):
+            return pd.DataFrame({
+                "event_type": pd.array([], dtype="object"),
+                "v": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64")})
+        g = pd.DataFrame({
+            "event_type": b["event_type"],
+            "v": np.floor(b["value"].to_numpy()).astype(np.int64),
+            "n": 1})
+        return g.groupby(["event_type", "v"], as_index=False).sum()
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.groupby(["event_type", "v"], as_index=False)["n"].sum()
+        m = m.sort_values(["event_type", "n", "v"],
+                          ascending=[True, False, True])
+        top = m.groupby("event_type", as_index=False).first()
+        return pd.DataFrame({
+            "event_type": top["event_type"],
+            "mode_value": top["v"].astype("int64"),
+            "n_mode": top["n"].astype("int64")})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None)
+            .sort("event_type"))
+
+
+QUERIES.update({"q_regression": q_regression, "q_mode": q_mode})
