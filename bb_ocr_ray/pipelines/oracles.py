@@ -1468,3 +1468,10 @@ ORACLES["q_mode"] = """
                                ORDER BY n DESC, v) = 1
     ORDER BY event_type
 """
+
+
+ORACLES["q_zip_index"] = """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_id
+    FROM documents WHERE doc_id IS NOT NULL
+"""

@@ -3620,3 +3620,64 @@ def q_mode(sf_dir: str):
 
 
 QUERIES.update({"q_regression": q_regression, "q_mode": q_mode})
+
+
+# ---------------------------------------------------------------------------
+# Global consecutive row numbering (distributed zipWithIndex)
+# ---------------------------------------------------------------------------
+def q_zip_index(sf_dir: str):
+    """Assign globally consecutive row numbers in doc_id order — the
+    zipWithIndex primitive Ray Data lacks, built scalably: pass 1
+    collapses each batch to a per-bucket count histogram (bucket =
+    doc_id // 512; bounded by key range / 512, NOT by row count), the
+    driver prefix-sums the bucket offsets, and pass 2 shuffles once by
+    bucket so each group sorts locally and emits offset[bucket] +
+    local rank.  No global sort of the data itself and nothing
+    row-sized ever on the driver.  Requires unique keys (doc_id is);
+    ties would need a declared total order."""
+    import ray
+
+    BUCKET = 512
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].dropna().astype("int64")
+        if not len(d):
+            return pd.DataFrame({"bucket": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        k, c = np.unique(d.to_numpy() // BUCKET, return_counts=True)
+        return pd.DataFrame({"bucket": k.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    h = (ds.map_batches(hist, batch_format="pandas")
+         .repartition(1)
+         .map_batches(lambda b: b.groupby("bucket", as_index=False).sum(),
+                      batch_format="pandas", batch_size=None)
+         .to_pandas())
+    if not len(h):
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "row_id": pd.array([], dtype="int64")})
+    h = h.sort_values("bucket")
+    offsets = dict(zip(h["bucket"].astype(int),
+                       np.concatenate([[0], h["n"].cumsum().to_numpy()[:-1]])))
+    off_ref = ray.put(offsets)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].dropna().astype("int64")
+        return pd.DataFrame({"doc_id": d,
+                             "bucket": (d // BUCKET).astype("int64")})
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "row_id": np.arange(off + 1, off + len(g) + 1,
+                                dtype=np.int64)})
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(number, batch_format="pandas"))
+
+
+QUERIES.update({"q_zip_index": q_zip_index})
