@@ -3627,18 +3627,37 @@ QUERIES.update({"q_regression": q_regression, "q_mode": q_mode})
 # ---------------------------------------------------------------------------
 def q_zip_index(sf_dir: str):
     """Assign globally consecutive row numbers in doc_id order — the
-    zipWithIndex primitive Ray Data lacks, built scalably: pass 1
-    collapses each batch to a per-bucket count histogram (bucket =
-    doc_id // 512; bounded by key range / 512, NOT by row count), the
-    driver prefix-sums the bucket offsets, and pass 2 shuffles once by
-    bucket so each group sorts locally and emits offset[bucket] +
-    local rank.  No global sort of the data itself and nothing
-    row-sized ever on the driver.  Requires unique keys (doc_id is);
-    ties would need a declared total order."""
+    zipWithIndex primitive Ray Data lacks, built scalably: a min/max
+    pre-pass sizes the bucket width so the bucket COUNT is bounded at
+    ~2^16 regardless of key range (a fixed width would put
+    key_range/width offsets on the driver — 2e9 entries at 10^12
+    docs); pass 2 collapses each batch to a per-bucket count
+    histogram, the driver prefix-sums the ≤65k bucket offsets, and
+    pass 3 shuffles once by bucket so each group sorts locally and
+    emits offset[bucket] + local rank.  No global sort of the data
+    itself and nothing row-sized ever on the driver.  Requires unique
+    keys (doc_id is); ties would need a declared total order."""
     import ray
 
-    BUCKET = 512
     ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def mm(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].dropna()
+        if not len(d):
+            return pd.DataFrame({"lo": pd.array([], dtype="int64"),
+                                 "hi": pd.array([], dtype="int64")})
+        return pd.DataFrame({"lo": [int(d.min())], "hi": [int(d.max())]})
+
+    bounds = (ds.map_batches(mm, batch_format="pandas")
+              .repartition(1)
+              .map_batches(lambda b: b if not len(b) else pd.DataFrame(
+                  {"lo": [int(b["lo"].min())], "hi": [int(b["hi"].max())]}),
+                  batch_format="pandas", batch_size=None)
+              .to_pandas())
+    if not len(bounds):
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "row_id": pd.array([], dtype="int64")})
+    BUCKET = max(512, (int(bounds["hi"][0]) - int(bounds["lo"][0])) // 65536)
 
     def hist(b: pd.DataFrame) -> pd.DataFrame:
         d = b["doc_id"].dropna().astype("int64")
