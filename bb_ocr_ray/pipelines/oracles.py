@@ -37,10 +37,15 @@ _NTOK = ("(length(coalesce(text, '')) - "
 
 ORACLES = {
     "q1_pricing_summary": """
+        -- Integer-cent exact money sums (mirror of the engine's int64
+        -- fold; a float sum's rounding stopped matching at sf0.1)
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)        AS sum_qty,
-               round(sum(l_extendedprice), 2)   AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                     / 100.0, 2)                AS sum_base_price,
+               round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+                     / 10000.0, 2)              AS sum_disc_price,
                count(*)                         AS count_order,
                round(sum(l_quantity) / count(*), 4) AS avg_qty
         FROM lineitem
@@ -69,14 +74,16 @@ ORACLES = {
     """,
     "q_hash_join": """
         SELECT o_orderstatus,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+                     / 10000.0, 2) AS revenue,
                count(*) AS n_lineitems
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
     """,
     "q_broadcast_join_nation": """
         SELECT r_name, count(*) AS n_customers,
-               round(sum(c_acctbal), 2) AS total_acctbal
+               round(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0, 2) AS total_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -84,7 +91,9 @@ ORACLES = {
     """,
     "q5_revenue_by_nation": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+                     / 10000.0, 2) AS revenue,
                count(*) AS n_lineitems
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
@@ -302,7 +311,9 @@ ORACLES.update({
 
 ORACLES.update({
     "q6_revenue_delta": """
-        SELECT coalesce(round(sum(l_extendedprice * l_discount), 2), 0.0)
+        SELECT coalesce(round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                              * CAST(round(l_discount * 100.0) AS BIGINT))
+                          / 10000.0, 2), 0.0)
                    AS revenue,
                count(*) AS n_rows
         FROM lineitem
@@ -350,7 +361,7 @@ ORACLES.update({
     "q_rollup": """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0, 2) AS revenue
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -767,7 +778,7 @@ ORACLES["q_group_concat"] = """
 ORACLES["q_cube"] = """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0, 2) AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -875,8 +886,9 @@ ORACLES["q_hll_registers"] = """
 
 ORACLES["q_composite_join"] = """
     SELECT l.l_linestatus AS status,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-               AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT)))
+                 / 10000.0, 2) AS revenue,
            count(*) AS n
     FROM lineitem l JOIN orders o
       ON l.l_orderkey = o.o_orderkey
@@ -930,7 +942,9 @@ ORACLES["q_training_prep"] = f"""
 
 ORACLES["q_pushdown_filter"] = """
     SELECT count(*) AS n,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
     FROM lineitem WHERE l_quantity < 10.0
 """
 

@@ -49,7 +49,16 @@ def q1_pricing_summary(sf_dir: str):
 
     The partial agg inside map_batches collapses each ~64k-row batch to
     ≤ 6 rows (|returnflag|×|linestatus|), so the shuffle moves a few
-    hundred partial rows instead of every lineitem row."""
+    hundred partial rows instead of every lineitem row.
+
+    Money sums are INTEGER-CENT exact: prices/discounts are 2-dp
+    decimals, so ext_cents = round(price*100) and disc_pct =
+    round(disc*100) are integers and the revenue sum is an int64 fold
+    (unit 1e-4 dollars) that is order-independent — round-2 on a
+    float sum stopped absorbing summation-order drift at sf0.1
+    (600k rows; caught by the full sf0.1 gate), while integer sums
+    are hash-identical to the oracle at ANY scale (int64 headroom
+    ~1e18: good to ~sf1000)."""
     ds = _read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -62,16 +71,19 @@ def q1_pricing_summary(sf_dir: str):
             return pd.DataFrame(
                 {c: pd.Series([], dtype=d) for c, d in
                  [("l_returnflag", "object"), ("l_linestatus", "object"),
-                  ("sum_qty", "float64"), ("sum_base_price", "float64"),
-                  ("sum_disc_price", "float64"), ("count_order", "int64")]}
+                  ("sum_qty", "float64"), ("base_cents", "int64"),
+                  ("disc_units", "int64"), ("count_order", "int64")]}
             )
-        batch = batch.assign(
-            disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"])
-        )
+        ext_c = _round_sql(batch["l_extendedprice"] * 100.0,
+                           0).astype("int64")
+        disc_pct = _round_sql(batch["l_discount"] * 100.0,
+                              0).astype("int64")
+        batch = batch.assign(base_cents=ext_c,
+                             disc_units=ext_c * (100 - disc_pct))
         g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            base_cents=("base_cents", "sum"),
+            disc_units=("disc_units", "sum"),
             count_order=("l_quantity", "size"),
         )
         return g
@@ -79,15 +91,18 @@ def q1_pricing_summary(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("base_cents", alias_name="base_cents"),
+        Sum("disc_units", alias_name="disc_units"),
         Sum("count_order", alias_name="count_order"),
     ).to_pandas()
     out["avg_qty"] = _round_sql(out["sum_qty"] / out["count_order"], 4)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        out[c] = _round_sql(out[c], 2)
+    out["sum_qty"] = _round_sql(out["sum_qty"], 2)
+    out["sum_base_price"] = _round_sql(
+        out["base_cents"].astype("int64") / 100.0, 2)
+    out["sum_disc_price"] = _round_sql(
+        out["disc_units"].astype("int64") / 10000.0, 2)
     out["count_order"] = out["count_order"].astype("int64")
-    return out
+    return out.drop(columns=["base_cents", "disc_units"])
 
 
 # ---------------------------------------------------------------------------
@@ -190,9 +205,15 @@ def q_hash_join(sf_dir: str):
         # Measured at sf0.1/32cpus: +0.3 s local (pandas groupby cost
         # exceeds the saved shuffle at this size) — kept because at
         # 100 TB the shuffle bytes, not the per-batch CPU, dominate
+        # revenue in integer 1e-4-dollar units: ext_cents*(100-disc_pct)
+        # — an order-independent int64 fold (float sums drift past
+        # round-2 at sf0.1; see q1)
         lambda b: pd.DataFrame(
             {"o_orderkey": b["l_orderkey"],
-             "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+             "revenue_u": _round_sql(b["l_extendedprice"] * 100.0, 0)
+             .astype("int64")
+             * (100 - _round_sql(b["l_discount"] * 100.0, 0)
+                .astype("int64")),
              "n": np.ones(len(b), dtype="int64")}
         ).groupby("o_orderkey", as_index=False).sum(),
         batch_format="pandas",
@@ -204,16 +225,17 @@ def q_hash_join(sf_dir: str):
     # hundred partial rows instead of re-shuffling every joined row
     partials = joined.map_batches(
         lambda b: b.groupby("o_orderstatus", as_index=False).agg(
-            revenue=("revenue", "sum"), n_lineitems=("n", "sum")),
+            revenue_u=("revenue_u", "sum"), n_lineitems=("n", "sum")),
         batch_format="pandas",
     )
     out = partials.groupby("o_orderstatus").aggregate(
-        Sum("revenue", alias_name="revenue"),
+        Sum("revenue_u", alias_name="revenue_u"),
         Sum("n_lineitems", alias_name="n_lineitems"),
     ).to_pandas()
-    out["revenue"] = _round_sql(out["revenue"], 2)
+    out["revenue"] = _round_sql(
+        out["revenue_u"].astype("int64") / 10000.0, 2)
     out["n_lineitems"] = out["n_lineitems"].astype("int64")
-    return out
+    return out.drop(columns=["revenue_u"])
 
 
 def q_broadcast_join_nation(sf_dir: str):
@@ -231,11 +253,17 @@ def q_broadcast_join_nation(sf_dir: str):
     cust = _read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_nationkey", "c_acctbal"])
     joined = broadcast_join(cust, dim, on="c_nationkey")
+    joined = joined.map_batches(
+        # integer cents (see q1: float sums drift past round-2 at sf0.1)
+        lambda b: b.assign(acct_c=_round_sql(
+            b["c_acctbal"] * 100.0, 0).astype("int64")),
+        batch_format="pandas")
     out = joined.groupby("r_name").aggregate(
         Count(alias_name="n_customers"),
-        Sum("c_acctbal", alias_name="total_acctbal"),
+        Sum("acct_c", alias_name="total_acctbal"),
     ).to_pandas()
-    out["total_acctbal"] = _round_sql(out["total_acctbal"], 2)
+    out["total_acctbal"] = _round_sql(
+        out["total_acctbal"].astype("int64") / 100.0, 2)
     out["n_customers"] = out["n_customers"].astype("int64")
     return out
 
@@ -255,10 +283,15 @@ def q5_revenue_by_nation(sf_dir: str):
     )
     li = broadcast_join(li, supp, on="l_suppkey")
     li = li.map_batches(
+        # integer 1e-4-dollar revenue units (order-independent fold;
+        # float sums drift past round-2 at sf0.1 — see q1)
         lambda b: pd.DataFrame(
             {"o_orderkey": b["l_orderkey"],
              "s_nationkey": b["s_nationkey"],
-             "revenue": b["l_extendedprice"] * (1 - b["l_discount"])}
+             "revenue_u": _round_sql(b["l_extendedprice"] * 100.0, 0)
+             .astype("int64")
+             * (100 - _round_sql(b["l_discount"] * 100.0, 0)
+                .astype("int64"))}
         ),
         batch_format="pandas",
     )
@@ -280,16 +313,18 @@ def q5_revenue_by_nation(sf_dir: str):
     joined = broadcast_join(joined, nation, on="s_nationkey")
     partials = joined.map_batches(
         lambda b: b.groupby("n_name", as_index=False).agg(
-            revenue=("revenue", "sum"), n_lineitems=("revenue", "size")),
+            revenue_u=("revenue_u", "sum"),
+            n_lineitems=("revenue_u", "size")),
         batch_format="pandas",
     )
     out = partials.groupby("n_name").aggregate(
-        Sum("revenue", alias_name="revenue"),
+        Sum("revenue_u", alias_name="revenue_u"),
         Sum("n_lineitems", alias_name="n_lineitems"),
     ).to_pandas()
-    out["revenue"] = _round_sql(out["revenue"], 2)
+    out["revenue"] = _round_sql(
+        out["revenue_u"].astype("int64") / 10000.0, 2)
     out["n_lineitems"] = out["n_lineitems"].astype("int64")
-    return out
+    return out.drop(columns=["revenue_u"])
 
 
 def q_anti_join(sf_dir: str):
@@ -949,14 +984,22 @@ def q6_revenue_delta(sf_dir: str):
             & (batch["l_quantity"] < 25)
         )
         sel = batch[m]
+        # integer 1e-4-dollar units (ext_cents * disc_pct): the fold
+        # is order-independent, so the scalar matches the oracle at
+        # any scale (float sums drift past round-2 at sf0.1 — see q1)
+        rev_u = (_round_sql(sel["l_extendedprice"] * 100.0, 0)
+                 .astype("int64")
+                 * _round_sql(sel["l_discount"] * 100.0, 0)
+                 .astype("int64")).sum()
         return pd.DataFrame(
-            {"revenue": [float((sel["l_extendedprice"] * sel["l_discount"]).sum())],
+            {"revenue_u": pd.Series([rev_u], dtype="int64"),
              "n_rows": [int(m.sum())]}
         )
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
     return pd.DataFrame(
-        {"revenue": [float(_round_sql(parts["revenue"].sum(), 2))],
+        {"revenue": [float(_round_sql(
+            int(parts["revenue_u"].sum()) / 10000.0, 2))],
          "n_rows": pd.Series([parts["n_rows"].sum()], dtype="int64")}
     )
 
@@ -1106,10 +1149,13 @@ def q_rollup(sf_dir: str):
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # integer cents (see q1: float sums drift past round-2 at sf0.1)
+        batch = batch.assign(rev_c=_round_sql(
+            batch["o_totalprice"] * 100.0, 0).astype("int64"))
         return batch.groupby(["o_orderstatus", "o_orderpriority"],
                              as_index=False).agg(
-            n_orders=("o_totalprice", "size"),
-            revenue=("o_totalprice", "sum"),
+            n_orders=("rev_c", "size"),
+            revenue=("rev_c", "sum"),
         )
 
     fine = (
@@ -1128,7 +1174,7 @@ def q_rollup(sf_dir: str):
          "revenue": [fine["revenue"].sum()]}
     )
     out = pd.concat([fine, mid, total], ignore_index=True)
-    out["revenue"] = _round_sql(out["revenue"], 2)
+    out["revenue"] = _round_sql(out["revenue"].astype("int64") / 100.0, 2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out[["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]]
 
@@ -1719,10 +1765,13 @@ def q_cube(sf_dir: str):
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # integer cents (see q1: float sums drift past round-2 at sf0.1)
+        batch = batch.assign(rev_c=_round_sql(
+            batch["o_totalprice"] * 100.0, 0).astype("int64"))
         return batch.groupby(["o_orderstatus", "o_orderpriority"],
                              as_index=False).agg(
-            n_orders=("o_totalprice", "size"),
-            revenue=("o_totalprice", "sum"))
+            n_orders=("rev_c", "size"),
+            revenue=("rev_c", "sum"))
 
     fine = (
         ds.map_batches(partial, batch_format="pandas")
@@ -1742,7 +1791,7 @@ def q_cube(sf_dir: str):
          "n_orders": [fine["n_orders"].sum()],
          "revenue": [fine["revenue"].sum()]})
     out = pd.concat([fine, by_status, by_prio, total], ignore_index=True)
-    out["revenue"] = _round_sql(out["revenue"], 2)
+    out["revenue"] = _round_sql(out["revenue"].astype("int64") / 100.0, 2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out[["o_orderstatus", "o_orderpriority", "n_orders", "revenue"]]
 
@@ -2026,9 +2075,13 @@ def q_composite_join(sf_dir: str):
         columns=["l_orderkey", "l_linestatus", "l_extendedprice",
                  "l_discount"],
     ).map_batches(
+        # integer 1e-4-dollar units (see q1: float sums drift at sf0.1)
         lambda b: pd.DataFrame(
             {"okey": b["l_orderkey"], "status": b["l_linestatus"],
-             "revenue": b["l_extendedprice"] * (1 - b["l_discount"])}),
+             "revenue_u": _round_sql(b["l_extendedprice"] * 100.0, 0)
+             .astype("int64")
+             * (100 - _round_sql(b["l_discount"] * 100.0, 0)
+                .astype("int64"))}),
         batch_format="pandas")
     orders = _read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
@@ -2039,15 +2092,16 @@ def q_composite_join(sf_dir: str):
     joined = hash_join(li, orders, on=["okey", "status"])
     partials = joined.map_batches(
         lambda b: b.groupby("status", as_index=False).agg(
-            revenue=("revenue", "sum"), n=("revenue", "size")),
+            revenue_u=("revenue_u", "sum"), n=("revenue_u", "size")),
         batch_format="pandas")
     out = partials.groupby("status").aggregate(
-        Sum("revenue", alias_name="revenue"),
+        Sum("revenue_u", alias_name="revenue_u"),
         Sum("n", alias_name="n"),
     ).to_pandas()
-    out["revenue"] = _round_sql(out["revenue"], 2)
+    out["revenue"] = _round_sql(
+        out["revenue_u"].astype("int64") / 10000.0, 2)
     out["n"] = out["n"].astype("int64")
-    return out
+    return out.drop(columns=["revenue_u"])
 
 
 QUERIES.update({"q_composite_join": q_composite_join})
@@ -2235,16 +2289,21 @@ def q_pushdown_filter(sf_dir: str):
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"n": [len(b)],
-             "revenue": [(b["l_extendedprice"]
-                          * (1 - b["l_discount"])).sum()]})
+        # integer 1e-4-dollar units (see q1: float sums drift at sf0.1)
+        rev_u = (_round_sql(b["l_extendedprice"] * 100.0, 0)
+                 .astype("int64")
+                 * (100 - _round_sql(b["l_discount"] * 100.0, 0)
+                    .astype("int64"))).sum()
+        return pd.DataFrame({"n": [len(b)],
+                             "revenue_u": pd.Series([rev_u],
+                                                    dtype="int64")})
 
     agg = (ds.map_batches(partial, batch_format="pandas")
            .aggregate(Sum("n", alias_name="n"),
-                      Sum("revenue", alias_name="revenue")))
+                      Sum("revenue_u", alias_name="revenue_u")))
     return pd.DataFrame({"n": pd.array([agg["n"]], dtype="int64"),
-                         "revenue": [float(_round_sql(agg["revenue"], 2))]})
+                         "revenue": [float(_round_sql(
+                             int(agg["revenue_u"]) / 10000.0, 2))]})
 
 
 # ---------------------------------------------------------------------------
