@@ -1489,3 +1489,15 @@ ORACLES["q_zip_index"] = """
            CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_id
     FROM documents WHERE doc_id IS NOT NULL
 """
+
+
+ORACLES["q_weighted_sample"] = """
+    SELECT doc_id, n_chars,
+           CAST(md5_number_upper('ws|' || CAST(doc_id AS VARCHAR))
+                % 10000 AS BIGINT) AS draw
+    FROM documents
+    WHERE doc_id IS NOT NULL
+      AND CAST(md5_number_upper('ws|' || CAST(doc_id AS VARCHAR))
+               % 10000 AS BIGINT)
+          < least(coalesce(n_chars, 0), 9999)
+"""

@@ -3759,3 +3759,54 @@ def q_zip_index(sf_dir: str):
 
 
 QUERIES.update({"q_zip_index": q_zip_index})
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (importance sampling for data mixing)
+# ---------------------------------------------------------------------------
+def q_weighted_sample(sf_dir: str):
+    """Length-proportional importance sampling — each document is kept
+    with probability min(n_chars, 9999)/10000, decided by comparing a
+    seeded md5 draw (stable_u64('ws|' || doc_id) mod 10000) against
+    its own weight.  The draw is integer-exact and per-row, so the
+    sample is reproducible across runs, partition layouts and engines
+    (the mixing-weights analog of q_hash_sample; swap n_chars for any
+    quality/temperature weight column).  One streaming map, no
+    shuffle.  The registry wrapper materializes driver-side only to
+    give the legitimately-empty sample (low-weight corpora — the edge
+    fixture) a typed schema: an all-empty Dataset loses its schema
+    through to_pandas (repo convention); the `keep` primitive itself
+    streams."""
+    from bb_ocr_ray.functions.hashing import stable_u64
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "n_chars"])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["doc_id"])
+        if not len(b):
+            return pd.DataFrame({
+                "doc_id": pd.array([], dtype="int64"),
+                "n_chars": pd.array([], dtype="int64"),
+                "draw": pd.array([], dtype="int64")})
+        d = b["doc_id"].astype("int64")
+        draw = np.fromiter(
+            (stable_u64(f"ws|{int(x)}") % 10000 for x in d),
+            dtype=np.int64, count=len(d))
+        w = np.minimum(b["n_chars"].fillna(0).astype("int64"), 9999)
+        m = draw < w
+        return pd.DataFrame({
+            "doc_id": d[m],
+            "n_chars": b["n_chars"].astype("int64")[m],
+            "draw": draw[m]})
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    if not len(out.columns):
+        out = pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "n_chars": pd.array([], dtype="int64"),
+            "draw": pd.array([], dtype="int64")})
+    return out
+
+
+QUERIES.update({"q_weighted_sample": q_weighted_sample})
