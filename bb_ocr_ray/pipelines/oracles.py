@@ -1501,3 +1501,18 @@ ORACLES["q_weighted_sample"] = """
                % 10000 AS BIGINT)
           < least(coalesce(n_chars, 0), 9999)
 """
+
+
+ORACLES["q_ntile"] = """
+    WITH t AS (SELECT event_type, value,
+                      ntile(4) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id)
+                          AS quartile
+               FROM events WHERE value IS NOT NULL)
+    SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+           count(*) AS n,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM t GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

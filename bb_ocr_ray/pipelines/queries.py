@@ -3810,3 +3810,51 @@ def q_weighted_sample(sf_dir: str):
 
 
 QUERIES.update({"q_weighted_sample": q_weighted_sample})
+
+
+# ---------------------------------------------------------------------------
+# ntile window: per-partition quantile bucket assignment
+# ---------------------------------------------------------------------------
+def q_ntile(sf_dir: str):
+    """Quartile assignment per event_type (ntile(4) OVER (PARTITION BY
+    event_type ORDER BY value, event_id)) summarized per bucket — the
+    remaining window-family member after rank/row_number/lag/first:
+    SQL ntile splits each n-row partition into k runs where the first
+    n mod k runs get the extra row; the engine reproduces that exact
+    split group-locally after the partition shuffle.  Output is the
+    per-bucket count and value range (round-4), not the 10k raw
+    assignments."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "event_type", "value"])
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["value"].notna()].sort_values(["value", "event_id"])
+        n = len(g)
+        if not n:
+            return pd.DataFrame({
+                "event_type": pd.array([], dtype="object"),
+                "quartile": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+                "min_value": pd.array([], dtype="float64"),
+                "max_value": pd.array([], dtype="float64")})
+        k = 4
+        base, extra = divmod(n, k)
+        sizes = [base + 1] * extra + [base] * (k - extra)
+        q = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)[:n]
+        g = g.assign(quartile=q)
+        out = g.groupby("quartile", as_index=False).agg(
+            n=("value", "size"), min_value=("value", "min"),
+            max_value=("value", "max"))
+        out["event_type"] = g["event_type"].iloc[0]
+        out["min_value"] = _round_sql(out["min_value"], 4)
+        out["max_value"] = _round_sql(out["max_value"], 4)
+        out["n"] = out["n"].astype("int64")
+        return out[["event_type", "quartile", "n",
+                    "min_value", "max_value"]]
+
+    return (ds.groupby("event_type")
+            .map_groups(tiles, batch_format="pandas")
+            .sort(["event_type", "quartile"]))
+
+
+QUERIES.update({"q_ntile": q_ntile})
