@@ -1516,3 +1516,21 @@ ORACLES["q_ntile"] = """
     FROM t GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_densify_hours"] = """
+    WITH agg AS (SELECT event_type,
+                        CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                            AS hour_epoch,
+                        count(*) AS n
+                 FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    b AS (SELECT min(hour_epoch) AS lo, max(hour_epoch) AS hi FROM agg),
+    hours AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+              FROM b),
+    types AS (SELECT DISTINCT event_type FROM agg),
+    grid AS (SELECT t.event_type, h.hour_epoch
+             FROM types t CROSS JOIN hours h)
+    SELECT g.event_type, g.hour_epoch, coalesce(a.n, 0) AS n
+    FROM grid g LEFT JOIN agg a USING (event_type, hour_epoch)
+    ORDER BY 1, 2
+"""

@@ -3858,3 +3858,56 @@ def q_ntile(sf_dir: str):
 
 
 QUERIES.update({"q_ntile": q_ntile})
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification (gap-filled hourly series)
+# ---------------------------------------------------------------------------
+def q_densify_hours(sf_dir: str):
+    """Zero-filled hourly event counts per type — the time-series
+    densification step downstream dashboards/models need (a groupby
+    emits only OBSERVED hours; forecasting wants the gaps as explicit
+    zero rows).  The distributed part is the same partial+groupby as
+    q_events_hourly; the grid join happens driver-side because the
+    grid is aggregate-sized (types x hours), never row-sized.  Hours
+    are epoch-second int64 (repo convention: unit-independent across
+    engines)."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["ts"].notna()]
+        if not len(batch):
+            return pd.DataFrame({
+                "event_type": pd.array([], dtype="object"),
+                "hour_epoch": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64")})
+        hour = ((batch["ts"].dt.floor("h") - pd.Timestamp("1970-01-01"))
+                .dt.total_seconds().astype("int64"))
+        return (batch.assign(hour_epoch=hour, n=1)
+                .groupby(["event_type", "hour_epoch"], as_index=False)
+                ["n"].sum())
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["event_type", "hour_epoch"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    if not len(agg):
+        return pd.DataFrame({
+            "event_type": pd.array([], dtype="object"),
+            "hour_epoch": pd.array([], dtype="int64"),
+            "n": pd.array([], dtype="int64")})
+    lo, hi = int(agg["hour_epoch"].min()), int(agg["hour_epoch"].max())
+    hours = np.arange(lo, hi + 1, 3600, dtype=np.int64)
+    types = sorted(agg["event_type"].unique())
+    grid = pd.DataFrame({
+        "event_type": np.repeat(types, len(hours)),
+        "hour_epoch": np.tile(hours, len(types))})
+    out = grid.merge(agg, on=["event_type", "hour_epoch"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    out["hour_epoch"] = out["hour_epoch"].astype("int64")
+    return out.sort_values(["event_type", "hour_epoch"]).reset_index(
+        drop=True)
+
+
+QUERIES.update({"q_densify_hours": q_densify_hours})
