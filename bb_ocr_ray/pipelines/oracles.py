@@ -1534,3 +1534,15 @@ ORACLES["q_densify_hours"] = """
     FROM grid g LEFT JOIN agg a USING (event_type, hour_epoch)
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_transitions"] = """
+    WITH s AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                          AS prev_type
+               FROM events WHERE user_id IS NOT NULL)
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -3911,3 +3911,48 @@ def q_densify_hours(sf_dir: str):
 
 
 QUERIES.update({"q_densify_hours": q_densify_hours})
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition counts (sequential pattern mining input)
+# ---------------------------------------------------------------------------
+def q_transitions(sf_dir: str):
+    """Global counts of adjacent event-type transitions per user
+    (prev -> curr in (ts, event_id) order) — the first-order Markov /
+    sequence-mining input.  One partition shuffle on user_id; the
+    ordered pairing is group-local (map_groups sorted shift) and the
+    transition vocabulary (|types|^2) bounds the final aggregate, so
+    the second groupby moves at most 25 partial rows per group."""
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_id",
+                                "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["user_id"]).sort_values(["ts", "event_id"])
+        if len(g) < 2:
+            return pd.DataFrame({
+                "prev_type": pd.array([], dtype="object"),
+                "next_type": pd.array([], dtype="object"),
+                "n": pd.array([], dtype="int64")})
+        prev = g["event_type"].to_numpy()[:-1]
+        nxt = g["event_type"].to_numpy()[1:]
+        out = (pd.DataFrame({"prev_type": prev, "next_type": nxt, "n": 1})
+               .groupby(["prev_type", "next_type"], as_index=False).sum())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = (ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+           .groupby(["prev_type", "next_type"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    if not len(out):
+        return pd.DataFrame({
+            "prev_type": pd.array([], dtype="object"),
+            "next_type": pd.array([], dtype="object"),
+            "n": pd.array([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(
+        drop=True)
+
+
+QUERIES.update({"q_transitions": q_transitions})
