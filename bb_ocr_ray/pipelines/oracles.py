@@ -1546,3 +1546,17 @@ ORACLES["q_transitions"] = """
     FROM s WHERE prev_type IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+ORACLES["q_share_of_total"] = """
+    WITH a AS (SELECT o_orderstatus,
+                      count(*) AS n_orders,
+                      sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                          AS rev_c
+               FROM orders GROUP BY 1)
+    SELECT o_orderstatus, n_orders,
+           round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+           round(100.0 * CAST(rev_c AS DOUBLE)
+                 / CAST(sum(rev_c) OVER () AS DOUBLE), 4) AS share_pct
+    FROM a ORDER BY o_orderstatus
+"""

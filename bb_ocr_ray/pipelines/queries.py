@@ -3956,3 +3956,38 @@ def q_transitions(sf_dir: str):
 
 
 QUERIES.update({"q_transitions": q_transitions})
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total (window share over a grand total)
+# ---------------------------------------------------------------------------
+def q_share_of_total(sf_dir: str):
+    """Revenue share per order status — x / sum(x) OVER () as a
+    distributed aggregate: one integer-cent partial+groupby (see q1),
+    then the share division happens on the aggregate-sized result
+    where the grand total is exact, so the percentages are the same
+    IEEE doubles the oracle computes from the same integers."""
+    ds = _read_parquet(_t(sf_dir, "orders"),
+                       columns=["o_orderstatus", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(rev_c=_round_sql(
+            b["o_totalprice"] * 100.0, 0).astype("int64"))
+        return b.groupby("o_orderstatus", as_index=False).agg(
+            rev_c=("rev_c", "sum"), n_orders=("rev_c", "size"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("o_orderstatus")
+           .aggregate(Sum("rev_c", alias_name="rev_c"),
+                      Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    total = int(out["rev_c"].sum())
+    out["revenue"] = _round_sql(out["rev_c"].astype("int64") / 100.0, 2)
+    out["share_pct"] = _round_sql(
+        100.0 * out["rev_c"].astype("int64") / total, 4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["o_orderstatus", "n_orders", "revenue", "share_pct"]]
+            .sort_values("o_orderstatus").reset_index(drop=True))
+
+
+QUERIES.update({"q_share_of_total": q_share_of_total})
