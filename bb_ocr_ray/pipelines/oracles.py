@@ -1560,3 +1560,10 @@ ORACLES["q_share_of_total"] = """
                  / CAST(sum(rev_c) OVER () AS DOUBLE), 4) AS share_pct
     FROM a ORDER BY o_orderstatus
 """
+
+
+ORACLES["q_unpivot"] = """
+    SELECT user_id, event_type, count(*) AS n
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -3991,3 +3991,35 @@ def q_share_of_total(sf_dir: str):
 
 
 QUERIES.update({"q_share_of_total": q_share_of_total})
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long melt), inverse of q_pivot_events
+# ---------------------------------------------------------------------------
+def q_unpivot(sf_dir: str):
+    """Melt the distributed pivot back to long (user_id, event_type,
+    n) rows, dropping the zero cells the pivot introduced — the
+    UNPIVOT relational op as an np.repeat/tile expansion.  Here it
+    runs driver-side because q_pivot_events already returns its
+    aggregate-sized frame (one wide row per user); on a row-sized
+    wide Dataset the identical expansion goes inside map_batches
+    (each wide row of k columns -> <=k long rows per task, streaming,
+    no shuffle).  Oracle = the original long counts, so the round
+    trip pivot∘unpivot == identity is what the gate checks."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [f"n_{t}" for t in types]
+    wide = q_pivot_events(sf_dir)
+
+    vals = wide[cols].to_numpy(dtype=np.int64)
+    users = np.repeat(wide["user_id"].to_numpy(dtype=np.int64),
+                      len(types))
+    etypes = np.tile(np.array(types, dtype=object), len(wide))
+    n = vals.ravel()
+    m = n > 0
+    return (pd.DataFrame({"user_id": users[m], "event_type": etypes[m],
+                          "n": n[m]})
+            .sort_values(["user_id", "event_type"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_unpivot": q_unpivot})
