@@ -128,7 +128,7 @@ ORACLES = {
         WITH g AS (
             SELECT user_id,
                    epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
-            FROM events)
+            FROM events WHERE user_id IS NOT NULL)
         SELECT user_id,
                count(*) AS n_events,
                count(CASE WHEN gap > 1800 THEN 1 END) + 1 AS n_sessions
@@ -746,7 +746,7 @@ ORACLES["q_pivot_events"] = """
            round(coalesce(
                sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2)
                AS purchase_value
-    FROM events GROUP BY 1
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
 """
 
 
@@ -836,7 +836,7 @@ ORACLES["q_first_last"] = """
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn,
                count(*) OVER (PARTITION BY user_id) AS n
-        FROM events)
+        FROM events WHERE user_id IS NOT NULL)
     SELECT f.user_id,
            f.event_id   AS first_event_id,
            f.event_type AS first_type,

@@ -416,15 +416,21 @@ def q_events_hourly(sf_dir: str):
 def q_sessionize(sf_dir: str):
     """Session windows per user (gap > 1800 s starts a new session):
     groupby(user).map_groups over ts-sorted events — the documented
-    partitioning assumption is one user fits one group."""
+    partitioning assumption is one user fits one group.  NULL user_id
+    rows are dropped (repo convention for user aggregates; oracle
+    mirrors with WHERE user_id IS NOT NULL)."""
     ds = _read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = ds.map_batches(lambda b: b.dropna(subset=["user_id"]),
+                        batch_format="pandas")
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts", kind="mergesort")
         gaps = g["ts"].diff().dt.total_seconds()
         n_sessions = int((gaps > 1800).sum()) + 1
         return pd.DataFrame(
-            {"user_id": pd.Series([g["user_id"].iloc[0]], dtype="int64"),
+            # int() first: the column arrives float64 when any block of
+            # the raw table held a NULL user
+            {"user_id": pd.Series([int(g["user_id"].iloc[0])], dtype="int64"),
              "n_sessions": pd.Series([n_sessions], dtype="int64"),
              "n_events": pd.Series([len(g)], dtype="int64")}
         )
@@ -1654,7 +1660,10 @@ def q_pivot_events(sf_dir: str):
     """Pivot: one count column per event type plus summed purchase
     value, per user.  The per-batch partial is ALREADY wide (a local
     crosstab), so the groupby shuffles one wide row per (batch, user)
-    instead of one long row per event."""
+    instead of one long row per event.  NULL user_id rows are dropped
+    (pd.crosstab excludes NaN index keys; the oracle mirrors with
+    WHERE user_id IS NOT NULL — same convention as q_unpivot/q_funnel/
+    q_cms)."""
     ds = _read_parquet(_t(sf_dir, "events"),
                        columns=["user_id", "event_type", "value"])
     types = ["click", "error", "purchase", "signup", "view"]
@@ -1678,6 +1687,9 @@ def q_pivot_events(sf_dir: str):
     )
     for c in cols:
         out[c] = out[c].astype("int64")
+    # blocks containing NULL users arrive with a float64 user_id column;
+    # crosstab dropped the NaN keys, so the cast is always exact
+    out["user_id"] = out["user_id"].astype("int64")
     out["purchase_value"] = _round_sql(out["purchase_value"], 2)
     return out
 
@@ -1921,14 +1933,17 @@ def q_first_last(sf_dir: str):
     """First and last event per user in (ts, event_id) order — the
     first_value/last_value window pair as one per-group pass (the
     sessionizer's ordering convention; NULL ts sorts last on both
-    sides)."""
+    sides).  NULL user_id rows are dropped (repo convention; the
+    oracle's self-join already drops them — made explicit there)."""
     ds = _read_parquet(_t(sf_dir, "events"),
                        columns=["user_id", "ts", "event_id", "event_type"])
+    ds = ds.map_batches(lambda b: b.dropna(subset=["user_id"]),
+                        batch_format="pandas")
 
     def fl(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
+            "user_id": [int(g["user_id"].iloc[0])],
             "first_event_id": [int(g["event_id"].iloc[0])],
             "first_type": [g["event_type"].iloc[0]],
             "last_event_id": [int(g["event_id"].iloc[-1])],
@@ -3797,7 +3812,10 @@ def q_weighted_sample(sf_dir: str):
         m = draw < w
         return pd.DataFrame({
             "doc_id": d[m],
-            "n_chars": b["n_chars"].astype("int64")[m],
+            # mask BEFORE the int cast: a NULL n_chars row can never be
+            # kept (weight coalesces to 0) but casting the whole column
+            # first raises on the non-finite value.
+            "n_chars": b["n_chars"][m].astype("int64"),
             "draw": draw[m]})
 
     out = ds.map_batches(keep, batch_format="pandas").to_pandas()

@@ -436,8 +436,12 @@ def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
             acc = np.zeros(len(df), dtype=np.uint64)
             for a in arrs:
                 if a.dtype.kind not in "iu":
+                    # route through int64 so negative keys wrap mod
+                    # 2^64 exactly like pure-int blocks do below —
+                    # float64→uint64 on negatives is UB in numpy and
+                    # platform-dependent off x86.
                     a = (pd.to_numeric(pd.Series(a), errors="coerce")
-                         .fillna(0).to_numpy())
+                         .fillna(0).to_numpy().astype(np.int64))
                 acc = acc * np.uint64(1000003) + (
                     a.astype(np.uint64) * _KNUTH % (1 << 32))
             return (acc % num_buckets).astype(np.int64)

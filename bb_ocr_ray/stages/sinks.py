@@ -52,6 +52,9 @@ def flatten_metadata(batch: pd.DataFrame) -> pd.DataFrame:
     out = pd.DataFrame(index=batch.index)
     for col in AUDIT_COLUMNS:
         if col == "authors_csv":
+            if "authors_csv" in batch.columns:  # pre-flattened (sink read-back)
+                out[col] = batch["authors_csv"]
+                continue
             src = batch.get("authors")
             out[col] = (
                 src.map(lambda a: ", ".join(a)

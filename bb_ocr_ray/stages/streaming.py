@@ -4,84 +4,144 @@ Ray Data has no event-time windows/watermarks (SURVEY.md §2.9); batch
 re-expressions (q_events_hourly / q_sessionize) cover the reference's
 needs.  This module is the documented LAST-RESORT pattern from the
 task brief — raw Ray actors holding mutable state — for semantics a
-Dataset genuinely can't express: processing an ORDERED event stream
-incrementally, emitting results as windows close, without holding the
-stream in memory.
+Dataset genuinely can't express: folding an event stream incrementally,
+emitting results as windows close, without holding the stream in memory.
 
-Partitioning assumption (stated per the brief): events are routed to
-one actor per key-hash bucket, and arrive at each actor in
-non-decreasing ts order — guaranteed here by a global ts sort before
-iteration.  State per actor is O(open keys), not O(events).
+De-funneled design (round 3): the driver never iterates the stream.
+
+* ``sessionize_streaming`` routes events to the state actors from
+  INSIDE ``map_batches`` tasks (actor handles travel in the closure;
+  the bucket hash is one vectorized numpy multiply).  Because gap
+  sessionization is connected components on the time axis, the actor
+  folds events as DISJOINT SESSION INTERVALS per user — an
+  order-independent mergeable state — so parallel tasks may deliver
+  chunks in any order and the result is still exact.  State per actor
+  is O(open sessions), never O(events).
+* ``sessionize_watermark`` keeps arrival-order semantics (watermark +
+  allowed lateness: order genuinely matters), so each key-hash bucket
+  replays through ONE ``map_groups`` task that feeds its bucket actor
+  sequentially — per-actor FIFO per bucket, n_actors tasks in
+  parallel, no driver funnel.  The replay task holds one bucket's
+  (user_id, ts) pairs; bound that by growing ``n_actors`` with the
+  cluster, while the ACTOR state stays O(open keys + lateness buffer).
+
+NULL user_id rows are dropped at routing (repo convention for user
+aggregates, same as q_sessionize / q_pivot_events).
 """
 
 from __future__ import annotations
 
+import bisect
+
+import numpy as np
 import pandas as pd
 import ray
-from bb_ocr_ray.functions.hashing import crc32  # noqa: E402  (deterministic routing)
+
+# Knuth multiplicative hash over the int64 user id — vectorized bucket
+# routing (any deterministic spread works: state is per-user, the
+# bucket only picks WHICH actor owns the user).
+_KNUTH = np.uint64(2654435761)
+
+
+def _clean(batch: pd.DataFrame):
+    """batch -> (int64 users, int64 epoch-us), NULL users dropped."""
+    b = batch.dropna(subset=["user_id"])
+    users = b["user_id"].to_numpy()
+    if users.dtype.kind != "i":  # float64 when any raw block held a NULL
+        users = users.astype(np.int64)
+    ts = b["ts"].astype("datetime64[us]").to_numpy().astype(np.int64)
+    return users, ts
+
+
+def _buckets_of(users: np.ndarray, n_actors: int) -> np.ndarray:
+    return ((users.astype(np.uint64) * _KNUTH) % np.uint64(n_actors)).astype(
+        np.int64)
 
 
 @ray.remote
 class SessionActor:
-    """Incremental gap-sessionizer for one key-hash bucket.
+    """Order-independent incremental gap-sessionizer for one bucket.
 
-    State: per-user (last_ts, n_sessions, n_events).  ``ingest`` takes a
-    ts-ordered chunk; ``finalize`` returns the per-user summary."""
+    State: per-user sorted list of disjoint session intervals
+    ``(start_us, end_us, n_events)`` where an event belongs to an
+    interval iff it lies within ``gap`` of it; an event bridging two
+    intervals merges them (connected components on the time axis).
+    Exact under ANY chunk arrival order — what makes fully parallel
+    map_batches ingestion safe."""
 
     def __init__(self, gap_seconds: float):
-        self.gap = gap_seconds
-        self.state: dict = {}
+        self.gap = int(gap_seconds * 1_000_000)  # integer µs: exact
+        self.starts: dict = {}  # user -> list[start_us] (bisect key)
+        self.ivals: dict = {}   # user -> list[[start, end, n]]
 
-    def ingest(self, users, ts_values) -> int:
+    def ingest(self, users: np.ndarray, ts_us: np.ndarray) -> int:
         gap = self.gap
-        st = self.state
-        for u, t in zip(users, ts_values):
-            rec = st.get(u)
-            if rec is None:
-                st[u] = [t, 1, 1]
+        for u, t in zip(users.tolist(), ts_us.tolist()):
+            starts = self.starts.get(u)
+            if starts is None:
+                self.starts[u] = [t]
+                self.ivals[u] = [[t, t, 1]]
+                continue
+            iv = self.ivals[u]
+            j = bisect.bisect_right(starts, t)
+            left = iv[j - 1] if j > 0 and t <= iv[j - 1][1] + gap else None
+            right = iv[j] if j < len(iv) and iv[j][0] - t <= gap else None
+            if left is not None and right is not None:
+                # bridge: merge right into left
+                left[1] = right[1]
+                left[2] += right[2] + 1
+                del iv[j]
+                del starts[j]
+            elif left is not None:
+                if t > left[1]:
+                    left[1] = t
+                left[2] += 1
+            elif right is not None:
+                right[0] = t
+                right[2] += 1
+                starts[j] = t
             else:
-                if (t - rec[0]) > gap:
-                    rec[1] += 1
-                rec[0] = t
-                rec[2] += 1
-        return len(st)
+                iv.insert(j, [t, t, 1])
+                starts.insert(j, t)
+        return len(self.ivals)
 
     def finalize(self) -> pd.DataFrame:
+        users = sorted(self.ivals)
         return pd.DataFrame(
-            {"user_id": pd.Series(list(self.state), dtype="int64"),
-             "n_sessions": pd.Series([v[1] for v in self.state.values()],
-                                     dtype="int64"),
-             "n_events": pd.Series([v[2] for v in self.state.values()],
-                                   dtype="int64")}
-        )
+            {"user_id": pd.Series(users, dtype="int64"),
+             "n_sessions": pd.Series(
+                 [len(self.ivals[u]) for u in users], dtype="int64"),
+             "n_events": pd.Series(
+                 [sum(v[2] for v in self.ivals[u]) for u in users],
+                 dtype="int64")})
 
 
 def sessionize_streaming(events_ds, gap_seconds: float = 1800.0,
                          n_actors: int = 4) -> pd.DataFrame:
     """Stream events through a bank of stateful actors; return per-user
     (n_sessions, n_events).  Batch-equivalent of q_sessionize — the
-    equality is asserted in tests."""
+    equality is asserted in tests.
+
+    Routing runs inside map_batches tasks: each task hashes its batch
+    to buckets (vectorized), ships per-bucket numpy slices to the
+    owning actor, and blocks on the acks (backpressure).  The driver
+    only triggers execution and collects the per-actor summaries."""
     actors = [SessionActor.remote(gap_seconds) for _ in range(n_actors)]
-    ordered = events_ds.sort("ts")
-    pending = []
-    for batch in ordered.iter_batches(batch_size=4096, batch_format="pandas"):
-        epoch = (
-            (batch["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds()
-        ).to_numpy()
-        users = batch["user_id"].to_numpy()
-        buckets = [crc32(str(u)) % n_actors for u in users]
-        for a in range(n_actors):
-            mask = [b == a for b in buckets]
-            if any(mask):
-                # per-actor calls are ordered FIFO: state sees the
-                # stream in ts order within each bucket
-                pending.append(
-                    actors[a].ingest.remote(
-                        [int(u) for u, m in zip(users, mask) if m],
-                        [float(t) for t, m in zip(epoch, mask) if m],
-                    )
-                )
-    ray.get(pending)
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        users, ts = _clean(batch)
+        if not len(users):
+            return pd.DataFrame({"n": pd.Series([0], dtype="int64")})
+        buckets = _buckets_of(users, n_actors)
+        refs = [actors[int(a)].ingest.remote(users[buckets == a],
+                                             ts[buckets == a])
+                for a in np.unique(buckets)]
+        ray.get(refs)  # chunk fully owned by actors before task returns
+        return pd.DataFrame({"n": pd.Series([len(users)], dtype="int64")})
+
+    # consuming the tiny ack stream drives the whole ingestion
+    events_ds.map_batches(route, batch_size=4096,
+                          batch_format="pandas").sum("n")
     parts = ray.get([a.finalize.remote() for a in actors])
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values("user_id").reset_index(drop=True)
@@ -164,30 +224,60 @@ def sessionize_watermark(events_ds, gap_seconds: float = 1800.0,
     """Watermark/late-data sessionization over a (possibly out-of-order)
     event stream.  Returns (per-user DataFrame, total late-dropped).
 
-    With ``presorted=True`` the input is iterated as-is (true streaming
-    arrival order); otherwise a ts sort makes the stream in-order, in
-    which case the result equals the batch groupby sessionization for
-    ANY lateness (asserted by the q_sessionize_stream oracle)."""
+    Arrival order MATTERS here (that is the semantics under test), so
+    each key-hash bucket replays through exactly one map_groups task
+    that feeds the bucket's actor sequentially — per-actor FIFO per
+    bucket with n_actors-way parallelism, driver out of the data path.
+    The default mode replays each bucket in ts order, in which case the
+    result equals the batch groupby sessionization for ANY lateness
+    (asserted by the q_sessionize_stream oracle) and nothing is late.
+
+    With ``presorted=True`` the input is replayed AS-IS in dataset row
+    order (true streaming arrival order, out-of-order fixtures).  Row
+    order across parallel tasks is not Ray-preservable, so this mode
+    funnels through the driver — it exists for arrival-order
+    simulations (tests); the scale path is the default mode."""
     actors = [WatermarkSessionActor.remote(gap_seconds, allowed_lateness)
               for _ in range(n_actors)]
-    ordered = events_ds if presorted else events_ds.sort("ts")
-    pending = []
-    for batch in ordered.iter_batches(batch_size=4096, batch_format="pandas"):
-        epoch = (
-            (batch["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds()
-        ).to_numpy()
-        users = batch["user_id"].to_numpy()
-        buckets = [crc32(str(u)) % n_actors for u in users]
-        for a in range(n_actors):
-            mask = [b == a for b in buckets]
-            if any(mask):
-                pending.append(
-                    actors[a].ingest.remote(
-                        [int(u) for u, m in zip(users, mask) if m],
-                        [float(t) for t, m in zip(epoch, mask) if m],
-                    )
-                )
-    ray.get(pending)
+
+    if presorted:
+        for batch in events_ds.iter_batches(batch_size=4096,
+                                            batch_format="pandas"):
+            users, ts = _clean(batch)
+            if not len(users):
+                continue
+            buckets = _buckets_of(users, n_actors)
+            ray.get([actors[int(a)].ingest.remote(
+                users[buckets == a].tolist(),
+                (ts[buckets == a] / 1e6).tolist())
+                for a in np.unique(buckets)])
+    else:
+        def stamp(batch: pd.DataFrame) -> pd.DataFrame:
+            users, ts = _clean(batch)
+            return pd.DataFrame({
+                "user_id": pd.Series(users, dtype="int64"),
+                "ts_us": pd.Series(ts, dtype="int64"),
+                "bucket": pd.Series(_buckets_of(users, n_actors),
+                                    dtype="int64")})
+
+        def replay(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values("ts_us", kind="mergesort")
+            a = actors[int(g["bucket"].iloc[0])]
+            n = 0
+            for lo in range(0, len(g), 4096):
+                chunk = g.iloc[lo:lo + 4096]
+                # sequential: the bucket's stream stays FIFO at the actor
+                ray.get(a.ingest.remote(
+                    chunk["user_id"].tolist(),
+                    (chunk["ts_us"].to_numpy() / 1e6).tolist()))
+                n += len(chunk)
+            return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+        (events_ds.map_batches(stamp, batch_format="pandas")
+         .groupby("bucket")
+         .map_groups(replay, batch_format="pandas")
+         .sum("n"))
+
     parts = ray.get([a.finalize.remote() for a in actors])
     n_late = int(sum(p["n_late"].iloc[0] if len(p) else 0 for p in parts))
     out = pd.concat([p[["user_id", "n_sessions", "n_events"]] for p in parts],

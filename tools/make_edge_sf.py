@@ -55,6 +55,12 @@ def main():
     extra["n_chars"] = extra["text"].map(
         lambda t: len(t) if isinstance(t, str) else 0)
     docs = pd.concat([docs, extra], ignore_index=True)
+    # 9107: NULL n_chars (distinct from 0) — pins the mask-before-cast
+    # convention in weight/length consumers (q_weighted_sample et al.).
+    docs = pd.concat([docs, pd.DataFrame(
+        {"doc_id": [9107], "text": ["null n_chars row"], "lang": ["en"],
+         "source": ["edge"], "n_chars": pd.array([None], dtype="Int64")})],
+        ignore_index=True)
     pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
                    f"{DST}/documents.parquet")
 
@@ -75,6 +81,20 @@ def main():
                    '{"k": 7}', "{}", "{}"]})
     extra_ev["ts"] = extra_ev["ts"].astype("datetime64[us]")
     ev = pd.concat([ev, extra_ev], ignore_index=True)
+    # three NULL-user rows: pin the repo-wide "user aggregates drop
+    # NULL user_id" convention (pivot/unpivot/funnel/cms oracles all
+    # filter WHERE user_id IS NOT NULL; pd.crosstab drops NaN keys).
+    null_users = pd.DataFrame(
+        {"event_id": [99101, 99102, 99103],
+         "ts": pd.to_datetime(
+             ["2024-01-01 04:00:00", "2024-01-01 04:05:00",
+              "2024-01-01 04:10:00"]),
+         "user_id": pd.array([None, None, None], dtype="Int64"),
+         "event_type": ["click", "purchase", "view"],
+         "value": [1.0, 9.5, None],
+         "props": ["{}", "{}", "{}"]})
+    null_users["ts"] = null_users["ts"].astype("datetime64[us]")
+    ev = pd.concat([ev, null_users], ignore_index=True)
     # CMS ceil-threshold boundary: pad the non-null-user row count to
     # exactly 375 (a multiple of 125) with DISTINCT filler users
     # (count 1 each — never heavy), plus one user with EXACTLY
