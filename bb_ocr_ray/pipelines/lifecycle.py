@@ -46,18 +46,29 @@ def metadata_from_text(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def run_lifecycle(pages_ds, out_dir: str):
+def run_lifecycle(pages_ds, out_dir: str, llm_backend: str | None = None,
+                  llm_model: str = "fake-model"):
     """pages -> accepted/rejected partitioned parquet + audit rows.
 
+    ``llm_backend`` (optional) routes the extracted stream through the
+    pluggable enrichment-model stage (stages/enrich, §2.10: any
+    registered ``LLMClient`` backend — offline runs use "fake") before
+    validation, mirroring the reference's OCR→prompt→LLM→repair slot.
     Returns (out_dir, audit Dataset)."""
     from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
     from bb_ocr_ray.stages.sinks import flatten_metadata, write_partitioned
 
     extracted = extract_pages(pages_ds)
+    if llm_backend is not None:
+        from bb_ocr_ray.stages.enrich import enrich
+
+        extracted = enrich(extracted, backend=llm_backend, model=llm_model)
 
     def attach_metadata(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[["url", "domain", "text", "n_blocks_kept", "status",
-               "error"]].reset_index(drop=True)
+        keep = ["url", "domain", "text", "n_blocks_kept", "status", "error"]
+        keep += [c for c in ("enriched_title", "enrichment_digest",
+                             "enrich_error") if c in b.columns]
+        b = b[keep].reset_index(drop=True)
         if b.empty:
             return b.assign(title=None, valid=False,
                             validation_error=None, decision=None).head(0)

@@ -191,6 +191,24 @@ ORACLES = {
                 FROM pairs)
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
     """,
+    # IVF-with-exact-refinement: output provably equals brute force
+    # (triangle-inequality pruning, stages/ann.ivf_topk_exact), so the
+    # oracle is the same cross-join SQL over this query's id range
+    "q_ivf_topk": """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+             pairs AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS score
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id),
+             ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS rank
+                FROM pairs)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+    """,
     # planted-twin probe: brute-force cosine between the 25 planted
     # twins (vec_id + 1e6, every coordinate + 0.01) and everything —
     # the Ray side restricts its LSH output to twin-involving pairs,

@@ -269,19 +269,24 @@ def q_broadcast_join_nation(sf_dir: str):
 
 
 def q5_revenue_by_nation(sf_dir: str):
-    """Multi-join: lineitem ⋈ supplier(bcast) ⋈ orders(hash) ⋈
-    customer(bcast) ⋈ nation(bcast), local-supplier condition
-    (c_nationkey == s_nationkey), revenue per nation name."""
-    from bb_ocr_ray.stages.joins import broadcast_join, hash_join
+    """Multi-join: lineitem ⋈ supplier ⋈ orders(hash) ⋈ customer ⋈
+    nation(bcast), local-supplier condition (c_nationkey ==
+    s_nationkey), revenue per nation name.  The scale-proportional
+    sides (supplier, customer) go through the size-gated auto_join —
+    broadcast while their parquet metadata says driver-sized, bucketed
+    hash join beyond that (VERDICT r2 item 3: a driver pd.read_parquet
+    broadcast of a side that grows with sf blows the driver at 100x).
+    nation is constant-size and stays a driver broadcast."""
+    from bb_ocr_ray.stages.joins import auto_join, broadcast_join, hash_join
 
-    supp = pd.read_parquet(_t(sf_dir, "supplier"),
-                           columns=["s_suppkey", "s_nationkey"])
-    supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
+    supp = _read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]
+                         ).rename_columns({"s_suppkey": "l_suppkey"})
     li = _read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    li = broadcast_join(li, supp, on="l_suppkey")
+    li = auto_join(li, supp, on="l_suppkey")
     li = li.map_batches(
         # integer 1e-4-dollar revenue units (order-independent fold;
         # float sums drift past round-2 at sf0.1 — see q1)
@@ -299,10 +304,10 @@ def q5_revenue_by_nation(sf_dir: str):
                              columns=["o_orderkey", "o_custkey"])
     joined = hash_join(li, orders, on="o_orderkey")
 
-    cust = pd.read_parquet(_t(sf_dir, "customer"),
-                           columns=["c_custkey", "c_nationkey"])
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    joined = broadcast_join(joined, cust, on="o_custkey")
+    cust = _read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"]
+                         ).rename_columns({"c_custkey": "o_custkey"})
+    joined = auto_join(joined, cust, on="o_custkey")
     joined = joined.map_batches(
         lambda b: b[b["s_nationkey"] == b["c_nationkey"]],
         batch_format="pandas",
@@ -328,11 +333,14 @@ def q5_revenue_by_nation(sf_dir: str):
 
 
 def q_anti_join(sf_dir: str):
-    """Customers with no high-value (>300k) order — broadcast anti-join,
-    the resume primitive (SURVEY.md J6)."""
+    """Customers with no high-value (>300k) order — the resume
+    primitive (SURVEY.md J6), through the size-gated auto_anti: the
+    orders key side grows with sf, so it is never .unique()'d to the
+    driver unless its metadata estimate proves it driver-sized
+    (VERDICT r2 item 3); beyond the gate it hash-partitions."""
     import pyarrow.compute as pc
 
-    from bb_ocr_ray.stages.joins import anti_join_broadcast
+    from bb_ocr_ray.stages.joins import auto_anti
 
     order_keys = (
         _read_parquet(_t(sf_dir, "orders"),
@@ -341,24 +349,27 @@ def q_anti_join(sf_dir: str):
             lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)),
             batch_format="pyarrow",
         )
-        .unique("o_custkey")
+        .rename_columns({"o_custkey": "c_custkey"})
+        .select_columns(["c_custkey"])
     )
     cust = _read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_name"])
-    return anti_join_broadcast(cust, order_keys, "c_custkey")
+    return auto_anti(cust, order_keys, "c_custkey")
 
 
 def q_semi_join(sf_dir: str):
-    """Suppliers that appear in lineitem (broadcast semi-join)."""
-    from bb_ocr_ray.stages.joins import semi_join_broadcast
+    """Suppliers that appear in lineitem — size-gated auto_semi (the
+    lineitem key side is scale-proportional: broadcast only while the
+    metadata estimate allows, else exact hash-partitioned semi)."""
+    from bb_ocr_ray.stages.joins import auto_semi
 
     supp_keys = (
         _read_parquet(_t(sf_dir, "lineitem"), columns=["l_suppkey"])
-        .unique("l_suppkey")
+        .rename_columns({"l_suppkey": "s_suppkey"})
     )
     supp = _read_parquet(_t(sf_dir, "supplier"),
                            columns=["s_suppkey", "s_name"])
-    return semi_join_broadcast(supp, supp_keys, "s_suppkey")
+    return auto_semi(supp, supp_keys, "s_suppkey")
 
 
 def q_union(sf_dir: str):
@@ -580,48 +591,25 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_jaccard_pairs(sf_dir: str):
-    """Brute-force distinct-token-set Jaccard over all doc pairs with
-    2*|∩| ≥ |∪| (J ≥ 0.5).  Integer output (id_a, id_b, inter, uni).
+    """EXACT all-pairs distinct-token-set Jaccard join at J ≥ 0.5
+    (integer output id_a, id_b, inter, uni) — prefix-filtered, not
+    brute force: token (df, token)-order prefixes generate a provably
+    complete candidate set, the distributed Bloom-pruned hash-join
+    verify scores them, and the result is identical to the all-pairs
+    SQL oracle (stages/dedup.set_similarity_join; VERDICT r2 item 6
+    retired the known-quadratic driver loop this replaced).
 
-    Small-table baseline for the near-dup oracles; the scale path is
-    minhash_candidates (LSH) which prunes the pair space first."""
-    import ray
+    The algorithm is output-sensitive (candidates ≈ qualifying pairs;
+    test_set_similarity_output_sensitive pins that), but on THIS
+    synthetic corpus ~36% of ALL pairs qualify (90,752 of 124,750 at
+    sf0.001) — the result set itself is quadratic, so the full sf0.1
+    sweep keeps excluding this query: enumerating a ~450M-pair answer
+    is the task's cost, not the algorithm's."""
+    from bb_ocr_ray.stages.dedup import set_similarity_join
 
     docs = _read_parquet(_t(sf_dir, "documents"),
                            columns=["doc_id", "text"])
-    rows = docs.map_batches(
-        lambda b: pd.DataFrame(
-            {"doc_id": b["doc_id"],
-             "tokens": [sorted(set((t or "").split(" "))) for t in b["text"]]}
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    rows = rows.sort_values("doc_id")
-    ids = rows["doc_id"].to_numpy()
-    sets_ref = ray.put([frozenset(t) for t in rows["tokens"]])
-
-    n = len(ids)
-    chunks = [(lo, min(lo + 64, n)) for lo in range(0, n, 64)]
-    chunk_ds = rd.from_items([{"lo": lo, "hi": hi} for lo, hi in chunks])
-
-    def pair_block(batch: pd.DataFrame) -> pd.DataFrame:
-        sets = ray.get(sets_ref)
-        out = {"id_a": [], "id_b": [], "inter": [], "uni": []}
-        for lo, hi in zip(batch["lo"], batch["hi"]):
-            for i in range(lo, hi):
-                si = sets[i]
-                for j in range(i + 1, n):
-                    sj = sets[j]
-                    inter = len(si & sj)
-                    uni = len(si) + len(sj) - inter
-                    if 2 * inter >= uni and uni > 0:
-                        out["id_a"].append(int(ids[i]))
-                        out["id_b"].append(int(ids[j]))
-                        out["inter"].append(inter)
-                        out["uni"].append(uni)
-        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
-
-    return chunk_ds.map_batches(pair_block, batch_format="pandas", batch_size=1)
+    return set_similarity_join(docs, min_jaccard=0.5)
 
 
 def q_minhash_candidates(sf_dir: str):
@@ -1049,14 +1037,20 @@ def q_running_total(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF approximate ANN (coarse k-means + inverted-list probing) —
-    rows-only: approximation is by construction; recall vs the exact
-    baseline is asserted in tests/test_ann_ivf.py."""
-    from bb_ocr_ray.stages.ann import ivf_topk
+    """IVF top-k with exact triangle-inequality refinement
+    (stages/ann.ivf_topk_exact): probe the closest inverted lists,
+    bound the unseen lists with centroid distance + cluster radius,
+    rescan only the lists that could still hold a top-k member.  The
+    result provably equals brute force, so the oracle is the exact
+    cross-join SQL — this closes the last no_oracle row in the driver
+    CORRECTNESS file (VERDICT r2 item 5); the plain approximate
+    ivf_topk's recall contract stays covered by unit tests.  Query
+    vectors are vec_id 10..19 (q_ann_topk owns 0..9)."""
+    from bb_ocr_ray.stages.ann import ivf_topk_exact
 
     vecs = _read_parquet(_t(sf_dir, "embeddings"),
                            columns=["vec_id", "embedding"])
-    return ivf_topk(vecs, query_ids=list(range(10)), k=5)
+    return ivf_topk_exact(vecs, query_ids=list(range(10, 20)), k=5)
 
 
 QUERIES.update(

@@ -345,3 +345,173 @@ def ivf_topk(vectors_ds, query_ids, k: int = 5, n_lists: int = 16,
 
     return partials.groupby("query_id").map_groups(reduce_topk,
                                                    batch_format="pandas")
+
+
+def ivf_topk_exact(vectors_ds, query_ids, k: int = 5, n_lists: int = 16,
+                   n_probe: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding", eps: float = 1e-9):
+    """EXACT top-k through IVF pruning (the oracle-able scale path).
+
+    Standard IVF probing is approximate; this variant refines it to an
+    exact result with the triangle inequality, so its output equals
+    brute force and is checkable against the same SQL oracle as
+    ann_topk:
+
+    1. Pass A streams the corpus once, emitting BOTH per-cluster
+       radii (max Euclidean distance of a member to its centroid, on
+       normalized vectors) and the usual n_probe-list candidate top-k
+       per query.  A small groupby reduces each to driver size.
+    2. On the driver, each query's kth-best candidate score s_k lower-
+       bounds the true kth best, so any cluster whose best POSSIBLE
+       member cosine — cos_max = 1 - lb^2/2 with
+       lb = max(0, ||q - c|| - r_c) — falls below s_k - eps provably
+       contributes nothing and is pruned.  ``eps`` absorbs float64
+       noise conservatively (less pruning, never a wrong prune).
+    3. Pass B rescans ONLY the unpruned, unprobed lists (usually a
+       small fraction: the probe candidates set a tight s_k) and the
+       final reduce merges both candidate streams.
+
+    Recall is 1 by construction; what the data controls is how much of
+    pass B survives pruning.  Returns (query_id, rank, neighbor_id),
+    integer-only like ann_topk."""
+    import ray
+    import ray.data as rd
+
+    centroids = kmeans_fit(vectors_ds, k=n_lists)
+    cref = ray.put(centroids)
+
+    qset = set(int(q) for q in query_ids)
+    qrows = vectors_ds.map_batches(
+        lambda b: b[b[id_col].isin(qset)], batch_format="pandas"
+    ).to_pandas().sort_values(id_col)
+    qids = [int(x) for x in qrows[id_col]]
+    qmat = _normalize(_to_matrix(qrows[vec_col]))
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    probe_sets = {qid: frozenset(int(x) for x in probe[i])
+                  for i, qid in enumerate(qids)}
+    qref = ray.put((qids, qmat, probe_sets))
+
+    def pass_a(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"kind": [], "query_id": [], "neighbor_id": [], "score": []}
+        if not batch.empty:
+            c = ray.get(cref)
+            qids_, qm, probes = ray.get(qref)
+            mat = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy()
+            sims_c = mat @ c.T
+            assign = np.argmax(sims_c, axis=1)
+            # kind=1: per-cluster radius partials (query_id carries the
+            # centroid index) — fused into this pass so the corpus
+            # streams once, not twice
+            best = sims_c[np.arange(len(ids)), assign]
+            dist = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * best))
+            for ci in np.unique(assign):
+                out["kind"].append(1)
+                out["query_id"].append(int(ci))
+                out["neighbor_id"].append(-1)
+                out["score"].append(float(dist[assign == ci].max()))
+            # kind=0: candidate partial top-k from the probed lists
+            sims = qm @ mat.T
+            for qi, qid in enumerate(qids_):
+                mask = np.isin(assign, list(probes[qid])) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand = np.where(mask)[0]
+                order = np.lexsort((ids[cand], -sims[qi, cand]))[:k]
+                for j in cand[order]:
+                    out["kind"].append(0)
+                    out["query_id"].append(qid)
+                    out["neighbor_id"].append(int(ids[j]))
+                    out["score"].append(float(sims[qi, j]))
+        return pd.DataFrame(
+            {"kind": pd.Series(out["kind"], dtype="int8"),
+             "query_id": pd.Series(out["query_id"], dtype="int64"),
+             "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+             "score": pd.Series(out["score"], dtype="float64")})
+
+    def reduce_a(group: pd.DataFrame) -> pd.DataFrame:
+        if int(group["kind"].iloc[0]) == 1:       # radius: max over batches
+            top = group.nlargest(1, "score")
+            return top[["kind", "query_id", "neighbor_id", "score"]]
+        rows = heapq.nsmallest(k, group.itertuples(index=False),
+                               key=lambda r: (-r.score, r.neighbor_id))
+        return pd.DataFrame(
+            {"kind": pd.Series([0] * len(rows), dtype="int8"),
+             "query_id": pd.Series([r.query_id for r in rows], dtype="int64"),
+             "neighbor_id": pd.Series([r.neighbor_id for r in rows],
+                                      dtype="int64"),
+             "score": pd.Series([r.score for r in rows], dtype="float64")})
+
+    a = (vectors_ds.map_batches(pass_a, batch_format="pandas")
+         .groupby(["kind", "query_id"])
+         .map_groups(reduce_a, batch_format="pandas")
+         .to_pandas())                    # Q*k + n_lists rows: driver-sized
+
+    radii = np.zeros(n_lists)
+    rad_rows = a[a["kind"] == 1]
+    radii[rad_rows["query_id"].to_numpy()] = rad_rows["score"].to_numpy()
+    cand = a[a["kind"] == 0][["query_id", "neighbor_id", "score"]]
+
+    # prune: clusters whose best possible cosine can't reach the kth
+    # candidate score
+    qc_dist = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * (qmat @ centroids.T)))
+    rescan_sets = {}
+    for qi, qid in enumerate(qids):
+        scores = cand.loc[cand["query_id"] == qid, "score"]
+        s_k = (float(scores.min())   # kth best = min of the k kept
+               if len(scores) >= k else float("-inf"))
+        lb = np.maximum(0.0, qc_dist[qi] - radii)
+        cos_max = 1.0 - lb * lb / 2.0
+        keep = {int(ci) for ci in range(n_lists)
+                if cos_max[ci] >= s_k - eps} - probe_sets[qid]
+        if keep:
+            rescan_sets[qid] = frozenset(keep)
+
+    def final_reduce(group: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nsmallest(k, group.itertuples(index=False),
+                              key=lambda r: (-r.score, r.neighbor_id))
+        return pd.DataFrame(
+            {"query_id": pd.Series([t.query_id for t in top], dtype="int64"),
+             "rank": pd.Series(range(1, len(top) + 1), dtype="int64"),
+             "neighbor_id": pd.Series([t.neighbor_id for t in top],
+                                      dtype="int64")})
+
+    cand_ds = rd.from_pandas(cand.reset_index(drop=True))
+    if not rescan_sets:
+        return cand_ds.groupby("query_id").map_groups(
+            final_reduce, batch_format="pandas")
+
+    rref = ray.put((qids, qmat, rescan_sets))
+
+    def pass_b(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "neighbor_id": [], "score": []}
+        if not batch.empty:
+            c = ray.get(cref)
+            qids_, qm, rescan = ray.get(rref)
+            mat = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy()
+            assign = np.argmax(mat @ c.T, axis=1)
+            sims = qm @ mat.T
+            for qi, qid in enumerate(qids_):
+                lists = rescan.get(qid)
+                if not lists:
+                    continue
+                mask = np.isin(assign, list(lists)) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand_i = np.where(mask)[0]
+                order = np.lexsort((ids[cand_i], -sims[qi, cand_i]))[:k]
+                for j in cand_i[order]:
+                    out["query_id"].append(qid)
+                    out["neighbor_id"].append(int(ids[j]))
+                    out["score"].append(float(sims[qi, j]))
+        return pd.DataFrame(
+            {"query_id": pd.Series(out["query_id"], dtype="int64"),
+             "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+             "score": pd.Series(out["score"], dtype="float64")})
+
+    b = vectors_ds.map_batches(pass_b, batch_format="pandas")
+    # A probed and B rescanned DISJOINT list sets, so no (query,
+    # neighbor) appears twice — the merge is a plain union
+    return cand_ds.union(b).groupby("query_id").map_groups(
+        final_reduce, batch_format="pandas")

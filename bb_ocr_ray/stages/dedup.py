@@ -172,6 +172,108 @@ def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     return dedup_pairs(pairs)
 
 
+def set_similarity_join(docs_ds, min_jaccard: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        coarse_buckets: int = 64):
+    """EXACT all-pairs token-set Jaccard join at threshold t — the
+    sub-quadratic rescue of the brute-force baseline (VERDICT r2 item
+    6), via prefix filtering (PPJoin family: Xiao et al., WWW'08 —
+    public algorithm, reimplemented from the paper's idea).
+
+    Guarantee: order every doc's distinct tokens by a single global
+    order (ascending document frequency, ties by token); with prefix
+    length p(s) = |s| - ceil(t*|s|) + 1, any pair with J >= t shares
+    its globally-smallest common token within BOTH prefixes — so
+    grouping prefix (token, doc) rows by token generates a COMPLETE
+    candidate set.  df-ordering makes hot tokens ("the") fall out of
+    every long doc's prefix, which is what keeps token groups small;
+    a length filter (t*max(|x|,|y|) <= min(|x|,|y|), exact integer
+    form) prunes inside each group.  Candidates then go through the
+    distributed Bloom-pruned hash-join verify, so the output is
+    byte-identical to the brute-force all-pairs join: (id_a, id_b,
+    inter, uni), id_a < id_b.
+
+    Scale posture: two corpus passes (df, prefix emission) + one
+    coarse shuffle of prefix rows + the verify joins.  The df table is
+    vocabulary-sized and broadcast once (at true web scale, replace
+    the broadcast with a df-rank hash join — same ordering, no
+    driver-side vocabulary).  Worst-case output of an exact similarity
+    join is inherently quadratic (a corpus of identical docs); the
+    algorithm is output-sensitive, never silently lossy."""
+    from fractions import Fraction
+    import zlib
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    t = Fraction(str(min_jaccard))
+    num, den = t.numerator, t.denominator
+
+    def distinct_tokens(b: pd.DataFrame):
+        return [sorted(set((x or "").split(" "))) for x in b[text_col]]
+
+    def tok_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"token": [tk for toks in distinct_tokens(b) for tk in toks]})
+
+    df_tbl = (docs_ds.map_batches(tok_rows, batch_format="pandas")
+              .groupby("token").aggregate(Count(alias_name="df"))
+              .to_pandas())
+    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+
+    def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        out = {"coarse": [], "token": [], "doc": [], "size": []}
+        for did, toks in zip(b[id_col], distinct_tokens(b)):
+            n = len(toks)
+            if n == 0:
+                continue
+            toks.sort(key=lambda w: (dfm.get(w, 0), w))
+            p = n - (n * num + den - 1) // den + 1   # n - ceil(t*n) + 1
+            for w in toks[:p]:
+                out["coarse"].append(zlib.crc32(w.encode()) % coarse_buckets)
+                out["token"].append(w)
+                out["doc"].append(int(did))
+                out["size"].append(n)
+        return pd.DataFrame(
+            {"coarse": pd.Series(out["coarse"], dtype="int64"),
+             "token": pd.Series(out["token"], dtype="object"),
+             "doc": pd.Series(out["doc"], dtype="int64"),
+             "size": pd.Series(out["size"], dtype="int64")})
+
+    exploded = docs_ds.map_batches(prefix_rows, batch_format="pandas")
+
+    def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        dup = group[group.duplicated("token", keep=False)]
+        for _, g in dup.groupby("token", sort=False):
+            g = g.drop_duplicates("doc")
+            ids = g["doc"].to_numpy()
+            sizes = g["size"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids, sizes = ids[order], sizes[order]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    lo, hi = ((sizes[i], sizes[j])
+                              if sizes[i] <= sizes[j]
+                              else (sizes[j], sizes[i]))
+                    # exact length filter: J >= t needs t*max <= min
+                    if lo * den >= num * hi:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64")})
+
+    pairs = dedup_pairs(
+        exploded.groupby("coarse").map_groups(coarse_pairs,
+                                              batch_format="pandas"))
+    return verify_candidates_hash(pairs, docs_ds, id_col=id_col,
+                                  text_col=text_col,
+                                  min_jaccard=min_jaccard)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -407,7 +509,13 @@ def verify_candidates_hash(pairs_ds, docs_ds, id_col: str = "doc_id",
         out = batch.assign(inter=pd.Series(inter, dtype="int64").values,
                            uni=pd.Series(uni, dtype="int64").values)
         out = out[pd.Series(keep).values]
-        return out[["id_a", "id_b", "inter", "uni"]]
+        out = out[["id_a", "id_b", "inter", "uni"]]
+        # the bucketed join pads absent columns with None, degrading
+        # int ids to object in mixed blocks — restore the contract
+        for c in ("id_a", "id_b"):
+            if out[c].dtype != "int64":
+                out[c] = out[c].astype("int64")
+        return out
 
     return j.map_batches(score, batch_format="pandas")
 

@@ -234,13 +234,7 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
     if impl == "auto":
         # metadata-only size estimate — Dataset.size_bytes() EXECUTES
         # lazy plans, which would run the whole upstream pipeline twice
-        def _est(ds):
-            try:
-                return ds._logical_plan.dag.infer_metadata().size_bytes or 0
-            except Exception:  # noqa: BLE001 — unknown: assume small
-                return 0
-
-        sz = _est(left_ds) + _est(right_ds)
+        sz = estimate_size_bytes(left_ds) + estimate_size_bytes(right_ds)
         impl = "native" if sz > _NATIVE_FALLBACK_BYTES else "bucketed"
     if impl == "native":
         join_type = {"inner": "inner", "left": "left_outer",
@@ -498,15 +492,16 @@ def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
                                                batch_format="pandas")
 
 
-def anti_join_hash(big_ds, keys_ds, on: str, num_buckets: int = 64):
-    """Distributed anti-join: keep big-side rows whose ``on`` value has
-    no match in ``keys_ds`` (a Dataset with an ``on`` column).  Both
-    sides hash-partition on the key (ONE shuffle); membership is
-    tested per bucket with a vectorized isin.  This is the scale path
-    when the key set is too big to broadcast (anti_join_broadcast) —
-    e.g. the drop set of a 30-50%-duplicate web corpus."""
+def _membership_hash(big_ds, keys_ds, on: str, num_buckets: int | None,
+                     keep_members: bool):
+    """Shared distributed semi/anti core: both sides hash-partition on
+    the key (ONE shuffle); membership is tested per bucket with a
+    vectorized isin.  The scale path when the key set is too big to
+    broadcast — e.g. the drop set of a 30-50%-duplicate web corpus."""
     import numpy as np
 
+    if num_buckets is None:
+        num_buckets = _auto_num_buckets()
     big_cols = list(big_ds.schema().names)
     # capture the big side's pandas dtypes up front: the union pads the
     # keys side with None across big columns, which degrades int/float
@@ -549,8 +544,10 @@ def anti_join_hash(big_ds, keys_ds, on: str, num_buckets: int = 64):
     )
 
     def keep(g: pd.DataFrame) -> pd.DataFrame:
-        drop = g.loc[g["__side"] == 1, on]
-        keepers = g[(g["__side"] == 0) & ~g[on].isin(set(drop))][big_cols]
+        members = set(g.loc[g["__side"] == 1, on])
+        isin = g[on].isin(members)
+        mask = (g["__side"] == 0) & (isin if keep_members else ~isin)
+        keepers = g[mask][big_cols]
         for c, dt in big_dtypes.items():
             if c in keepers.columns and keepers[c].dtype != dt:
                 try:
@@ -560,6 +557,109 @@ def anti_join_hash(big_ds, keys_ds, on: str, num_buckets: int = 64):
         return keepers
 
     return both.groupby("__bucket").map_groups(keep, batch_format="pandas")
+
+
+def anti_join_hash(big_ds, keys_ds, on: str, num_buckets: int | None = None):
+    """Distributed anti-join: keep big-side rows whose ``on`` value has
+    no match in ``keys_ds`` (a Dataset with an ``on`` column).
+    ``num_buckets`` defaults to ``_auto_num_buckets()`` (cluster-sized,
+    not a constant)."""
+    return _membership_hash(big_ds, keys_ds, on, num_buckets,
+                            keep_members=False)
+
+
+def semi_join_hash(big_ds, keys_ds, on: str, num_buckets: int | None = None):
+    """Distributed EXACT semi-join (anti_join_hash's complement): keep
+    big-side rows whose ``on`` value appears in ``keys_ds``.  Unlike
+    semi_join_bloom there are no false positives — use this when the
+    key side is too big to broadcast but exactness matters."""
+    return _membership_hash(big_ds, keys_ds, on, num_buckets,
+                            keep_members=True)
+
+
+# above this estimated small-side size a driver collect + per-worker
+# broadcast copy stops paying for itself: every worker holds the full
+# table in heap, and the driver materializes it first.  256 MiB is a
+# comfortable slice of a worker heap; scale-proportional sides
+# (customer/supplier at high sf) blow past it and route to the
+# shuffle join instead (VERDICT r2 item 3).
+_BROADCAST_LIMIT_BYTES = 256 << 20
+
+
+def estimate_size_bytes(ds) -> int:
+    """Metadata-only size estimate for a (possibly lazy) Dataset.
+    NEVER ``Dataset.size_bytes()`` — that executes the plan.  Returns
+    0 when metadata can't tell (computed datasets with no parquet
+    provenance).  Project ops (rename_columns / select_columns) report
+    no size of their own but never grow the data, so the walk continues
+    upstream through them — the upstream estimate is a safe UPPER bound
+    for a broadcast gate."""
+    try:
+        op = ds._logical_plan.dag
+        while op is not None:
+            est = op.infer_metadata().size_bytes or 0
+            if est:
+                return est
+            if type(op).__name__ != "Project" or not op.input_dependencies:
+                return 0
+            op = op.input_dependencies[0]
+        return 0
+    except Exception:  # noqa: BLE001 — unknown provenance
+        return 0
+
+
+def auto_join(big_ds, small_ds, on, how: str = "inner",
+              broadcast_limit: int | None = None, _on_choice=None):
+    """Size-gated join selection: broadcast when the small side's
+    metadata estimate fits ``broadcast_limit``, else the bucketed /
+    native ``hash_join``.  ``small_ds`` is a Dataset either way — the
+    driver only collects it AFTER the gate proves it driver-sized.
+    An unknown estimate (0: computed dataset, no parquet metadata)
+    routes to the shuffle join: at 100 TB "don't know" must mean
+    "don't broadcast".  ``_on_choice`` (tests) receives "broadcast"
+    or "hash"."""
+    limit = _BROADCAST_LIMIT_BYTES if broadcast_limit is None else broadcast_limit
+    est = estimate_size_bytes(small_ds)
+    if 0 < est <= limit:
+        if _on_choice is not None:
+            _on_choice("broadcast")
+        return broadcast_join(big_ds, small_ds.to_pandas(), on=on, how=how)
+    if _on_choice is not None:
+        _on_choice("hash")
+    return hash_join(big_ds, small_ds, on=on, how=how)
+
+
+def _auto_membership(big_ds, keys_ds, on: str, keep_members: bool,
+                     broadcast_limit: int | None, _on_choice):
+    limit = _BROADCAST_LIMIT_BYTES if broadcast_limit is None else broadcast_limit
+    est = estimate_size_bytes(keys_ds)
+    if 0 < est <= limit:
+        if _on_choice is not None:
+            _on_choice("broadcast")
+        keys = keys_ds.unique(on)
+        return _membership_filter(big_ds, keys, on,
+                                  keep_members=keep_members)
+    if _on_choice is not None:
+        _on_choice("hash")
+    return _membership_hash(big_ds, keys_ds, on, None,
+                            keep_members=keep_members)
+
+
+def auto_semi(big_ds, keys_ds, on: str, broadcast_limit: int | None = None,
+              _on_choice=None):
+    """Size-gated semi-join: key set broadcast (unique + Arrow is_in)
+    when the keys side's metadata estimate is driver-sized, else the
+    exact hash-partitioned ``semi_join_hash``.  Unknown estimate →
+    hash (same rationale as auto_join)."""
+    return _auto_membership(big_ds, keys_ds, on, True, broadcast_limit,
+                            _on_choice)
+
+
+def auto_anti(big_ds, keys_ds, on: str, broadcast_limit: int | None = None,
+              _on_choice=None):
+    """Size-gated anti-join (the resume primitive at any scale)."""
+    return _auto_membership(big_ds, keys_ds, on, False, broadcast_limit,
+                            _on_choice)
 
 
 # ---------------------------------------------------------------------------

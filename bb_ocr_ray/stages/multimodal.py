@@ -17,26 +17,39 @@ real vectorized feature extractor over arbitrary binary payloads.
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+try:  # codecs are absent in this container; the stage self-activates
+    from PIL import Image as _PILImage  # noqa: N813
+except ImportError:  # pragma: no cover — environment-dependent
+    _PILImage = None
+
+
+def pil_available() -> bool:
+    """True when a real image codec (PIL) is importable."""
+    return _PILImage is not None
+
 
 class DecodeImageStub:
     """Actor stage: binary -> (width, height, mean_px) metadata.
 
-    Real decode (PIL/libvips) is unavailable offline; ``fake=True``
-    derives deterministic pseudo-dimensions from a digest of the bytes.
-    The actor signature, batch flow and output schema match what a real
-    decoder stage would use (swap the body, keep the pipeline).
-    """
+    Three modes, picked at construction (once per actor, T1 rule):
+    ``fake=True`` derives deterministic pseudo-dimensions from a digest
+    of the bytes (the offline test path); otherwise a REAL PIL decode
+    runs when the codec imports (same output schema: width, height,
+    mean grayscale pixel; undecodable payloads emit -1 dims rather than
+    raising — error-as-data, M11); with no codec and no fake, the
+    stage raises NotImplementedError, honestly."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
+        if not self.fake and _PILImage is None:
             raise NotImplementedError(
                 "image codecs unavailable in this environment; "
                 "construct with fake=True for the deterministic stub"
@@ -45,10 +58,24 @@ class DecodeImageStub:
         widths, heights, means = [], [], []
         for p in payloads:
             p = p or b""
-            d = hashlib.md5(p).digest()
-            widths.append(64 + d[0] % 192)          # deterministic 64..255
-            heights.append(64 + d[1] % 192)
-            means.append(float(np.frombuffer(p, dtype=np.uint8).mean()) if p else 0.0)
+            if self.fake:
+                d = hashlib.md5(p).digest()
+                widths.append(64 + d[0] % 192)      # deterministic 64..255
+                heights.append(64 + d[1] % 192)
+                means.append(
+                    float(np.frombuffer(p, dtype=np.uint8).mean())
+                    if p else 0.0)
+                continue
+            try:
+                img = _PILImage.open(io.BytesIO(p)).convert("L")
+                arr = np.asarray(img, dtype=np.float64)
+                widths.append(img.width)
+                heights.append(img.height)
+                means.append(float(arr.mean()) if arr.size else 0.0)
+            except Exception:  # noqa: BLE001 — undecodable: data, not error
+                widths.append(-1)
+                heights.append(-1)
+                means.append(0.0)
         out = batch.append_column("width", pa.array(widths, pa.int32()))
         out = out.append_column("height", pa.array(heights, pa.int32()))
         out = out.append_column("mean_px", pa.array(means, pa.float64()))

@@ -273,3 +273,31 @@ def test_paragraph_dedup_idempotent(ray_session):
         again, on="doc_id", suffixes=("_1", "_2"))
     assert (merged["new_text_1"] == merged["new_text_2"]).all()
     assert (merged["n_kept_2"] == merged["n_kept_1"]).all()
+
+
+def test_set_similarity_output_sensitive(ray_session):
+    """The prefix-filtered exact Jaccard join must (a) equal local
+    brute force on planted similar pairs among dissimilar docs, and
+    (b) generate a candidate set near the OUTPUT size, not the n^2
+    pair space — the property that retired the quadratic driver loop."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import set_similarity_join
+
+    # 200 docs with disjoint vocabularies + 5 planted near-dup pairs
+    docs = []
+    for i in range(200):
+        docs.append({"doc_id": i,
+                     "text": " ".join(f"w{i}_{j}" for j in range(20))})
+    for p in range(5):
+        base = docs[p]["text"].split(" ")
+        # 18/22 shared tokens -> J = 18/22 > 0.5
+        twin = base[:18] + [f"twin{p}_a", f"twin{p}_b"]
+        docs.append({"doc_id": 1000 + p, "text": " ".join(twin)})
+    ds = rd.from_items(docs).repartition(4)
+
+    got = set_similarity_join(ds, min_jaccard=0.5).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs == {(p, 1000 + p) for p in range(5)}
+    for _, r in got.iterrows():
+        assert (int(r["inter"]), int(r["uni"])) == (18, 22)

@@ -575,3 +575,94 @@ def test_hash_join_chunked_merge_path(ray_session, monkeypatch):
     # key 7 (900 hot rows + 10 from the modulo series) matches two
     # right rows -> the cross product survives chunking
     assert (got["k"] == 7).sum() == 910 * 2
+
+
+def test_llm_backend_registry_and_fake_determinism():
+    """§2.10 plugin surface: factory resolves registered backends,
+    rejects unknown ones with the known list, and the fake backend is
+    byte-deterministic for a fixed prompt."""
+    import pytest as _pytest
+
+    from bb_ocr_ray.functions.jsonrepair import repair_json
+    from bb_ocr_ray.functions.llm_client import (
+        LLMClient, create_llm_client, register_backend)
+    from bb_ocr_ray.functions.templates import assemble_prompt
+
+    fake = create_llm_client("fake")
+    prompt = assemble_prompt(["Some Title Line\nmore text", "ctx two"])
+    a = fake.generate("m1", prompt)
+    b = create_llm_client("fake").generate("m1", prompt)
+    assert a == b                          # reproducible across instances
+    obj, err = repair_json(a)              # fenced on purpose: repair path
+    assert err is None and obj["title"] == "Some Title Line"
+    assert obj["n_contexts"] == 2
+
+    with _pytest.raises(ValueError, match="fake"):
+        create_llm_client("nonexistent-backend")
+
+    class EchoClient(LLMClient):
+        def generate(self, model, prompt, images_b64=None,
+                     timeout_seconds=None):
+            return '{"title": "echo"}'
+
+    register_backend("echo-test", EchoClient)
+    assert repair_json(
+        create_llm_client("echo-test").generate("m", "p"))[0] == {
+            "title": "echo"}
+
+
+def test_lifecycle_enrichment_slot(ray_session, tmp_path):
+    """Backend swap through run_lifecycle: the fake enrichment stage
+    adds deterministic columns that persist through the partitioned
+    sink (and therefore the audit read-back source)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from bb_ocr_ray.pipelines.lifecycle import run_lifecycle
+    from bb_ocr_ray.sources.pages import edge_case_pages
+
+    out = str(tmp_path / "lc_enriched")
+    _, audit = run_lifecycle(rd.from_arrow(edge_case_pages()), out,
+                             llm_backend="fake")
+    back = pq.read_table(out).to_pandas()
+    assert {"enriched_title", "enrichment_digest",
+            "enrich_error"} <= set(back.columns)
+    assert len(back) == 12                              # no dropped rows
+    ok = back[back["status"] == "ok"]
+    assert ok["enrichment_digest"].notna().all()
+    # determinism: a second run produces identical digests per url
+    out2 = str(tmp_path / "lc_enriched_2")
+    run_lifecycle(rd.from_arrow(edge_case_pages()), out2,
+                  llm_backend="fake")
+    back2 = pq.read_table(out2).to_pandas()
+    # the edge fixture contains a duplicate url with different content,
+    # so compare the sorted (url, digest) multiset, not a url merge
+    key1 = sorted(zip(back["url"], back["enrichment_digest"].fillna("")))
+    key2 = sorted(zip(back2["url"], back2["enrichment_digest"].fillna("")))
+    assert key1 == key2
+    assert os.path.isdir(out)
+
+
+def test_real_decode_when_codec_present(ray_session):
+    """Auto-skipping real-decode test: runs only if PIL is importable
+    (it is not in this container; the guard keeps the stage ready)."""
+    from bb_ocr_ray.stages.multimodal import DecodeImageStub, pil_available
+
+    if not pil_available():
+        pytest.skip("PIL not available in this environment")
+    import io
+
+    from PIL import Image
+
+    import pyarrow as pa
+
+    buf = io.BytesIO()
+    Image.new("L", (40, 30), color=128).save(buf, format="PNG")
+    stage = DecodeImageStub(fake=False)
+    out = stage(pa.table({"payload": pa.array([buf.getvalue(), b"junk"],
+                                              pa.binary())}))
+    assert out.column("width").to_pylist() == [40, -1]
+    assert out.column("height").to_pylist() == [30, -1]
+    assert abs(out.column("mean_px").to_pylist()[0] - 128.0) < 1e-9

@@ -278,3 +278,98 @@ def test_cms_planted_heavy_key(ray_session, tmp_path):
     assert len(row) == 1 and int(row["true_count"].iloc[0]) == 400
     # uniform singletons (1/1000 < 1/125) must NOT appear
     assert len(out) == 1
+
+
+def test_auto_join_size_gate(ray_session, sf_tiny):
+    """auto_join routes by the small side's metadata size estimate:
+    a parquet-backed dim under the limit broadcasts; forcing the limit
+    to 1 byte routes the SAME join through the hash path — results
+    identical either way (VERDICT r2 item 3)."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import auto_join
+
+    li = rd.read_parquet(f"{sf_tiny}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    supp = rd.read_parquet(f"{sf_tiny}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]
+                           ).rename_columns({"s_suppkey": "l_suppkey"})
+
+    choices = []
+    via_bcast = auto_join(li, supp, on="l_suppkey",
+                          _on_choice=choices.append).to_pandas()
+    via_hash = auto_join(
+        rd.read_parquet(f"{sf_tiny}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey"]),
+        rd.read_parquet(f"{sf_tiny}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]
+                        ).rename_columns({"s_suppkey": "l_suppkey"}),
+        on="l_suppkey", broadcast_limit=1,
+        _on_choice=choices.append).to_pandas()
+    assert choices == ["broadcast", "hash"]
+
+    key = ["l_orderkey", "l_suppkey", "s_nationkey"]
+    a = via_bcast[key].sort_values(key).reset_index(drop=True)
+    b = via_hash[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_auto_semi_anti_size_gate(ray_session, sf_tiny):
+    """auto_semi / auto_anti: broadcast vs hash paths agree exactly,
+    and the 1-byte limit provably exercises the hash path."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import auto_anti, auto_semi
+
+    def supp():
+        return rd.read_parquet(f"{sf_tiny}/supplier.parquet",
+                               columns=["s_suppkey", "s_name"])
+
+    def keys():
+        return rd.read_parquet(f"{sf_tiny}/lineitem.parquet",
+                               columns=["l_suppkey"]
+                               ).rename_columns({"l_suppkey": "s_suppkey"})
+
+    def vals(ds):
+        df = ds.to_pandas()
+        # an all-empty Dataset loses its schema through to_pandas
+        # (repo-documented gotcha): an empty anti result is legitimate
+        return set(df["s_suppkey"]) if "s_suppkey" in df.columns else set()
+
+    choices = []
+    semi_b = vals(auto_semi(supp(), keys(), "s_suppkey",
+                            _on_choice=choices.append))
+    semi_h = vals(auto_semi(supp(), keys(), "s_suppkey", broadcast_limit=1,
+                            _on_choice=choices.append))
+    anti_b = vals(auto_anti(supp(), keys(), "s_suppkey",
+                            _on_choice=choices.append))
+    anti_h = vals(auto_anti(supp(), keys(), "s_suppkey", broadcast_limit=1,
+                            _on_choice=choices.append))
+    assert choices == ["broadcast", "hash", "broadcast", "hash"]
+    assert semi_b == semi_h
+    assert anti_b == anti_h
+    all_supp = set(supp().to_pandas()["s_suppkey"])
+    assert semi_b | anti_b == all_supp and not (semi_b & anti_b)
+
+
+def test_ivf_exact_equals_brute_any_probe(ray_session, sf_tiny):
+    """ivf_topk_exact must equal brute force REGARDLESS of n_probe —
+    the triangle-inequality rescan repairs whatever the probe misses
+    (n_probe=1 forces maximal reliance on the pruning bound)."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.ann import ann_topk, ivf_topk_exact
+
+    def vecs():
+        return rd.read_parquet(f"{sf_tiny}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    qs = list(range(8))
+    exact = (ann_topk(vecs(), qs, k=5).to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    for n_probe in (1, 4):
+        got = (ivf_topk_exact(vecs(), qs, k=5, n_probe=n_probe).to_pandas()
+               .sort_values(["query_id", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["query_id", "rank", "neighbor_id"]],
+            exact[["query_id", "rank", "neighbor_id"]])
