@@ -1585,3 +1585,37 @@ ORACLES["q_unpivot"] = """
     FROM events WHERE user_id IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+ORACLES["q_bm25"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    lens AS (SELECT doc_id, len(tk) AS L FROM toks),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(L) AS DOUBLE) / count(*) AS avglen
+              FROM lens),
+    pc AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM pc GROUP BY 1),
+    terms AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3),
+    tf AS (SELECT p.doc_id, p.tok, count(*) AS tf
+           FROM pc p JOIN terms t ON p.tok = t.tok GROUP BY 1, 2),
+    contrib AS (
+        SELECT f.doc_id,
+               ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                 * f.tf * (1.2 + 1)
+                 / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.L / s.avglen))
+                 AS c,
+               t.tok
+        FROM tf f
+        JOIN terms t ON t.tok = f.tok
+        JOIN lens l ON l.doc_id = f.doc_id
+        CROSS JOIN stats s),
+    scored AS (
+        -- sum order over the <=3 term contributions is engine-chosen;
+        -- round-4 absorbs the last-bit difference vs the engine's
+        -- fixed-order fold (same absorption rule as q_regression)
+        SELECT l.doc_id, round(coalesce(sum(x.c), 0.0), 4) AS score
+        FROM lens l LEFT JOIN contrib x ON x.doc_id = l.doc_id
+        GROUP BY l.doc_id)
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 20
+"""

@@ -4035,3 +4035,85 @@ def q_unpivot(sf_dir: str):
 
 
 QUERIES.update({"q_unpivot": q_unpivot})
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (retrieval / data-selection op)
+# ---------------------------------------------------------------------------
+def q_bm25(sf_dir: str):
+    """BM25 top-20 docs for a deterministic 3-term query (the 3 highest
+    document-frequency tokens, ties token-asc) — the retrieval /
+    quality-selection scorer a training-data pipeline runs over a
+    corpus (k1=1.2, b=0.75, the Robertson idf with +1).
+
+    Shape: two aggregate passes (corpus stats fold to one row per
+    batch; df is the q_doc_freq pattern), the 3 terms + constants
+    broadcast in the task closure, then one scoring map with per-batch
+    partial top-20 — nothing row-sized reaches the driver.  The float
+    fold over terms is in FIXED term order on both sides; avglen is
+    exact-integer-sum / count so the division is bit-identical to the
+    oracle's CAST(sum() AS DOUBLE)/count(*)."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    k1, b = 1.2, 0.75
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        lens = [len(ws_tokens(t or "")) for t in bt["text"]]
+        return pd.DataFrame({"n": pd.array([len(lens)], dtype="int64"),
+                             "toks": pd.array([int(np.sum(lens)) if lens
+                                               else 0], dtype="int64")})
+
+    st = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    n_docs = int(st["n"].sum())
+    avglen = int(st["toks"].sum()) / n_docs
+
+    def df_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in bt["text"]:
+            c.update(set(ws_tokens(t or "")))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "df": pd.array(list(c.values()),
+                                            dtype="int64")})
+
+    dft = (ds.map_batches(df_partial, batch_format="pandas")
+           .groupby("token").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())
+    dft["df"] = dft["df"].astype("int64")
+    top = dft.sort_values(["df", "token"], ascending=[False, True],
+                          kind="mergesort").head(3)
+    terms = list(top["token"])
+    idf = {t: float(np.log((n_docs - int(d) + 0.5) / (int(d) + 0.5) + 1.0))
+           for t, d in zip(top["token"], top["df"])}
+
+    def score_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        ids, scores = [], []
+        for did, t in zip(bt["doc_id"], bt["text"]):
+            tk = ws_tokens(t or "")
+            n_tok = len(tk)
+            s = 0.0
+            if n_tok:
+                norm = k1 * (1 - b + b * n_tok / avglen)
+                for q in terms:        # fixed fold order (oracle mirrors)
+                    tf = tk.count(q)
+                    if tf:
+                        s += idf[q] * tf * (k1 + 1) / (tf + norm)
+            ids.append(int(did))
+            scores.append(s)
+        out = pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                            "score": _round_sql(
+                                pd.Series(scores, dtype="float64"), 4)})
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True],
+                               kind="mergesort").head(20)
+
+    parts = (ds.map_batches(score_partial, batch_format="pandas")
+             .to_pandas())          # <=20 rows per batch: driver-sized
+    return (parts.sort_values(["score", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+            .head(20).reset_index(drop=True))
+
+
+QUERIES.update({"q_bm25": q_bm25})
