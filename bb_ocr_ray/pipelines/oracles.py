@@ -1619,3 +1619,21 @@ ORACLES["q_bm25"] = f"""
     SELECT doc_id, score FROM scored
     ORDER BY score DESC, doc_id LIMIT 20
 """
+
+
+# Independent derivation: the engine PARSES the noisy url; the oracle
+# rebuilds the canonical string from the same doc_id arithmetic the
+# synthesis uses.  A canonicalizer bug (port kept, tracking param
+# kept, fragment leaking, case not folded) breaks string equality.
+ORACLES["q_url_dedup"] = """
+    WITH u AS (
+        SELECT doc_id,
+               'http://site' || (doc_id % 7) || '.example.com/path'
+               || (doc_id % 5)
+               || CASE WHEN doc_id % 4 IN (0, 1)
+                       THEN '?id=' || (doc_id % 10) ELSE '' END
+               AS canonical_url
+        FROM documents)
+    SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM u GROUP BY 1
+"""

@@ -4117,3 +4117,50 @@ def q_bm25(sf_dir: str):
 
 
 QUERIES.update({"q_bm25": q_bm25})
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (crawl-frontier hygiene)
+# ---------------------------------------------------------------------------
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup over deterministically synthesized noisy
+    URLs: each doc_id yields one raw URL with crawl noise (uppercase
+    scheme/host, default :80 port on every third, and one of four
+    suffix shapes — utm_source tracking param, fbclid click id, a
+    fragment, or clean), the engine canonicalizes
+    (functions.scalars.canonical_url) and groups.  The oracle derives
+    the EXPECTED canonical string independently from the same doc_id
+    arithmetic — a genuine differential on the parser: any
+    canonicalization bug breaks the string equality or the group
+    counts.  One streaming map + one small groupby (canonical-url
+    cardinality), the per-url dedup shape every crawl pipeline runs."""
+    from bb_ocr_ray.functions.scalars import canonical_url
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def noisy_and_canonical(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].astype("int64")
+        raw = []
+        for x in d:
+            x = int(x)
+            base = (f"HTTP://Site{x % 7}.Example.COM"
+                    + (":80" if x % 3 == 0 else "") + f"/path{x % 5}")
+            suffix = (f"?utm_source=x&id={x % 10}",
+                      f"?id={x % 10}&fbclid=abc",
+                      f"#frag{x}", "")[x % 4]
+            raw.append(base + suffix)
+        return pd.DataFrame(
+            {"canonical_url": [canonical_url(u) for u in raw],
+             "doc_id": d})
+
+    out = (ds.map_batches(noisy_and_canonical, batch_format="pandas")
+           .groupby("canonical_url")
+           .aggregate(Count(alias_name="n_docs"),
+                      Min("doc_id", alias_name="keep_doc_id"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
+    return out
+
+
+QUERIES.update({"q_url_dedup": q_url_dedup})

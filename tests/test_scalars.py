@@ -228,3 +228,22 @@ def test_pii_unicode_digit_not_matched():
 
     text = "١٢٣.١.١.١ not an ip"
     assert redact_text(text)[0] == text
+
+
+def test_canonical_url_contract():
+    """URL canonicalization: fragment dropped, scheme+host lowercased,
+    default port stripped (scheme-aware), tracking params removed
+    name-anchored (a VALUE containing utm_ survives), empty path -> /,
+    junk passes through fragment-stripped."""
+    from bb_ocr_ray.functions.scalars import canonical_url as c
+
+    assert (c("HTTP://Site1.Example.COM:80/path2?utm_source=x&id=5#f")
+            == "http://site1.example.com/path2?id=5")
+    assert c("https://A.B:443") == "https://a.b/"
+    assert c("https://a.b:443/p?utm_a=1&utm_b=2") == "https://a.b/p"
+    assert c("http://a.b:8080/p") == "http://a.b:8080/p"   # non-default port
+    assert c("https://a.b:80/p") == "https://a.b:80/p"     # wrong scheme:port
+    assert c("http://a.b/p?x=utm_foo&ref=1") == "http://a.b/p?x=utm_foo"
+    assert c("http://a.b/p?fbclid=1&gclid=2") == "http://a.b/p"
+    assert c("not a url#frag") == "not a url"
+    assert c("http://a.b/p?id=1&id=2") == "http://a.b/p?id=1&id=2"  # order kept
