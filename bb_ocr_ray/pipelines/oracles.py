@@ -1637,3 +1637,46 @@ ORACLES["q_url_dedup"] = """
     SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_doc_id
     FROM u GROUP BY 1
 """
+
+
+# q_binary_features: the fake decode is md5-derived (width/height from
+# the digest's first two bytes) and the features are pure byte math
+# over the utf-8 payload, so the whole stage mirrors in SQL: DuckDB
+# md5(VARCHAR) hashes the same utf-8 bytes the engine encodes, and the
+# high nibble of byte i is hex char 2i-1 of hex(encode(text)).  The
+# 16-term entropy sum's float order differs between engines; the
+# driver's round-6 canon absorbs it (same rule as q_regression).
+_HEXVAL = "(strpos('0123456789abcdef', lower({c})) - 1)"
+ORACLES["q_binary_features"] = f"""
+    WITH b AS (
+        SELECT doc_id AS item_id,
+               md5(coalesce(text, '')) AS d,
+               hex(encode(coalesce(text, ''))) AS h
+        FROM documents),
+    nib AS (
+        -- generate_series as a LIST function (lateral column args are
+        -- unsupported as a table function — same trick as the
+        -- fingerprint oracle)
+        SELECT item_id,
+               unnest(list_transform(
+                   generate_series(1, CAST(length(h) // 2 AS BIGINT)),
+                   i -> substr(h, 2 * i - 1, 1))) AS c
+        FROM b),
+    cnt AS (SELECT item_id, c, count(*) AS n FROM nib GROUP BY 1, 2),
+    tot AS (SELECT item_id, sum(n) AS t FROM cnt GROUP BY 1),
+    ent AS (
+        SELECT c.item_id,
+               -sum((c.n / t.t) * log2(c.n / t.t)) AS byte_entropy
+        FROM cnt c JOIN tot t ON t.item_id = c.item_id
+        GROUP BY 1)
+    SELECT b.item_id,
+           CAST(64 + ({_HEXVAL.format(c="substr(b.d, 1, 1)")} * 16
+                      + {_HEXVAL.format(c="substr(b.d, 2, 1)")}) % 192
+                AS INT) AS width,
+           CAST(64 + ({_HEXVAL.format(c="substr(b.d, 3, 1)")} * 16
+                      + {_HEXVAL.format(c="substr(b.d, 4, 1)")}) % 192
+                AS INT) AS height,
+           FALSE AS needs_resize,
+           coalesce(e.byte_entropy, 0.0) AS byte_entropy
+    FROM b LEFT JOIN ent e ON e.item_id = b.item_id
+"""

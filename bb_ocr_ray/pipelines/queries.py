@@ -1500,8 +1500,11 @@ QUERIES.update({"q_hll_grouped": q_hll_grouped})
 def q_binary_features(sf_dir: str):
     """Multimodal plumbing over real binary payloads: documents text
     encoded as bytes -> deterministic fake decode (dims) -> byte
-    histogram + entropy (rows-only: numpy float entropy has no clean
-    SQL mirror; determinism covered by tests)."""
+    histogram + entropy.  SQL-oracled since round 3: the md5-derived
+    fake dims and the high-nibble entropy both mirror in DuckDB
+    (md5(VARCHAR) hashes the same utf-8 bytes; nibble i is hex char
+    2i-1 of hex(encode(text))); the driver's round-6 canon absorbs the
+    16-term float-sum order difference."""
     from bb_ocr_ray.stages.multimodal import (
         DecodeImageStub,
         byte_histogram_features,
