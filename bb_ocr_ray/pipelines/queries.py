@@ -2335,33 +2335,41 @@ def q_inverted_index(sf_dir: str):
     docs = _read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"])
 
-    def pairs(b: pd.DataFrame) -> pd.DataFrame:
-        ids, tks = [], []
-        for d, t in zip(b["doc_id"], b["text"]):
-            for tok in set(ws_tokens(t or "")):
-                ids.append(int(d))
-                tks.append(tok)
-        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
-                             "tok": pd.array(tks, dtype="object")})
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
 
-    # materialize: `p` is consumed TWICE (df counts, postings fold) —
-    # without the checkpoint Ray re-executes the corpus read +
-    # tokenization per consumer (the dominant cost); the pinned pairs
-    # are bounded by distinct tokens per doc
-    p = docs.map_batches(pairs, batch_format="pandas").materialize()
+        c = Counter()
+        for t in b["text"]:
+            c.update(set(ws_tokens(t or "")))
+        return pd.DataFrame({"tok": list(c.keys()),
+                             "df": pd.array(list(c.values()),
+                                            dtype="int64")})
+
+    # Two corpus passes instead of one pinned (doc_id, tok) table: the
+    # pair table is CORPUS-sized (every distinct token of every doc),
+    # so materializing it to feed two consumers is the pin-vs-reread
+    # trade paragraph_dedup's docstring argues against.  Pass 1 folds
+    # to per-batch Counter partials (vocabulary-bounded shuffle);
+    # pass 2 re-tokenizes and emits ONLY the 10 winners' pairs — the
+    # second shuffle moves 10 posting lists, never the vocabulary.
     df_counts = (
-        p.map_batches(lambda b: b.groupby("tok", as_index=False).agg(
-            df=("doc_id", "size")), batch_format="pandas")
+        docs.map_batches(df_partial, batch_format="pandas")
         .groupby("tok").aggregate(Sum("df", alias_name="df")).to_pandas()
     )
     df_counts["df"] = df_counts["df"].astype("int64")
     top = (df_counts.sort_values(["df", "tok"], ascending=[False, True],
                                  kind="mergesort").head(10))
-    top_ref = ray.put(dict(zip(top["tok"], top["df"])))
+    top_ref = ray.put(frozenset(top["tok"]))
 
-    def keep_top(b: pd.DataFrame) -> pd.DataFrame:
-        t = ray.get(top_ref)
-        return b[b["tok"].isin(t)]
+    def winner_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        winners = ray.get(top_ref)
+        ids, tks = [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            for tok in set(ws_tokens(t or "")) & winners:
+                ids.append(int(d))
+                tks.append(tok)
+        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                             "tok": pd.array(tks, dtype="object")})
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(int(d) for d in g["doc_id"])
@@ -2369,7 +2377,7 @@ def q_inverted_index(sf_dir: str):
                              "df": pd.array([len(ids)], dtype="int64"),
                              "postings": ["|".join(map(str, ids))]})
 
-    return (p.map_batches(keep_top, batch_format="pandas")
+    return (docs.map_batches(winner_pairs, batch_format="pandas")
             .groupby("tok").map_groups(fold, batch_format="pandas"))
 
 
