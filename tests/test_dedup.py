@@ -301,3 +301,41 @@ def test_set_similarity_output_sensitive(ray_session):
     assert got_pairs == {(p, 1000 + p) for p in range(5)}
     for _, r in got.iterrows():
         assert (int(r["inter"]), int(r["uni"])) == (18, 22)
+
+
+def test_set_similarity_matches_brute_random(ray_session):
+    """Seeded randomized differential: the prefix-filtered exact join
+    must equal local brute force on a high-overlap corpus (many pairs
+    sitting exactly at the threshold boundary — the prefix-length
+    ceil arithmetic is off-by-one-prone) at two thresholds."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    import numpy as np
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import set_similarity_join
+
+    rng = np.random.RandomState(20260818)
+    pool = [f"t{i}" for i in range(40)]
+    docs = []
+    for i in range(80):
+        k = rng.randint(3, 16)
+        toks = sorted(set(rng.choice(pool, size=k)))
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+
+    sets = {d["doc_id"]: frozenset(d["text"].split(" ")) for d in docs}
+
+    for thr in (0.5, 0.6):
+        frac = Fraction(str(thr))
+        expect = set()
+        for a, b in combinations(sorted(sets), 2):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u > 0 and i * frac.denominator >= frac.numerator * u:
+                expect.add((a, b, i, u))
+        got_df = set_similarity_join(
+            rd.from_items(docs).repartition(4), min_jaccard=thr).to_pandas()
+        got = set(zip(got_df["id_a"], got_df["id_b"],
+                      got_df["inter"], got_df["uni"])) if len(got_df) else set()
+        assert got == expect, f"threshold {thr}: {got ^ expect}"

@@ -666,3 +666,40 @@ def test_real_decode_when_codec_present(ray_session):
     assert out.column("width").to_pylist() == [40, -1]
     assert out.column("height").to_pylist() == [30, -1]
     assert abs(out.column("mean_px").to_pylist()[0] - 128.0) < 1e-9
+
+
+def test_streaming_sessionizer_order_independent(ray_session):
+    """The interval-merge SessionActor's core claim: ANY chunk arrival
+    order gives the exact batch result (what makes fully parallel
+    map_batches routing safe).  Feed the same events in three shuffled
+    orders through one actor and compare."""
+    import numpy as np
+    import ray
+
+    from bb_ocr_ray.stages.streaming import SessionActor
+
+    rng = np.random.RandomState(42)
+    users = rng.randint(0, 7, size=400)
+    ts = rng.randint(0, 3_000_000, size=400) * np.int64(1_000_000)
+
+    def run(order):
+        actor = SessionActor.remote(1800.0)
+        for lo in range(0, len(order), 64):
+            idx = order[lo:lo + 64]
+            ray.get(actor.ingest.remote(users[idx].astype(np.int64),
+                                        ts[idx].astype(np.int64)))
+        return ray.get(actor.finalize.remote())
+
+    base = run(np.arange(len(users)))
+    for seed in (1, 2, 3):
+        shuf = np.random.RandomState(seed).permutation(len(users))
+        pd.testing.assert_frame_equal(run(shuf), base)
+
+    # and against the batch definition: per-user sorted gap count
+    df = pd.DataFrame({"u": users, "t": ts})
+    for u, g in df.groupby("u"):
+        s = np.sort(g["t"].to_numpy())
+        n_sessions = 1 + int((np.diff(s) > 1800 * 1_000_000).sum())
+        row = base[base["user_id"] == u]
+        assert int(row["n_sessions"].iloc[0]) == n_sessions
+        assert int(row["n_events"].iloc[0]) == len(g)

@@ -247,3 +247,27 @@ def test_canonical_url_contract():
     assert c("http://a.b/p?fbclid=1&gclid=2") == "http://a.b/p"
     assert c("not a url#frag") == "not a url"
     assert c("http://a.b/p?id=1&id=2") == "http://a.b/p?id=1&id=2"  # order kept
+
+
+def test_canonical_url_idempotent():
+    """canonical(canonical(u)) == canonical(u) over a seeded battery of
+    noisy URL shapes (a canonicalizer that isn't idempotent corrupts
+    re-crawled frontiers)."""
+    import numpy as np
+
+    from bb_ocr_ray.functions.scalars import canonical_url as c
+
+    rng = np.random.RandomState(7)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["A.Example.COM", "x.y", "site1.example.com:80",
+             "s.e.com:443", "h:8080", "user@pw.example.com:80"]
+    paths = ["", "/", "/p", "/p/q.html"]
+    queries = ["", "?utm_source=a", "?id=1&utm_b=2", "?ref=1&x=2&fbclid=3",
+               "?a=1&a=2"]
+    frags = ["", "#f", "#frag with space"]
+    for _ in range(300):
+        u = (rng.choice(schemes) + "://" + rng.choice(hosts)
+             + rng.choice(paths) + rng.choice(queries) + rng.choice(frags))
+        once = c(u)
+        assert c(once) == once, u
+        assert "#" not in once
