@@ -41,6 +41,43 @@ def _round_sql(x, decimals: int):
     return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
 
 
+def _grouped_per_key(ds, key: str, fn, coarse_buckets: int = 64):
+    """``groupby(key).map_groups(fn)`` through ONE coarse shuffle.
+
+    Ray grouped ops pay ~0.16 ms per GROUP, and natural keys (user_id,
+    url) reach 1e8+ at web scale — one Ray group per key is the same
+    per-group tax the LSH ops already avoid.  Here the shuffle key is
+    ``hash(key) % coarse_buckets`` (bounded group count, scale
+    coarse_buckets with the cluster) and the per-key split happens
+    IN-TASK with a pandas groupby: ``fn`` sees exactly the frames
+    ``map_groups`` would have given it, one key per call.
+
+    ``dropna=False`` mirrors Ray's null-key group.  Numeric keys hash
+    through float64 so a key appearing as int64 in one block and
+    float64 in another (a null elsewhere in that block upcasts the
+    whole column) still lands in ONE bucket — exact for |key| < 2^53."""
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key]
+        if k.dtype.kind in "iuf":
+            k = k.astype("float64")
+        b = b.copy()
+        b["__coarse"] = (pd.util.hash_array(k.to_numpy(), categorize=False)
+                         % coarse_buckets).astype("int64")
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [fn(sub.drop(columns=["__coarse"]))
+                 for _, sub in g.groupby(key, sort=True, dropna=False)]
+        parts = [p for p in parts if len(p)]
+        if not parts:   # every key in the bucket folded to nothing
+            return fn(g.drop(columns=["__coarse"]).head(0))
+        return pd.concat(parts, ignore_index=True)
+
+    return (ds.map_batches(stamp, batch_format="pandas")
+            .groupby("__coarse").map_groups(per_bucket,
+                                            batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # Relational: aggregation with partial pre-agg (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -446,7 +483,7 @@ def q_sessionize(sf_dir: str):
              "n_events": pd.Series([len(g)], dtype="int64")}
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _grouped_per_key(ds, "user_id", sessions)
 
 
 def q_json_extract(sf_dir: str):
@@ -754,13 +791,17 @@ def q_dedup_pages(sf_dir: str):
     still a real shuffle + the oracle checks the invariant holds."""
     from bb_ocr_ray.sources.pages import read_pages
 
-    pages = read_pages(sf_dir)
+    # project BEFORE the shuffle: first_row only needs (url, warc_ts,
+    # lang), so the multi-KB html payload never enters the exchange
+    pages = read_pages(sf_dir).select_columns(["url", "warc_ts", "lang"])
 
     def first_row(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("warc_ts", kind="mergesort").head(1)
         return pd.DataFrame({"url": g["url"], "lang": g["lang"]})
 
-    return pages.groupby("url").map_groups(first_row, batch_format="pandas")
+    # url-cardinality == row count: coarse-bucketed per-key grouping
+    # (one Ray group per key would pay the per-group tax on every row)
+    return _grouped_per_key(pages, "url", first_row)
 
 
 # ---------------------------------------------------------------------------
@@ -921,7 +962,7 @@ def q_asof_join(sf_dir: str):
              "last_click_epoch": epoch.fillna(-1).astype("int64")}
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _grouped_per_key(ds, "user_id", per_user)
 
 
 def q_events_sliding(sf_dir: str):
@@ -1720,7 +1761,7 @@ def q_event_gaps(sf_dir: str):
                              "sum_gap_us": [int(d.sum())],
                              "max_gap_us": [int(d.max())]})
 
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    return _grouped_per_key(ds, "user_id", gaps)
 
 
 QUERIES.update({
@@ -1947,7 +1988,7 @@ def q_first_last(sf_dir: str):
             "last_type": [g["event_type"].iloc[-1]],
             "n_events": [len(g)]})
 
-    return ds.groupby("user_id").map_groups(fl, batch_format="pandas")
+    return _grouped_per_key(ds, "user_id", fl)
 
 
 # ---------------------------------------------------------------------------
@@ -3004,8 +3045,8 @@ def q_funnel(sf_dir: str):
     def prefilter(b: pd.DataFrame) -> pd.DataFrame:
         return b[b["ts"].notna() & b["user_id"].notna()]
 
-    return (ds.map_batches(prefilter, batch_format="pandas")
-            .groupby("user_id").map_groups(scan, batch_format="pandas"))
+    return _grouped_per_key(
+        ds.map_batches(prefilter, batch_format="pandas"), "user_id", scan)
 
 
 QUERIES.update({"q_funnel": q_funnel})
@@ -3165,8 +3206,8 @@ def q_corpus_pipeline(sf_dir: str, quota: int = 50):
         g["sum_chars"] = g["sum_chars"].astype("int64")
         return g
 
-    out = (ds.map_batches(clean, batch_format="pandas")
-           .groupby("h").map_groups(keep_min, batch_format="pandas")
+    out = (_grouped_per_key(
+               ds.map_batches(clean, batch_format="pandas"), "h", keep_min)
            .map_batches(quota_partial, batch_format="pandas")
            .repartition(1)
            .map_batches(finish, batch_format="pandas", batch_size=None)
@@ -3964,7 +4005,7 @@ def q_transitions(sf_dir: str):
         out["n"] = out["n"].astype("int64")
         return out
 
-    out = (ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    out = (_grouped_per_key(ds, "user_id", pairs)
            .groupby(["prev_type", "next_type"])
            .aggregate(Sum("n", alias_name="n"))
            .to_pandas())
