@@ -824,6 +824,25 @@ ORACLES["q_repetition"] = f"""
     FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
+ORACLES["q_dup_spans"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    wins AS (SELECT doc_id,
+                    CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(1, len(tk) - 7),
+                                  i -> array_to_string(tk[i:i+7], ' '))
+                    END AS ws
+             FROM toks),
+    occ AS (SELECT doc_id, unnest(ws) AS w FROM wins),
+    tot AS (SELECT w, count(*) AS total FROM occ GROUP BY 1)
+    SELECT o.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN t.total >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+    FROM occ o JOIN tot t USING (w)
+    GROUP BY 1
+"""
+
+
 ORACLES["q_decontaminate"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     sh AS (SELECT doc_id,

@@ -2488,6 +2488,23 @@ def q_paragraph_dedup(sf_dir: str):
 QUERIES.update({"q_paragraph_dedup": q_paragraph_dedup})
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-substring statistics (Lee et al. ExactSubstr at
+    fixed window size): per doc, how many 8-token windows exist and how
+    many of them are duplicated anywhere in the corpus (within-doc
+    repeats count — the synthetic megadocs repeat their body 8x, so
+    they arrive fully duplicated).  Integer-only output; scale shape in
+    ``stages.dedup.dup_span_stats`` (two coarse-bucket shuffles, 16-hex
+    window hashes travel, never window text)."""
+    from bb_ocr_ray.stages.dedup import dup_span_stats
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dup_span_stats(docs, k=8)
+
+
+QUERIES.update({"q_dup_spans": q_dup_spans})
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF: top-3 scored terms per document
 # ---------------------------------------------------------------------------

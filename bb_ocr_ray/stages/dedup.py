@@ -791,3 +791,88 @@ def paragraph_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         return b[[id_col, "n_paras", "n_kept", "new_text"]]
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring statistics (exact window-level duplication)
+# ---------------------------------------------------------------------------
+def dup_span_stats(docs_ds, k: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text", coarse_buckets: int | None = None):
+    """Exact duplicated-window detection, the substring-granularity
+    member of the dedup family (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22 — suffix-array ExactSubstr;
+    re-expressed here at fixed window size so it distributes as ONE
+    count shuffle instead of a global suffix sort).
+
+    A *window* is ``k`` consecutive ws_tokens; a window string is
+    *duplicated* when its total occurrence count across the corpus is
+    >= 2 (within-doc repeats count — a doc that repeats its own
+    paragraph is exactly what this flags).  Returns one row per doc
+    with >= 1 window: (doc_id, n_windows, n_dup_windows) — integers
+    only, so the SQL oracle compares exactly.
+
+    Scale shape: map-side combiner emits per-(window-hash, doc) counts
+    (16-hex md5 travels, never the window text); ONE coarse shuffle on
+    hash(window) so each window's global total is computable in-task;
+    per-doc partials re-bucket on hash(doc) for the final in-task sum.
+    No grouped op ever sees a per-key group (per-group tax) and no
+    stage holds more than a bucket.
+    """
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import md5_hex, ws_tokens
+    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hs, cs = [], [], []
+        for d, t in zip(b[id_col], b[text_col]):
+            tk = ws_tokens(t or "")
+            if len(tk) < k:
+                continue
+            cnt = Counter(
+                md5_hex(" ".join(tk[i:i + k]))[:16]
+                for i in range(len(tk) - k + 1)
+            )
+            for h, c in cnt.items():
+                ids.append(int(d))
+                hs.append(h)
+                cs.append(c)
+        df = pd.DataFrame({"h": pd.array(hs, dtype="object"),
+                           id_col: pd.array(ids, dtype="int64"),
+                           "c": pd.array(cs, dtype="int64")})
+        df["_wb"] = (pd.util.hash_array(df["h"].to_numpy(), categorize=False)
+                     % coarse_buckets).astype("int64")
+        return df
+
+    def window_totals(g: pd.DataFrame) -> pd.DataFrame:
+        # every occurrence of a window hash lands in this one bucket,
+        # so the >=2 test is exact in-task
+        tot = g.groupby("h")["c"].transform("sum")
+        dup = np.where(tot.to_numpy() >= 2, g["c"].to_numpy(), 0)
+        out = (g.assign(dup=dup)
+               .groupby(id_col, as_index=False)
+               .agg(n_windows=("c", "sum"), n_dup_windows=("dup", "sum")))
+        out["_db"] = (pd.util.hash_array(
+            out[id_col].to_numpy().astype("float64"), categorize=False)
+            % coarse_buckets).astype("int64")
+        return out
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(id_col, as_index=False)
+               .agg(n_windows=("n_windows", "sum"),
+                    n_dup_windows=("n_dup_windows", "sum")))
+        out["n_windows"] = out["n_windows"].astype("int64")
+        out["n_dup_windows"] = out["n_dup_windows"].astype("int64")
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    return (docs_ds
+            .map_batches(explode, batch_format="pandas",
+                         batch_size=_TAG_BATCH)
+            .groupby("_wb").map_groups(window_totals, batch_format="pandas")
+            .groupby("_db").map_groups(
+                lambda g: per_doc(g.drop(columns=["_db"])),
+                batch_format="pandas"))

@@ -339,3 +339,39 @@ def test_set_similarity_matches_brute_random(ray_session):
         got = set(zip(got_df["id_a"], got_df["id_b"],
                       got_df["inter"], got_df["uni"])) if len(got_df) else set()
         assert got == expect, f"threshold {thr}: {got ^ expect}"
+
+
+def test_dup_span_stats_planted(ray_session):
+    """Planted window duplication: a shared 8-token sentence across two
+    docs, a within-doc repeat, and a unique doc — exact counts."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        # doc 0/1 share one exact window (plus their own unique tails)
+        {"doc_id": 0, "text": shared + " tail0a tail0b"},
+        {"doc_id": 1, "text": shared + " tail1a tail1b"},
+        # doc 2 repeats its own 8-token run twice -> every window of the
+        # repeated run is duplicated within the doc
+        {"doc_id": 2, "text": ("one two three four five six seven eight "
+                               "one two three four five six seven eight")},
+        # doc 3 unique, doc 4 too short for any window
+        {"doc_id": 3, "text": "u1 u2 u3 u4 u5 u6 u7 u8 u9"},
+        {"doc_id": 4, "text": "too short"},
+    ]
+    out = (dup_span_stats(rd.from_items(docs).repartition(3), k=8,
+                          coarse_buckets=7)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    # doc 4 has no window at all -> no row
+    assert sorted(out.index) == [0, 1, 2, 3]
+    # docs 0/1: 3 windows each (10 tokens), exactly 1 duplicated
+    assert out.loc[0, "n_windows"] == 3 and out.loc[0, "n_dup_windows"] == 1
+    assert out.loc[1, "n_windows"] == 3 and out.loc[1, "n_dup_windows"] == 1
+    # doc 2: 9 windows over 16 tokens; window[0] == window[8] is the
+    # only string occurring twice -> 2 duplicated positions
+    assert out.loc[2, "n_windows"] == 9 and out.loc[2, "n_dup_windows"] == 2
+    # doc 3: 2 windows, none duplicated
+    assert out.loc[3, "n_windows"] == 2 and out.loc[3, "n_dup_windows"] == 0
