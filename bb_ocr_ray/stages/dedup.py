@@ -42,23 +42,39 @@ def _local_first(batch: pd.DataFrame, key: str, order_col: str) -> pd.DataFrame:
     )
 
 
-def dedup_exact(ds, key: str = "content_hash", order_col: str = "url"):
+def dedup_exact(ds, key: str = "content_hash", order_col: str = "url",
+                coarse_buckets: int | None = None):
     """Keep exactly one row per key: the minimum ``order_col`` row
-    (deterministic winner).  Two-phase: local pre-dedup, then grouped
-    first-row.  Requires ``key`` column present (see add_content_hash).
+    (deterministic winner).  Two-phase: local pre-dedup (combiner),
+    then ONE coarse shuffle — the key is hashed into a bounded bucket
+    count (content hashes are row-cardinality; grouping on them
+    directly pays Ray's per-group tax on every surviving row) and the
+    per-key winner pick is a vectorized in-task
+    ``sort_values + drop_duplicates``.  Requires ``key`` column
+    present (see add_content_hash).
 
     Determinism contract: (key, order_col) must identify rows uniquely
     — if two rows tie on BOTH, the survivor's remaining columns depend
     on block/shuffle order.  Use a unique order_col (url, row id).
     """
-    pre = ds.map_batches(
-        lambda b: _local_first(b, key, order_col), batch_format="pandas"
-    )
+    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
 
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(order_col, kind="mergesort").head(1)
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
 
-    return pre.groupby(key).map_groups(first_row, batch_format="pandas")
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = _local_first(b, key, order_col)
+        b = b.assign(_kb=(pd.util.hash_array(
+            b[key].to_numpy(), categorize=False)
+            % coarse_buckets).astype("int64"))
+        return b
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        return _local_first(g, key, order_col).drop(columns=["_kb"])
+
+    return (ds.map_batches(pre, batch_format="pandas",
+                           batch_size=_TAG_BATCH)
+            .groupby("_kb").map_groups(winners, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------

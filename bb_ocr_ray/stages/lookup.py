@@ -123,10 +123,24 @@ def dedup_offers(offers_ds):
                                  kind="mergesort").drop_duplicates(
             subset=["record_key", "provider", "listing_id"], keep="first")
 
-    pre = offers_ds.map_batches(local, batch_format="pandas")
+    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    subset = ["record_key", "provider", "listing_id"]
+    coarse_buckets = _auto_num_buckets()
 
-    return pre.groupby(["record_key", "provider", "listing_id"]).map_groups(
-        first, batch_format="pandas")
+    # record_key is row-cardinality: grouping on the composite key
+    # directly pays Ray's per-group tax per offer.  Hash the composite
+    # key into a bounded bucket count (one shuffle) and drop duplicates
+    # in-task — same first-wins result, vectorized.
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = local(b)
+        return b.assign(_kb=(pd.util.hash_pandas_object(
+            b[subset].astype(str), index=False).to_numpy()
+            % coarse_buckets).astype("int64"))
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        return local(g).drop(columns=["_kb"])
+
+    return (offers_ds.map_batches(pre, batch_format="pandas",
+                                  batch_size=_TAG_BATCH)
+            .groupby("_kb").map_groups(winners, batch_format="pandas"))
