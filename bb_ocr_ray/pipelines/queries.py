@@ -22,6 +22,8 @@ import ray.data as rd
 from bb_ocr_ray.sources.tables import read_parquet_clean as _read_parquet
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from bb_ocr_ray.stages.coarse import coarse_agg
+
 from bb_ocr_ray.functions.hashing import md5_hex
 from bb_ocr_ray.functions.textstats import (
     n_tokens_series,
@@ -459,13 +461,14 @@ def q_events_hourly(sf_dir: str):
             n_events=("value", "size"), sum_value=("value", "sum")
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour_epoch"])
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    # hour buckets grow with the corpus time span (x event types):
+    # coarse_agg keeps the Ray group count bounded (per-group tax)
+    out = coarse_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_epoch"],
+        {"n_events": ("n_events", "sum"),
+         "sum_value": ("sum_value", "sum")},
+    ).to_pandas()
     out["sum_value"] = _round_sql(out["sum_value"].fillna(0.0), 4)
     out["n_events"] = out["n_events"].astype("int64")
     return out
@@ -625,13 +628,14 @@ def q_dedup_exact(sf_dir: str):
              "doc_id": batch["doc_id"]}
         )
 
-    out = (
-        ds.map_batches(hashed, batch_format="pandas")
-        .groupby("content_md5")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"),
-                   Count(alias_name="n_copies"))
-        .to_pandas()
-    )
+    # content hashes are row-cardinality: coarse_agg, never a direct
+    # Ray groupby (per-group tax on every distinct document)
+    out = coarse_agg(
+        ds.map_batches(hashed, batch_format="pandas"),
+        ["content_md5"],
+        {"keep_doc_id": ("doc_id", "min"),
+         "n_copies": ("doc_id", "size")},
+    ).to_pandas()
     out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
     out["n_copies"] = out["n_copies"].astype("int64")
     return out
@@ -1345,12 +1349,11 @@ def q_registrable_domain(sf_dir: str):
         df = pd.DataFrame({"domain": reg, "n": np.ones(len(d), dtype="int64")})
         return df.groupby("domain", as_index=False).sum()
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("domain")
-        .aggregate(Sum("n", alias_name="n_docs"))
-        .to_pandas()
-    )
+    # registrable domains are unbounded at web scale: coarse_agg
+    out = coarse_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["domain"], {"n_docs": ("n", "sum")},
+    ).to_pandas()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out
 
@@ -1635,13 +1638,13 @@ def q_provider_fanout(sf_dir: str):
         return batch.groupby("record_key", as_index=False).agg(
             n_offers=("listing_id", "size"), best_amount=("amount", "min"))
 
-    out = (
-        deduped.map_batches(summarize, batch_format="pandas")
-        .groupby("record_key")
-        .aggregate(Sum("n_offers", alias_name="n_offers"),
-                   Min("best_amount", alias_name="best_amount"))
-        .to_pandas()
-    )
+    # record keys scale with the catalog: coarse_agg (per-group tax)
+    out = coarse_agg(
+        deduped.map_batches(summarize, batch_format="pandas"),
+        ["record_key"],
+        {"n_offers": ("n_offers", "sum"),
+         "best_amount": ("best_amount", "min")},
+    ).to_pandas()
     out["record_key"] = out["record_key"].astype("int64")
     out["n_offers"] = out["n_offers"].astype("int64")
     return out
@@ -1726,13 +1729,13 @@ def q_pivot_events(sf_dir: str):
         ct["purchase_value"] = pv.reindex(ct.index).fillna(0.0)
         return ct.reset_index()
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(*[Sum(c, alias_name=c) for c in cols],
-                   Sum("purchase_value", alias_name="purchase_value"))
-        .to_pandas()
-    )
+    # user_id is row-cardinality: coarse_agg (per-group tax)
+    spec = {c: (c, "sum") for c in cols}
+    spec["purchase_value"] = ("purchase_value", "sum")
+    out = coarse_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], spec,
+    ).to_pandas()
     for c in cols:
         out[c] = out[c].astype("int64")
     # blocks containing NULL users arrive with a float64 user_id column;
@@ -2024,12 +2027,11 @@ def q_ngram_freq(sf_dir: str):
         return pd.DataFrame({"ngram": list(c.keys()),
                              "n": pd.array(list(c.values()), dtype="int64")})
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("ngram")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+    # the ngram vocabulary is unbounded: coarse_agg (per-group tax)
+    agg = coarse_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["ngram"], {"n": ("n", "sum")},
+    ).to_pandas()
     agg["n"] = agg["n"].astype("int64")
     return (agg.sort_values(["n", "ngram"], ascending=[False, True],
                             kind="mergesort")
@@ -2056,12 +2058,11 @@ def q_doc_freq(sf_dir: str):
         return pd.DataFrame({"tok": list(c.keys()),
                              "df": pd.array(list(c.values()), dtype="int64")})
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("tok")
-        .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
-    )
+    # the token vocabulary is unbounded: coarse_agg (per-group tax)
+    agg = coarse_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["tok"], {"df": ("df", "sum")},
+    ).to_pandas()
     agg["df"] = agg["df"].astype("int64")
     return (agg.sort_values(["df", "tok"], ascending=[False, True],
                             kind="mergesort")
@@ -2403,10 +2404,10 @@ def q_inverted_index(sf_dir: str):
     # to per-batch Counter partials (vocabulary-bounded shuffle);
     # pass 2 re-tokenizes and emits ONLY the 10 winners' pairs — the
     # second shuffle moves 10 posting lists, never the vocabulary.
-    df_counts = (
-        docs.map_batches(df_partial, batch_format="pandas")
-        .groupby("tok").aggregate(Sum("df", alias_name="df")).to_pandas()
-    )
+    df_counts = coarse_agg(
+        docs.map_batches(df_partial, batch_format="pandas"),
+        ["tok"], {"df": ("df", "sum")},
+    ).to_pandas()
     df_counts["df"] = df_counts["df"].astype("int64")
     top = (df_counts.sort_values(["df", "tok"], ascending=[False, True],
                                  kind="mergesort").head(10))
@@ -2540,9 +2541,10 @@ def q_tfidf(sf_dir: str, topk: int = 3):
         return pd.DataFrame({"tok": list(c.keys()),
                              "df": pd.array(list(c.values()), dtype="int64")})
 
-    df_pd = (ds.map_batches(df_partial, batch_format="pandas")
-             .groupby("tok").aggregate(Sum("df", alias_name="df"))
-             .to_pandas())
+    df_pd = coarse_agg(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        ["tok"], {"df": ("df", "sum")},
+    ).to_pandas()
     df_ref = ray.put(dict(zip(df_pd["tok"], (int(x) for x in df_pd["df"]))))
 
     def rank(b: pd.DataFrame) -> pd.DataFrame:
@@ -2681,9 +2683,10 @@ def q_lm_score(sf_dir: str):
         return pd.DataFrame({"tok": list(c.keys()),
                              "c": pd.array(list(c.values()), dtype="int64")})
 
-    tc_pd = (ds.map_batches(tc_partial, batch_format="pandas")
-             .groupby("tok").aggregate(Sum("c", alias_name="c"))
-             .to_pandas())
+    tc_pd = coarse_agg(
+        ds.map_batches(tc_partial, batch_format="pandas"),
+        ["tok"], {"c": ("c", "sum")},
+    ).to_pandas()
     n_total = int(tc_pd["c"].sum())
     model_ref = ray.put(dict(zip(tc_pd["tok"], (int(x) for x in tc_pd["c"]))))
 
@@ -2984,8 +2987,9 @@ def q_outlier_filter(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99):
         return pd.DataFrame({"v": vc.index.to_numpy(dtype=np.int64),
                              "c": vc.to_numpy(dtype=np.int64)})
 
-    hist = (ds.map_batches(hist_partial, batch_format="pandas")
-            .groupby("v").aggregate(Sum("c", alias_name="c"))
+    # distinct n_chars values are unbounded: coarse_agg
+    hist = (coarse_agg(ds.map_batches(hist_partial, batch_format="pandas"),
+                       ["v"], {"c": ("c", "sum")})
             .to_pandas().sort_values("v", kind="mergesort"))
     n = int(hist["c"].sum())
     cum = hist["c"].cumsum().to_numpy()
@@ -3115,10 +3119,11 @@ def q_retention(sf_dir: str):
         return (b.groupby("user_id", as_index=False)
                 .agg(cohort_week=("wk", "min")))
 
-    sign = (ds.map_batches(sign_partial, batch_format="pandas")
-            .groupby("user_id")
-            .aggregate(Min("cohort_week", alias_name="cohort_week"))
-            .materialize())
+    # user_id is row-cardinality: coarse_agg (per-group tax)
+    sign = coarse_agg(
+        ds.map_batches(sign_partial, batch_format="pandas"),
+        ["user_id"], {"cohort_week": ("cohort_week", "min")},
+    ).materialize()
 
     def act_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = _wk(b)
@@ -3556,11 +3561,11 @@ def _set_op_users(sf_dir: str, keep: str):
             "in_a": np.isin(keys, a).astype(np.int64),
             "in_b": np.isin(keys, p).astype(np.int64)})
 
-    flags = (ds.map_batches(partial, batch_format="pandas")
-             .groupby("user_id")
-             .aggregate(Max("in_a", alias_name="in_a"),
-                        Max("in_b", alias_name="in_b"))
-             .to_pandas())
+    flags = coarse_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"in_a": ("in_a", "max"), "in_b": ("in_b", "max")},
+    ).to_pandas()
     if not len(flags):
         return pd.DataFrame({"user_id": pd.array([], dtype="int64")})
     if keep == "intersect":
@@ -3979,10 +3984,11 @@ def q_densify_hours(sf_dir: str):
                 .groupby(["event_type", "hour_epoch"], as_index=False)
                 ["n"].sum())
 
-    agg = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(["event_type", "hour_epoch"])
-           .aggregate(Sum("n", alias_name="n"))
-           .to_pandas())
+    # hour buckets grow with the corpus time span: coarse_agg
+    agg = coarse_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_epoch"], {"n": ("n", "sum")},
+    ).to_pandas()
     if not len(agg):
         return pd.DataFrame({
             "event_type": pd.array([], dtype="object"),
@@ -4157,9 +4163,11 @@ def q_bm25(sf_dir: str):
                              "df": pd.array(list(c.values()),
                                             dtype="int64")})
 
-    dft = (ds.map_batches(df_partial, batch_format="pandas")
-           .groupby("token").aggregate(Sum("df", alias_name="df"))
-           .to_pandas())
+    # the token vocabulary is unbounded: coarse_agg (per-group tax)
+    dft = coarse_agg(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        ["token"], {"df": ("df", "sum")},
+    ).to_pandas()
     dft["df"] = dft["df"].astype("int64")
     top = dft.sort_values(["df", "token"], ascending=[False, True],
                           kind="mergesort").head(3)
@@ -4232,11 +4240,13 @@ def q_url_dedup(sf_dir: str):
             {"canonical_url": [canonical_url(u) for u in raw],
              "doc_id": d})
 
-    out = (ds.map_batches(noisy_and_canonical, batch_format="pandas")
-           .groupby("canonical_url")
-           .aggregate(Count(alias_name="n_docs"),
-                      Min("doc_id", alias_name="keep_doc_id"))
-           .to_pandas())
+    # canonical urls are row-cardinality: coarse_agg (per-group tax)
+    out = coarse_agg(
+        ds.map_batches(noisy_and_canonical, batch_format="pandas"),
+        ["canonical_url"],
+        {"n_docs": ("doc_id", "size"),
+         "keep_doc_id": ("doc_id", "min")},
+    ).to_pandas()
     out["n_docs"] = out["n_docs"].astype("int64")
     out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
     return out

@@ -1,0 +1,104 @@
+"""Coarse-bucket grouped execution.
+
+Ray grouped ops (``groupby().aggregate`` AND ``groupby().map_groups``)
+pay per-GROUP overhead — measured here at ~0.4 ms/group: a native
+``aggregate`` over 200k string groups took 74.6 s where the coarse
+re-expression below took 0.76 s on identical data (16 cpus).  Natural
+keys (content hash, user id, url, token vocabulary, domain, hour
+bucket) reach 1e6–1e9 groups at web scale, so no operator may hand Ray
+a high-cardinality grouping key directly.
+
+The re-expression: stamp ``hash(key) % coarse_buckets`` (bucket count
+sized to the cluster, every occurrence of a key lands in exactly one
+bucket), shuffle ONCE on that bounded key, and do the per-key work
+inside the task with vectorized pandas.  Exact same result, per-row
+cost instead of per-group.
+
+Pre-shuffle block counts are bounded via explicit ``batch_size``
+(Ray's sort shuffle creates one output partition per input block —
+O(blocks²) intermediate objects otherwise; see joins._TAG_BATCH).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _bucket_ids(frame: pd.DataFrame, keys: list[str],
+                coarse_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per row from the key columns.
+
+    Numeric keys hash through float64 so a key seen as int64 in one
+    block and float64 in another (nulls upcast whole columns) still
+    lands in ONE bucket — exact for |key| < 2^53.  String/object keys
+    hash as-is.  pd.util hashing is seed-stable across processes.
+    """
+    if len(keys) == 1:
+        k = frame[keys[0]]
+        if k.dtype.kind in "iuf":
+            k = k.astype("float64")
+        h = pd.util.hash_array(k.to_numpy(), categorize=False)
+    else:
+        kf = frame[keys].copy()
+        for c in keys:
+            if kf[c].dtype.kind in "iuf":
+                kf[c] = kf[c].astype("float64")
+        h = pd.util.hash_pandas_object(kf, index=False).to_numpy()
+    return (h % coarse_buckets).astype("int64")
+
+
+def coarse_agg(ds, keys, agg: dict, coarse_buckets: int | None = None,
+               partial: bool = True):
+    """``groupby(keys).agg(**agg)`` through ONE coarse shuffle.
+
+    ``agg`` is pandas named-aggregation: ``{out_col: (in_col, how)}``
+    with ``how`` in {"sum", "min", "max", "size", "first", ...} — any
+    DISTRIBUTIVE pandas reduction (each key's rows are all present in
+    its bucket, so the in-task result is exact, not an approximation).
+
+    ``partial=True`` additionally pre-aggregates inside each map task
+    before the shuffle (classic combiner) — valid only when the ``how``
+    set is re-foldable (sum of sums, min of mins…).  ``size`` is
+    rewritten to a sum-of-partial-counts automatically.  Pass
+    ``partial=False`` for non-refoldable reductions (e.g. "first"
+    without a defined order, "nunique").
+    """
+    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
+
+    keys = list(keys)
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+
+    refold = dict(agg)
+    if partial:
+        # combiner output columns are named like the final ones, so the
+        # in-bucket fold re-aggregates them: sum<-sum, min<-min,
+        # max<-max, size<-sum of partial sizes
+        _REFOLD = {"sum": "sum", "min": "min", "max": "max",
+                   "size": "sum", "count": "sum"}
+        for out, (col, how) in agg.items():
+            if how not in _REFOLD:
+                raise ValueError(
+                    f"{how!r} is not refoldable; call with partial=False")
+            refold[out] = (out, _REFOLD[how])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        if partial:
+            b = (b.groupby(keys, as_index=False, dropna=False, sort=False)
+                 .agg(**agg))
+        else:
+            b = b[keys + sorted({c for c, _ in agg.values()})].copy()
+        b["__coarse"] = _bucket_ids(b, keys, coarse_buckets)
+        return b
+
+    spec = refold if partial else agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns=["__coarse"])
+                .groupby(keys, as_index=False, dropna=False, sort=True)
+                .agg(**spec))
+
+    return (ds.map_batches(stamp, batch_format="pandas",
+                           batch_size=_TAG_BATCH)
+            .groupby("__coarse").map_groups(fold, batch_format="pandas"))

@@ -80,7 +80,8 @@ def dedup_exact(ds, key: str = "content_hash", order_col: str = "url",
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
-def dedup_pairs(pairs_ds, cols=("id_a", "id_b"), coarse_buckets: int = 64):
+def dedup_pairs(pairs_ds, cols=("id_a", "id_b"),
+                coarse_buckets: int | None = None):
     """Distinct (id_a, id_b) pairs via ONE coarse shuffle.
 
     Local drop_duplicates (combiner), shuffle on a coarse int key
@@ -88,6 +89,10 @@ def dedup_pairs(pairs_ds, cols=("id_a", "id_b"), coarse_buckets: int = 64):
     count instead of the per-pair groups a direct
     ``groupby([id_a, id_b])`` would create (Ray grouped ops pay
     ~0.16 ms per GROUP; pair sets can be huge)."""
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
     c0, c1 = cols
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
@@ -130,7 +135,8 @@ def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     bucket size is logged.
     """
     import logging
-    import zlib
+
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
 
     # Shuffle-cardinality design: grouping directly on (band, hash)
     # means ~n_docs×n_bands mostly-singleton groups, and Ray's grouped
@@ -140,16 +146,15 @@ def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     # buckets INSIDE each task with vectorized pandas — per-row cost,
     # not per-group.  Identical output, ~10× faster here, and at scale
     # coarse_buckets just grows with the cluster.
-    coarse_buckets = 64
+    coarse_buckets = _auto_num_buckets()
 
     def to_rows(b: pd.DataFrame) -> pd.DataFrame:
         out = minhash_explode(b, id_col, text_col, n_bands)
         bucket = out["band_id"].astype(str) + ":" + out["band_hash"]
+        coarse = (pd.util.hash_array(bucket.to_numpy(), categorize=False)
+                  % coarse_buckets).astype("int64")
         return pd.DataFrame(
-            {"bucket": bucket,
-             "coarse": [zlib.crc32(s.encode()) % coarse_buckets
-                        for s in bucket],
-             id_col: out[id_col]}
+            {"bucket": bucket, "coarse": coarse, id_col: out[id_col]}
         )
 
     exploded = docs_ds.map_batches(to_rows, batch_format="pandas")
@@ -190,7 +195,7 @@ def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
 def set_similarity_join(docs_ds, min_jaccard: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        coarse_buckets: int = 64):
+                        coarse_buckets: int | None = None):
     """EXACT all-pairs token-set Jaccard join at threshold t — the
     sub-quadratic rescue of the brute-force baseline (VERDICT r2 item
     6), via prefix filtering (PPJoin family: Xiao et al., WWW'08 —
@@ -221,8 +226,11 @@ def set_similarity_join(docs_ds, min_jaccard: float = 0.5,
 
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
 
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
     t = Fraction(str(min_jaccard))
     num, den = t.numerator, t.denominator
 
@@ -233,9 +241,13 @@ def set_similarity_join(docs_ds, min_jaccard: float = 0.5,
         return pd.DataFrame(
             {"token": [tk for toks in distinct_tokens(b) for tk in toks]})
 
-    df_tbl = (docs_ds.map_batches(tok_rows, batch_format="pandas")
-              .groupby("token").aggregate(Count(alias_name="df"))
-              .to_pandas())
+    from bb_ocr_ray.stages.coarse import coarse_agg
+
+    # the token vocabulary is unbounded: coarse_agg (per-group tax)
+    df_tbl = coarse_agg(
+        docs_ds.map_batches(tok_rows, batch_format="pandas"),
+        ["token"], {"df": ("token", "size")},
+    ).to_pandas()
     df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
 
     def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -536,7 +548,7 @@ def verify_candidates_hash(pairs_ds, docs_ds, id_col: str = "doc_id",
     return j.map_batches(score, batch_format="pandas")
 
 
-def connected_components_ds(pairs_ds, coarse_buckets: int = 64,
+def connected_components_ds(pairs_ds, coarse_buckets: int | None = None,
                             max_rounds: int = 30):
     """Distributed connected components: alternating large-star /
     small-star rounds (Kiveris et al., "Connected Components in
@@ -555,6 +567,11 @@ def connected_components_ds(pairs_ds, coarse_buckets: int = 64,
     1..N through lazy lineage.
     """
     import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
 
     def star(edges_ds, large: bool):
         def sym(b: pd.DataFrame) -> pd.DataFrame:
@@ -706,7 +723,7 @@ def near_dup_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 # Paragraph-level exact dedup (sub-document granularity)
 # ---------------------------------------------------------------------------
 def paragraph_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
-                    sep: str = "\n\n", coarse_buckets: int = 64):
+                    sep: str = "\n\n", coarse_buckets: int | None = None):
     """Corpus-wide paragraph-level exact dedup, first occurrence wins
     (the sub-document granularity of Lee et al., "Deduplicating
     Training Data Makes Language Models Better" — exact-match variant
@@ -742,7 +759,10 @@ def paragraph_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     store instead of re-reading a pruned column, a worse trade at
     100 TB.
     """
-    from bb_ocr_ray.stages.joins import hash_join
+    from bb_ocr_ray.stages.joins import _auto_num_buckets, hash_join
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
 
     def split_paras(text) -> list:
         return [p for p in (text or "").split(sep) if p != ""]

@@ -69,11 +69,14 @@ def domain_stats(extracted_ds, salt_buckets: int | None = None):
     partials = extracted_ds.map_batches(
         lambda b: _partial(b, salt_buckets), batch_format="pandas"
     )
-    salted = partials.groupby(["domain", "salt"]).aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("html_bytes", alias_name="html_bytes"),
-        Sum("extracted_chars", alias_name="extracted_chars"),
-        Sum("n_errors", alias_name="n_errors"),
+    # (domain, salt) is unbounded at web scale (domains x salt): fold
+    # through a coarse shuffle, never a direct Ray groupby (per-group tax)
+    from bb_ocr_ray.stages.coarse import coarse_agg
+
+    salted = coarse_agg(
+        partials, ["domain", "salt"],
+        {c: (c, "sum")
+         for c in ("n_docs", "html_bytes", "extracted_chars", "n_errors")},
     )
     # Final salt-strip: the salted result is ≤ |domains| × S rows — an
     # aggregate-sized table — so the merge is a driver-side pandas sum
