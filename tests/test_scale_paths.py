@@ -373,3 +373,53 @@ def test_ivf_exact_equals_brute_any_probe(ray_session, sf_tiny):
         pd.testing.assert_frame_equal(
             got[["query_id", "rank", "neighbor_id"]],
             exact[["query_id", "rank", "neighbor_id"]])
+
+
+def test_coarse_agg_matches_pandas(ray_session):
+    """coarse_agg == pandas groupby on mixed dtypes, null keys, and
+    every refoldable reduction, at several bucket counts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.coarse import coarse_agg
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.randint(0, 800, n).astype("float64"),
+        "s": [f"dom{i % 37}.example" for i in rng.randint(0, 5000, n)],
+        "v": rng.randint(-100, 100, n).astype("int64"),
+    })
+    # null keys in both a numeric and a string key column
+    df.loc[df.index[:50], "k"] = np.nan
+    df.loc[df.index[50:80], "s"] = None
+
+    spec = {"total": ("v", "sum"), "lo": ("v", "min"),
+            "hi": ("v", "max"), "n": ("v", "size")}
+    ds = rd.from_pandas(df).repartition(8)
+
+    def canon(out):
+        out = out.sort_values(["k", "s"], na_position="last",
+                              kind="mergesort").reset_index(drop=True)
+        return out[["k", "s", "total", "lo", "hi", "n"]]
+
+    expect = canon(df.groupby(["k", "s"], as_index=False,
+                              dropna=False).agg(**spec))
+    for buckets in (1, 3, 64):
+        got = canon(coarse_agg(ds, ["k", "s"], spec,
+                               coarse_buckets=buckets).to_pandas())
+        pd.testing.assert_frame_equal(
+            got.astype({"total": "int64", "lo": "int64",
+                        "hi": "int64", "n": "int64"}),
+            expect.astype({"total": "int64", "lo": "int64",
+                           "hi": "int64", "n": "int64"}))
+
+    # single numeric key seen as int64 in some blocks, float64 in
+    # others (null-driven upcast) must still land in one bucket
+    a = pd.DataFrame({"k": np.arange(20, dtype="int64"), "v": 1})
+    b = pd.DataFrame({"k": np.arange(20).astype("float64"), "v": 1})
+    ds2 = rd.from_pandas(a).union(rd.from_pandas(b)).repartition(4)
+    got2 = (coarse_agg(ds2, ["k"], {"n": ("v", "sum")}, coarse_buckets=16)
+            .to_pandas())
+    assert len(got2) == 20 and set(got2["n"]) == {2}
