@@ -1699,3 +1699,38 @@ ORACLES["q_binary_features"] = f"""
            coalesce(e.byte_entropy, 0.0) AS byte_entropy
     FROM b LEFT JOIN ent e ON e.item_id = b.item_id
 """
+
+
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power iteration (recursive CTEs cannot aggregate in the
+    recursive term) — same leaky formulation as stages/graph.pagerank:
+    teleport (1-d)/|V|, no dangling redistribution."""
+    ctes = [f"""
+    m AS (SELECT max(doc_id) + 1 AS mm FROM documents),
+    edges AS (SELECT doc_id AS src,
+                     unnest([(doc_id*doc_id+1)%mm, (doc_id//2+7)%mm,
+                             (doc_id*3+11)%mm]) AS dst
+              FROM documents, m),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nv AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    pr0 AS (SELECT node, 1.0/(SELECT n FROM nv) AS rank FROM nodes)"""]
+    for i in range(iters):
+        ctes.append(f"""
+    pr{i+1} AS (
+        SELECT nd.node,
+               {1.0 - damping}/(SELECT n FROM nv)
+                   + {damping}*coalesce(s.msum, 0.0) AS rank
+        FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank/d.outdeg) AS msum
+            FROM edges e
+            JOIN pr{i} p ON e.src = p.node
+            JOIN deg  d ON e.src = d.src
+            GROUP BY 1) s ON nd.node = s.node)""")
+    return ("WITH" + ",".join(ctes)
+            + f"""
+    SELECT node, round(rank, 6) AS rank FROM pr{iters} ORDER BY node""")
+
+
+ORACLES["q_pagerank"] = _pagerank_sql()

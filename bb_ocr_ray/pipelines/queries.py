@@ -4253,3 +4253,43 @@ def q_url_dedup(sf_dir: str):
 
 
 QUERIES.update({"q_url_dedup": q_url_dedup})
+
+
+# ---------------------------------------------------------------------------
+# PageRank (web-graph link analysis)
+# ---------------------------------------------------------------------------
+def q_pagerank(sf_dir: str, iters: int = 10):
+    """PageRank over a deterministic synthetic link graph: each doc
+    links to 3 arithmetic targets mod (max_id + 1) — parallel edges
+    kept (multiplicity), targets need not be existing docs (dangling
+    sinks receive teleport mass only; leaky formulation, no dangling
+    redistribution).  The graph generator stands in for a real edge
+    table; the OPERATOR (``stages.graph.pagerank``) takes any (src,
+    dst) edge Dataset.  Rank rounded to 6 dp (float sums drift below
+    1e-12 across engines; in-degree is ~3 so association error is
+    far under the rounding grain)."""
+    from bb_ocr_ray.stages.graph import pagerank
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    import ray
+
+    m = int(docs.max("doc_id")) + 1
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        # quadratic + 2-to-1 + affine: a deliberately NON-regular graph
+        # (skewed in-degrees), so a wrong rank flow cannot hide behind
+        # a uniform stationary distribution
+        return pd.DataFrame({"src": np.repeat(d, 3),
+                             "dst": np.stack([(d * d + 1) % m,
+                                              (d // 2 + 7) % m,
+                                              (d * 3 + 11) % m],
+                                             axis=1).reshape(-1)})
+
+    out = pagerank(docs.map_batches(edges, batch_format="pandas"),
+                   iters=iters).to_pandas()
+    out["rank"] = _round_sql(out["rank"], 6)
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
+QUERIES.update({"q_pagerank": q_pagerank})

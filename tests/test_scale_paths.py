@@ -423,3 +423,39 @@ def test_coarse_agg_matches_pandas(ray_session):
     got2 = (coarse_agg(ds2, ["k"], {"n": ("v", "sum")}, coarse_buckets=16)
             .to_pandas())
     assert len(got2) == 20 and set(got2["n"]) == {2}
+
+
+def test_pagerank_matches_numpy(ray_session):
+    """Distributed PageRank == dense numpy power iteration on a random
+    graph with parallel edges, skewed in-degrees, and dangling sinks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(11)
+    n = 60
+    src = rng.randint(0, 40, 300)            # nodes 40..59 are sinks
+    dst = rng.randint(0, n, 300)
+    edges = pd.DataFrame({"src": src.astype("int64"),
+                          "dst": dst.astype("int64")})
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    nv = len(nodes)
+    outdeg = pd.Series(src).value_counts()
+    r = np.full(nv, 1.0 / nv)
+    for _ in range(10):
+        m = np.zeros(nv)
+        for s, d in zip(src, dst):
+            m[idx[d]] += 0.85 * r[idx[s]] / outdeg[s]
+        r = 0.15 / nv + m
+
+    got = (pagerank(rd.from_pandas(edges).repartition(4), iters=10,
+                    coarse_buckets=5)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(got["node"]) == list(nodes)
+    np.testing.assert_allclose(got["rank"].to_numpy(),
+                               np.array([r[idx[v]] for v in nodes]),
+                               rtol=1e-12, atol=1e-15)
