@@ -44,50 +44,13 @@ def _round_sql(x, decimals: int):
 
 
 def _grouped_per_key(ds, key: str, fn, coarse_buckets: int | None = None):
-    """``groupby(key).map_groups(fn)`` through ONE coarse shuffle.
+    """See stages/coarse.grouped_per_key — natural keys (user_id, url,
+    content hash) are row-cardinality, and Ray grouped ops pay
+    per-GROUP overhead, so no query hands Ray a high-cardinality
+    grouping key directly."""
+    from bb_ocr_ray.stages.coarse import grouped_per_key
 
-    Ray grouped ops pay ~0.16 ms per GROUP, and natural keys (user_id,
-    url) reach 1e8+ at web scale — one Ray group per key is the same
-    per-group tax the LSH ops already avoid.  Here the shuffle key is
-    ``hash(key) % coarse_buckets`` (bounded group count, sized to the
-    cluster like the join buckets) and the per-key split happens
-    IN-TASK with a pandas groupby: ``fn`` sees exactly the frames
-    ``map_groups`` would have given it, one key per call.
-
-    ``dropna=False`` mirrors Ray's null-key group.  Numeric keys hash
-    through float64 so a key appearing as int64 in one block and
-    float64 in another (a null elsewhere in that block upcasts the
-    whole column) still lands in ONE bucket — exact for |key| < 2^53."""
-    from bb_ocr_ray.stages.joins import _auto_num_buckets, _TAG_BATCH
-
-    if coarse_buckets is None:
-        coarse_buckets = _auto_num_buckets()
-
-    def stamp(b: pd.DataFrame) -> pd.DataFrame:
-        k = b[key]
-        if k.dtype.kind in "iuf":
-            k = k.astype("float64")
-        b = b.copy()
-        b["__coarse"] = (pd.util.hash_array(k.to_numpy(), categorize=False)
-                         % coarse_buckets).astype("int64")
-        return b
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        parts = [fn(sub.drop(columns=["__coarse"]))
-                 for _, sub in g.groupby(key, sort=True, dropna=False)]
-        parts = [p for p in parts if len(p)]
-        if not parts:   # every key in the bucket folded to nothing
-            return fn(g.drop(columns=["__coarse"]).head(0))
-        return pd.concat(parts, ignore_index=True)
-
-    # batch_size bounds the pre-shuffle block count: the sort shuffle
-    # makes one output partition per input block, so many tiny stamped
-    # blocks go O(blocks^2) in intermediate objects (the _TAG_BATCH
-    # lesson from the join layer)
-    return (ds.map_batches(stamp, batch_format="pandas",
-                           batch_size=_TAG_BATCH)
-            .groupby("__coarse").map_groups(per_bucket,
-                                            batch_format="pandas"))
+    return grouped_per_key(ds, key, fn, coarse_buckets)
 
 
 # ---------------------------------------------------------------------------

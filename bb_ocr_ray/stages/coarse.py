@@ -102,3 +102,36 @@ def coarse_agg(ds, keys, agg: dict, coarse_buckets: int | None = None,
     return (ds.map_batches(stamp, batch_format="pandas",
                            batch_size=_TAG_BATCH)
             .groupby("__coarse").map_groups(fold, batch_format="pandas"))
+
+
+def grouped_per_key(ds, key: str, fn, coarse_buckets: int | None = None):
+    """``groupby(key).map_groups(fn)`` through ONE coarse shuffle.
+
+    The map_groups sibling of :func:`coarse_agg`: the shuffle key is
+    ``hash(key) % coarse_buckets`` and the per-key split happens
+    IN-TASK with a pandas groupby — ``fn`` sees exactly the frames
+    ``map_groups`` would have given it, one key per call.
+    ``dropna=False`` mirrors Ray's null-key group.
+    """
+    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__coarse"] = _bucket_ids(b, [key], coarse_buckets)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [fn(sub.drop(columns=["__coarse"]))
+                 for _, sub in g.groupby(key, sort=True, dropna=False)]
+        parts = [p for p in parts if len(p)]
+        if not parts:   # every key in the bucket folded to nothing
+            return fn(g.drop(columns=["__coarse"]).head(0))
+        return pd.concat(parts, ignore_index=True)
+
+    return (ds.map_batches(stamp, batch_format="pandas",
+                           batch_size=_TAG_BATCH)
+            .groupby("__coarse").map_groups(per_bucket,
+                                            batch_format="pandas"))
