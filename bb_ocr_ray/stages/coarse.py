@@ -14,9 +14,15 @@ bucket), shuffle ONCE on that bounded key, and do the per-key work
 inside the task with vectorized pandas.  Exact same result, per-row
 cost instead of per-group.
 
-Pre-shuffle block counts are bounded via explicit ``batch_size``
-(Ray's sort shuffle creates one output partition per input block —
-O(blocks²) intermediate objects otherwise; see joins._TAG_BATCH).
+Pre-shuffle block-count bounding (``tag_batch``, the joins._TAG_BATCH
+lesson) is OPT-IN here: forcing a large ``batch_size`` on the stamp
+stage makes Ray fuse it with whatever map feeds it, and when that
+upstream is expensive (extraction, provider fan-out) one fused task
+must pull 262k rows through the WHOLE chain — parallelism collapses to
+rows/tag_batch tasks (measured: domain_stats 37 s vs 13 s at 32 cpus).
+The combiner already shrinks aggregate shuffles to near-nothing, so
+the default (one stamped block per upstream block) is right unless the
+caller stamps a raw many-small-block source directly.
 """
 
 from __future__ import annotations
@@ -49,7 +55,7 @@ def _bucket_ids(frame: pd.DataFrame, keys: list[str],
 
 
 def coarse_agg(ds, keys, agg: dict, coarse_buckets: int | None = None,
-               partial: bool = True):
+               partial: bool = True, tag_batch: int | None = None):
     """``groupby(keys).agg(**agg)`` through ONE coarse shuffle.
 
     ``agg`` is pandas named-aggregation: ``{out_col: (in_col, how)}``
@@ -64,7 +70,7 @@ def coarse_agg(ds, keys, agg: dict, coarse_buckets: int | None = None,
     ``partial=False`` for non-refoldable reductions (e.g. "first"
     without a defined order, "nunique").
     """
-    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
 
     keys = list(keys)
     if coarse_buckets is None:
@@ -100,20 +106,22 @@ def coarse_agg(ds, keys, agg: dict, coarse_buckets: int | None = None,
                 .agg(**spec))
 
     return (ds.map_batches(stamp, batch_format="pandas",
-                           batch_size=_TAG_BATCH)
+                           batch_size=tag_batch)
             .groupby("__coarse").map_groups(fold, batch_format="pandas"))
 
 
-def grouped_per_key(ds, key: str, fn, coarse_buckets: int | None = None):
+def grouped_per_key(ds, key: str, fn, coarse_buckets: int | None = None,
+                    tag_batch: int | None = None):
     """``groupby(key).map_groups(fn)`` through ONE coarse shuffle.
 
     The map_groups sibling of :func:`coarse_agg`: the shuffle key is
     ``hash(key) % coarse_buckets`` and the per-key split happens
     IN-TASK with a pandas groupby — ``fn`` sees exactly the frames
     ``map_groups`` would have given it, one key per call.
-    ``dropna=False`` mirrors Ray's null-key group.
+    ``dropna=False`` mirrors Ray's null-key group.  ``tag_batch`` is
+    opt-in for the same fusion reason as :func:`coarse_agg`.
     """
-    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
 
     if coarse_buckets is None:
         coarse_buckets = _auto_num_buckets()
@@ -132,6 +140,6 @@ def grouped_per_key(ds, key: str, fn, coarse_buckets: int | None = None):
         return pd.concat(parts, ignore_index=True)
 
     return (ds.map_batches(stamp, batch_format="pandas",
-                           batch_size=_TAG_BATCH)
+                           batch_size=tag_batch)
             .groupby("__coarse").map_groups(per_bucket,
                                             batch_format="pandas"))

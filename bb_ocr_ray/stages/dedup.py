@@ -57,7 +57,7 @@ def dedup_exact(ds, key: str = "content_hash", order_col: str = "url",
     — if two rows tie on BOTH, the survivor's remaining columns depend
     on block/shuffle order.  Use a unique order_col (url, row id).
     """
-    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
 
     if coarse_buckets is None:
         coarse_buckets = _auto_num_buckets()
@@ -72,8 +72,10 @@ def dedup_exact(ds, key: str = "content_hash", order_col: str = "url",
     def winners(g: pd.DataFrame) -> pd.DataFrame:
         return _local_first(g, key, order_col).drop(columns=["_kb"])
 
-    return (ds.map_batches(pre, batch_format="pandas",
-                           batch_size=_TAG_BATCH)
+    # no forced batch_size: dedup_exact often follows expensive maps
+    # (quality filters), and a large batch_size on a FUSED map chain
+    # serializes the upstream (see stages/coarse.py docstring)
+    return (ds.map_batches(pre, batch_format="pandas")
             .groupby("_kb").map_groups(winners, batch_format="pandas"))
 
 
@@ -857,7 +859,7 @@ def dup_span_stats(docs_ds, k: int = 8, id_col: str = "doc_id",
     from collections import Counter
 
     from bb_ocr_ray.functions.hashing import md5_hex, ws_tokens
-    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
 
     if coarse_buckets is None:
         coarse_buckets = _auto_num_buckets()
@@ -905,9 +907,10 @@ def dup_span_stats(docs_ds, k: int = 8, id_col: str = "doc_id",
         out[id_col] = out[id_col].astype("int64")
         return out
 
+    # per-block explode (no forced batch_size: md5-per-window is the
+    # expensive part and must stay parallel)
     return (docs_ds
-            .map_batches(explode, batch_format="pandas",
-                         batch_size=_TAG_BATCH)
+            .map_batches(explode, batch_format="pandas")
             .groupby("_wb").map_groups(window_totals, batch_format="pandas")
             .groupby("_db").map_groups(
                 lambda g: per_doc(g.drop(columns=["_db"])),

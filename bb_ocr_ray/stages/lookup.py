@@ -123,7 +123,7 @@ def dedup_offers(offers_ds):
                                  kind="mergesort").drop_duplicates(
             subset=["record_key", "provider", "listing_id"], keep="first")
 
-    from bb_ocr_ray.stages.joins import _TAG_BATCH, _auto_num_buckets
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
 
     subset = ["record_key", "provider", "listing_id"]
     coarse_buckets = _auto_num_buckets()
@@ -141,6 +141,7 @@ def dedup_offers(offers_ds):
     def winners(g: pd.DataFrame) -> pd.DataFrame:
         return local(g).drop(columns=["_kb"])
 
-    return (offers_ds.map_batches(pre, batch_format="pandas",
-                                  batch_size=_TAG_BATCH)
+    # no forced batch_size: the upstream is the provider fan-out
+    # (expensive per row) — see stages/coarse.py on fusion
+    return (offers_ds.map_batches(pre, batch_format="pandas")
             .groupby("_kb").map_groups(winners, batch_format="pandas"))
