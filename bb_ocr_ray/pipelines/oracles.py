@@ -1734,3 +1734,25 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
 
 
 ORACLES["q_pagerank"] = _pagerank_sql()
+
+
+ORACLES["q_crawl_diff"] = """
+    WITH a AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                      md5(coalesce(text, '')) AS h_a
+               FROM documents),
+    b AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN md5(coalesce(text, '') || '!')
+                      ELSE md5(coalesce(text, '')) END AS h_b
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT 'u' || CAST(doc_id AS VARCHAR) || '-new',
+                 md5('new' || CAST(doc_id AS VARCHAR))
+          FROM documents WHERE doc_id % 11 = 0)
+    SELECT coalesce(a.url, b.url) AS url,
+           CASE WHEN a.url IS NULL THEN 'added'
+                WHEN b.url IS NULL THEN 'removed'
+                WHEN a.h_a = b.h_b THEN 'same'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.url = b.url
+"""

@@ -4256,3 +4256,58 @@ def q_pagerank(sf_dir: str, iters: int = 10):
 
 
 QUERIES.update({"q_pagerank": q_pagerank})
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot diff (recrawl ops: added / removed / changed urls)
+# ---------------------------------------------------------------------------
+def q_crawl_diff(sf_dir: str):
+    """Diff two crawl snapshots by url.  Snapshot A = every doc;
+    snapshot B is derived deterministically: docs with
+    ``doc_id % 7 == 0`` dropped (removed pages), docs with
+    ``doc_id % 5 == 0`` get a changed content hash (re-crawled, new
+    bytes), and synthetic new urls appear for ``doc_id % 11 == 0``
+    (one new page per such doc, url suffixed ``-new``).  Output: one
+    row per url in either snapshot with status added / removed /
+    changed / same — the recrawl bookkeeping query, exercising the
+    bucketed FULL OUTER join at url (row) cardinality.  Content
+    identity is md5(text) (A) vs md5(text + '!') for the changed
+    subset (B)."""
+    from bb_ocr_ray.stages.joins import hash_join
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def side_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": [f"u{int(d)}" for d in b["doc_id"]],
+            "h_a": [md5_hex(t or "") for t in b["text"]]})
+
+    def side_b(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"] % 7 != 0]
+        urls = [f"u{int(d)}" for d in keep["doc_id"]]
+        hs = [md5_hex((t or "") + "!") if int(d) % 5 == 0
+              else md5_hex(t or "")
+              for d, t in zip(keep["doc_id"], keep["text"])]
+        new = b[b["doc_id"] % 11 == 0]
+        urls += [f"u{int(d)}-new" for d in new["doc_id"]]
+        hs += [md5_hex(f"new{int(d)}") for d in new["doc_id"]]
+        return pd.DataFrame({"url": urls, "h_b": hs})
+
+    a = docs.map_batches(side_a, batch_format="pandas")
+    b = docs.map_batches(side_b, batch_format="pandas")
+    j = hash_join(a, b, on="url", how="full")
+
+    def classify(m: pd.DataFrame) -> pd.DataFrame:
+        in_a = m["h_a"].notna()
+        in_b = m["h_b"].notna()
+        status = np.where(~in_a, "added",
+                          np.where(~in_b, "removed",
+                                   np.where(m["h_a"] == m["h_b"],
+                                            "same", "changed")))
+        return pd.DataFrame({"url": m["url"].astype(str),
+                             "status": pd.array(status, dtype="object")})
+
+    return j.map_batches(classify, batch_format="pandas")
+
+
+QUERIES.update({"q_crawl_diff": q_crawl_diff})
