@@ -1756,3 +1756,14 @@ ORACLES["q_crawl_diff"] = """
                 ELSE 'changed' END AS status
     FROM a FULL OUTER JOIN b ON a.url = b.url
 """
+
+
+ORACLES["q_link_graph"] = f"""
+    WITH d AS (SELECT {_DOMAIN} AS domain FROM documents),
+    pc AS (SELECT domain, count(*) AS pages FROM d GROUP BY 1),
+    paths(path, mult) AS (VALUES ('/', 2), ('/archive', 1), ('/tags', 1),
+                                 ('/about', 1), ('/privacy', 1),
+                                 ('/terms', 1), ('/contact', 1))
+    SELECT domain, path, CAST(pages * mult AS BIGINT) AS n
+    FROM pc CROSS JOIN paths
+"""

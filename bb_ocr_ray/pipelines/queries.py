@@ -4311,3 +4311,45 @@ def q_crawl_diff(sf_dir: str):
 
 
 QUERIES.update({"q_crawl_diff": q_crawl_diff})
+
+
+# ---------------------------------------------------------------------------
+# Out-link graph extraction (crawl graph from raw html)
+# ---------------------------------------------------------------------------
+def q_link_graph(sf_dir: str):
+    """Out-link edge counts per (src domain, link path): REAL href
+    extraction from the raw html bytes (compiled regex + RFC-3986
+    urljoin, fragments dropped, duplicates kept — kernel/links.py),
+    aggregated through ONE coarse shuffle.  The synthetic template
+    emits a fixed anchor multiset per page ('/' twice via nav + header,
+    six other paths once), so the oracle inverts the template
+    arithmetically — same philosophy as the golden text extraction.
+    At web scale this is the crawl-graph builder feeding
+    stages/graph.pagerank."""
+    from urllib.parse import urlsplit
+
+    from bb_ocr_ray.kernel.links import extract_links
+    from bb_ocr_ray.sources.pages import read_pages
+
+    pages = read_pages(sf_dir)
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        doms, paths = [], []
+        for url, html in zip(b["url"], b["html"]):
+            txt = bytes(html).decode("utf-8", errors="replace")
+            src = urlsplit(url).netloc
+            for link in extract_links(txt, url):
+                doms.append(src)
+                paths.append(urlsplit(link).path)
+        return pd.DataFrame({"domain": pd.array(doms, dtype="object"),
+                             "path": pd.array(paths, dtype="object")})
+
+    out = coarse_agg(
+        pages.map_batches(edges, batch_format="pandas"),
+        ["domain", "path"], {"n": ("path", "size")},
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+QUERIES.update({"q_link_graph": q_link_graph})

@@ -280,3 +280,36 @@ def test_kernel_review_regressions():
     r = extract_page("u", b'<p>good text content here</p><div class="navi',
                      ExtractConfig(max_html_bytes=40))
     assert "class=" not in r["text"]
+
+
+def test_extract_links_edge_cases():
+    """href parsing: quotes/no-quotes, relative/absolute resolution,
+    fragment handling, non-http schemes, broken markup never raises."""
+    from bb_ocr_ray.kernel.links import extract_links
+
+    html = (
+        '<a href="/rel">a</a>'
+        "<a href='also'>b</a>"
+        '<a class="x" href=/noquote>c</a>'
+        '<a href="https://other.org/abs#frag">d</a>'
+        '<a href="#only-fragment">e</a>'
+        '<a href="">empty</a>'
+        '<a href="mailto:x@y.z">mail</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<A HREF="../up">case</A>'
+        '<a href="//proto.example.com/p">protorel</a>'
+        '<a href="/dup">dup</a><a href="/dup">dup</a>'
+        '<a no-href>broken</a><a href=>degenerate'
+    )
+    base = "https://host.example.com/dir/page"
+    got = extract_links(html, base)
+    assert got == [
+        "https://host.example.com/rel",
+        "https://host.example.com/dir/also",
+        "https://host.example.com/noquote",
+        "https://other.org/abs",          # fragment stripped
+        "https://host.example.com/up",    # ../ resolved
+        "https://proto.example.com/p",    # protocol-relative
+        "https://host.example.com/dup",   # duplicates kept (multiset)
+        "https://host.example.com/dup",
+    ]
