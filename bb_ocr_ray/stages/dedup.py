@@ -4,10 +4,11 @@ Jaccard, embedding-cosine near-dup.
 Exact dedup re-expresses the reference's seen-set first-wins semantics
 (``pipeline_demo/pricing_api/pricing_api/core/aggregator.py:61-69``) as
 a hash shuffle: content-hash column added vectorized in ``map_batches``,
-then ``groupby(hash).map_groups(first)``.  At 10^12-row scale the
-content hash (16 bytes) — not the payload — is what shuffles when you
-key the groupby on it; per-block local pre-dedup inside map_batches
-reduces shuffle input further.
+then ONE coarse-bucketed shuffle with an in-task vectorized winner pick
+(never a per-hash Ray group — per-group tax, see stages/coarse.py).
+At 10^12-row scale the content hash (16 bytes) — not the payload — is
+what shuffles; per-block local pre-dedup inside map_batches reduces
+shuffle input further.
 """
 
 from __future__ import annotations

@@ -207,6 +207,11 @@ def run_plain() -> dict:
         "q_ann_topk": bench_query(Q.q_ann_topk, SF_DIR),
         "q_domain_stats": bench_query(Q.q_domain_stats, SF_DIR),
         "q_events_hourly": bench_query(Q.q_events_hourly, SF_DIR),
+        # round-3 showcase ops: substring-level dedup stats, crawl-graph
+        # extraction from raw html, iterative pagerank (10 rounds)
+        "q_dup_spans": bench_query(Q.q_dup_spans, SF_DIR),
+        "q_link_graph": bench_query(Q.q_link_graph, SF_DIR),
+        "q_pagerank": bench_query(Q.q_pagerank, SF_DIR),
     }
     out = {
         "metric": "headline extraction wall time (docs->text)",
