@@ -459,3 +459,29 @@ def test_pagerank_matches_numpy(ray_session):
     np.testing.assert_allclose(got["rank"].to_numpy(),
                                np.array([r[idx[v]] for v in nodes]),
                                rtol=1e-12, atol=1e-15)
+
+
+def test_pagerank_static_matches_dataset(ray_session):
+    """Actor-resident-edge pagerank == the pure-Dataset pagerank on a
+    random graph (parallel edges, sinks, dst-only nodes in edge-less
+    shards)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.graph import pagerank, pagerank_static
+
+    rng = np.random.RandomState(23)
+    edges = pd.DataFrame({
+        "src": rng.randint(0, 30, 200).astype("int64"),
+        "dst": rng.randint(0, 80, 200).astype("int64")})
+
+    base = (pagerank(rd.from_pandas(edges).repartition(4), iters=8)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    got = (pagerank_static(rd.from_pandas(edges).repartition(4), iters=8,
+                           n_shards=5)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(got["node"]) == list(base["node"])
+    np.testing.assert_allclose(got["rank"].to_numpy(),
+                               base["rank"].to_numpy(),
+                               rtol=1e-12, atol=1e-15)
