@@ -94,7 +94,10 @@ def coarse_agg(ds, keys, agg: dict, coarse_buckets: int | None = None,
             b = (b.groupby(keys, as_index=False, dropna=False, sort=False)
                  .agg(**agg))
         else:
-            b = b[keys + sorted({c for c, _ in agg.values()})].copy()
+            # a value column that IS a key must not be selected twice
+            # (pandas duplicates the column and groupby then fails)
+            vals = sorted({c for c, _ in agg.values()} - set(keys))
+            b = b[keys + vals].copy()
         b["__coarse"] = _bucket_ids(b, keys, coarse_buckets)
         return b
 
