@@ -66,6 +66,12 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
     edges2 = hash_join(edges_ds, deg, on="src").materialize()
     nodes = _distinct_nodes(edges_ds, coarse_buckets).materialize()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.array([], dtype="int64"),
+            "rank": pd.array([], dtype="float64")}))
     teleport = (1.0 - damping) / n_nodes
 
     def init(b: pd.DataFrame) -> pd.DataFrame:
@@ -198,6 +204,12 @@ def pagerank_static(edges_ds, iters: int = 10, damping: float = 0.85,
 
     nodes = _distinct_nodes(edges_ds, _auto_num_buckets()).materialize()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.array([], dtype="int64"),
+            "rank": pd.array([], dtype="float64")}))
     teleport = (1.0 - damping) / n_nodes
 
     ranks = nodes.map_batches(
