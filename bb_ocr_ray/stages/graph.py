@@ -60,18 +60,20 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
     # no select_columns here: Project ops crash on pandas blocks, and
     # synthesized edge Datasets arrive as pandas — the contract is the
     # caller passes exactly (src, dst)
-    deg = coarse_agg(edges_ds, ["src"], {"outdeg": ("dst", "size")},
-                     coarse_buckets=coarse_buckets)
-    # (src, dst, outdeg): attach the degree once, reuse every iteration
-    edges2 = hash_join(edges_ds, deg, on="src").materialize()
     nodes = _distinct_nodes(edges_ds, coarse_buckets).materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
+        # guard FIRST: an empty Dataset has no schema and the join
+        # below would raise before any division by zero
         import ray.data as rd
 
         return rd.from_pandas(pd.DataFrame({
             "node": pd.array([], dtype="int64"),
             "rank": pd.array([], dtype="float64")}))
+    deg = coarse_agg(edges_ds, ["src"], {"outdeg": ("dst", "size")},
+                     coarse_buckets=coarse_buckets)
+    # (src, dst, outdeg): attach the degree once, reuse every iteration
+    edges2 = hash_join(edges_ds, deg, on="src").materialize()
     teleport = (1.0 - damping) / n_nodes
 
     def init(b: pd.DataFrame) -> pd.DataFrame:
@@ -177,6 +179,15 @@ def pagerank_static(edges_ds, iters: int = 10, damping: float = 0.85,
             # per-dst partial sum before leaving the actor (combiner)
             return out.groupby("dst", as_index=False)["m"].sum()
 
+    nodes = _distinct_nodes(edges_ds, _auto_num_buckets()).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.array([], dtype="int64"),
+            "rank": pd.array([], dtype="float64")}))
+
     deg = coarse_agg(edges_ds, ["src"], {"outdeg": ("dst", "size")})
 
     def stamp_edges(b: pd.DataFrame) -> pd.DataFrame:
@@ -202,14 +213,6 @@ def pagerank_static(edges_ds, iters: int = 10, damping: float = 0.85,
      .groupby("_sb").map_groups(load_shard, batch_format="pandas")
      .to_pandas())
 
-    nodes = _distinct_nodes(edges_ds, _auto_num_buckets()).materialize()
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        import ray.data as rd
-
-        return rd.from_pandas(pd.DataFrame({
-            "node": pd.array([], dtype="int64"),
-            "rank": pd.array([], dtype="float64")}))
     teleport = (1.0 - damping) / n_nodes
 
     ranks = nodes.map_batches(
