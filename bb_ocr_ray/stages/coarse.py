@@ -135,11 +135,15 @@ def grouped_per_key(ds, key: str, fn, coarse_buckets: int | None = None,
         return b
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        parts = [fn(sub.drop(columns=["__coarse"]))
-                 for _, sub in g.groupby(key, sort=True, dropna=False)]
-        parts = [p for p in parts if len(p)]
-        if not parts:   # every key in the bucket folded to nothing
-            return fn(g.drop(columns=["__coarse"]).head(0))
+        all_parts = [fn(sub.drop(columns=["__coarse"]))
+                     for _, sub in g.groupby(key, sort=True, dropna=False)]
+        parts = [p for p in all_parts if len(p)]
+        if not parts:
+            # every key folded to nothing: return one of the empty
+            # results — it carries fn's output schema, and unlike a
+            # fn(empty_frame) call it never asks fn to handle an input
+            # shape map_groups would not have given it
+            return all_parts[0]
         return pd.concat(parts, ignore_index=True)
 
     return (ds.map_batches(stamp, batch_format="pandas",

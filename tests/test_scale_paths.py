@@ -485,3 +485,39 @@ def test_pagerank_static_matches_dataset(ray_session):
     np.testing.assert_allclose(got["rank"].to_numpy(),
                                base["rank"].to_numpy(),
                                rtol=1e-12, atol=1e-15)
+
+
+def test_grouped_per_key_matches_map_groups_semantics(ray_session):
+    """grouped_per_key(fn) == pandas per-key apply of fn, including
+    null keys, int/float key upcast across blocks, and fns that fold
+    some keys to zero rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.coarse import grouped_per_key
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "u": rng.randint(0, 40, 400).astype("float64"),
+        "v": rng.randint(0, 1000, 400).astype("int64")})
+    df.loc[df.index[:17], "u"] = np.nan
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        # fold to one row per key; keys with an odd min fold to nothing
+        # (fn is never handed an empty frame — map_groups semantics)
+        lo = int(g["v"].min())
+        if lo % 2 == 1:
+            return g.head(0)[["v"]].assign(n=pd.array([], dtype="int64"))
+        return pd.DataFrame({"v": [lo], "n": [len(g)]})
+
+    got = (grouped_per_key(rd.from_pandas(df).repartition(6), "u", fn,
+                           coarse_buckets=5)
+           .to_pandas().sort_values(["v", "n"]).reset_index(drop=True))
+
+    parts = [fn(g) for _, g in df.groupby("u", dropna=False, sort=True)]
+    exp = (pd.concat([p for p in parts if len(p)], ignore_index=True)
+           .sort_values(["v", "n"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"v": "int64", "n": "int64"}),
+        exp.astype({"v": "int64", "n": "int64"}))
