@@ -70,11 +70,32 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
         return rd.from_pandas(pd.DataFrame({
             "node": pd.array([], dtype="int64"),
             "rank": pd.array([], dtype="float64")}))
+    # size the one-time setup shuffles from the graph too (the node
+    # count is already known here)
+    setup_buckets = max(8, min(coarse_buckets, n_nodes // 100_000 + 8))
     deg = coarse_agg(edges_ds, ["src"], {"outdeg": ("dst", "size")},
-                     coarse_buckets=coarse_buckets)
+                     coarse_buckets=setup_buckets)
     # (src, dst, outdeg): attach the degree once, reuse every iteration
-    edges2 = hash_join(edges_ds, deg, on="src").materialize()
+    edges2 = hash_join(edges_ds, deg, on="src",
+                       num_buckets=setup_buckets).materialize()
+    n_edges = edges2.count()
+    # per-iteration shuffle width scales with the GRAPH, not the
+    # cluster ceiling: 10 iterations x 64-bucket sorts on a 5k-row
+    # rank vector is pure scheduling overhead (measured 7-16 s at
+    # sf0.1); at web scale the data term dominates and this equals
+    # the cluster-sized count
+    iter_buckets = max(8, min(coarse_buckets,
+                              (n_nodes + n_edges) // 250_000 + 8))
     teleport = (1.0 - damping) / n_nodes
+
+    # bound the rank-vector block count: the setup's coarse shuffles
+    # leave ~bucket-count tiny blocks, and every iteration would drag
+    # them (plus as many zero blocks) through the join and the union —
+    # measured ~1-1.5 s/iteration of pure per-block overhead at 5k
+    # nodes.  One block per 500k nodes keeps blocks worker-sized at
+    # web scale and single-digit at test scale.
+    rank_blocks = max(1, -(-n_nodes // 500_000))
+    nodes = nodes.repartition(rank_blocks).materialize()
 
     def init(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"src": b["node"].astype("int64"),
@@ -92,7 +113,8 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
     zeros = nodes.map_batches(zero_rows, batch_format="pandas").materialize()
 
     for _ in range(iters):
-        joined = hash_join(edges2, ranks, on="src")
+        joined = hash_join(edges2, ranks, on="src",
+                           num_buckets=iter_buckets)
 
         def contrib(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
@@ -102,7 +124,7 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
 
         received = coarse_agg(
             joined.map_batches(contrib, batch_format="pandas").union(zeros),
-            ["dst"], {"m": ("m", "sum")}, coarse_buckets=coarse_buckets)
+            ["dst"], {"m": ("m", "sum")}, coarse_buckets=iter_buckets)
 
         def next_rank(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"src": b["dst"].astype("int64"),
