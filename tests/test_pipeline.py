@@ -12,7 +12,13 @@ def test_domain_stats_salting_invariant(ray_session, sf_tiny):
     from bb_ocr_ray.pipelines.extract_pipeline import extract_from_sf_dir
     from bb_ocr_ray.stages.domain_agg import domain_stats
 
-    a = domain_stats(extract_from_sf_dir(sf_tiny), salt_buckets=16).to_pandas()
+    ads = domain_stats(extract_from_sf_dir(sf_tiny), salt_buckets=16)
+    # every stage — including the final salt-strip — must run in tasks:
+    # the plan chains two coarse shuffles back to the source with no
+    # driver-side FromPandas re-entry (VERDICT r3 item 1)
+    plan = repr(ads)
+    assert "FromPandas" not in plan and plan.count("Sort") == 2
+    a = ads.to_pandas()
     b = domain_stats(extract_from_sf_dir(sf_tiny), salt_buckets=1).to_pandas()
     a = a.sort_values("domain").reset_index(drop=True)
     b = b.sort_values("domain").reset_index(drop=True)
