@@ -198,7 +198,8 @@ def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
 def set_similarity_join(docs_ds, min_jaccard: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        coarse_buckets: int | None = None):
+                        coarse_buckets: int | None = None,
+                        vocab_broadcast_limit: int = 2_000_000):
     """EXACT all-pairs token-set Jaccard join at threshold t — the
     sub-quadratic rescue of the brute-force baseline (VERDICT r2 item
     6), via prefix filtering (PPJoin family: Xiao et al., WWW'08 —
@@ -219,11 +220,17 @@ def set_similarity_join(docs_ds, min_jaccard: float = 0.5,
 
     Scale posture: two corpus passes (df, prefix emission) + one
     coarse shuffle of prefix rows + the verify joins.  The df table is
-    vocabulary-sized and broadcast once (at true web scale, replace
-    the broadcast with a df-rank hash join — same ordering, no
-    driver-side vocabulary).  Worst-case output of an exact similarity
-    join is inherently quadratic (a corpus of identical docs); the
-    algorithm is output-sensitive, never silently lossy."""
+    size-gated (VERDICT r3 item 2): below ``vocab_broadcast_limit``
+    distinct tokens it is broadcast once via ``ray.put``; above it —
+    a web-scale vocabulary is 1e9+ tokens — the df ranks are attached
+    with the distributed bucketed hash join on token and the per-doc
+    (df, token) prefix sort happens in a vectorized coarse fold keyed
+    on doc, so no stage ever materializes the vocabulary on the
+    driver.  Both paths produce identical prefixes (same global
+    order), pinned by a differential test.  Worst-case output of an
+    exact similarity join is inherently quadratic (a corpus of
+    identical docs); the algorithm is output-sensitive, never silently
+    lossy."""
     from fractions import Fraction
     import zlib
 
@@ -244,36 +251,95 @@ def set_similarity_join(docs_ds, min_jaccard: float = 0.5,
         return pd.DataFrame(
             {"token": [tk for toks in distinct_tokens(b) for tk in toks]})
 
-    from bb_ocr_ray.stages.coarse import coarse_agg
+    from bb_ocr_ray.stages.coarse import _bucket_ids, coarse_agg
 
-    # the token vocabulary is unbounded: coarse_agg (per-group tax)
-    df_tbl = coarse_agg(
+    # the token vocabulary is unbounded: coarse_agg (per-group tax).
+    # Materialized (object-store blocks, spillable — never the driver)
+    # so the size gate's count() does not re-run the corpus pass.
+    df_ds = coarse_agg(
         docs_ds.map_batches(tok_rows, batch_format="pandas"),
         ["token"], {"df": ("token", "size")},
-    ).to_pandas()
-    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+    ).materialize()
 
-    def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
-        dfm = ray.get(df_ref)
-        out = {"coarse": [], "token": [], "doc": [], "size": []}
-        for did, toks in zip(b[id_col], distinct_tokens(b)):
-            n = len(toks)
-            if n == 0:
-                continue
-            toks.sort(key=lambda w: (dfm.get(w, 0), w))
-            p = n - (n * num + den - 1) // den + 1   # n - ceil(t*n) + 1
-            for w in toks[:p]:
-                out["coarse"].append(zlib.crc32(w.encode()) % coarse_buckets)
-                out["token"].append(w)
-                out["doc"].append(int(did))
-                out["size"].append(n)
-        return pd.DataFrame(
-            {"coarse": pd.Series(out["coarse"], dtype="int64"),
-             "token": pd.Series(out["token"], dtype="object"),
-             "doc": pd.Series(out["doc"], dtype="int64"),
-             "size": pd.Series(out["size"], dtype="int64")})
+    if df_ds.count() <= vocab_broadcast_limit:
+        # small vocabulary: one-shot broadcast dict (aggregate-sized
+        # by the gate), ray.put once and read per task
+        df_tbl = df_ds.to_pandas()
+        df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
 
-    exploded = docs_ds.map_batches(prefix_rows, batch_format="pandas")
+        def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
+            dfm = ray.get(df_ref)
+            out = {"coarse": [], "token": [], "doc": [], "size": []}
+            for did, toks in zip(b[id_col], distinct_tokens(b)):
+                n = len(toks)
+                if n == 0:
+                    continue
+                toks.sort(key=lambda w: (dfm.get(w, 0), w))
+                p = n - (n * num + den - 1) // den + 1   # n - ceil(t*n) + 1
+                for w in toks[:p]:
+                    out["coarse"].append(
+                        zlib.crc32(w.encode()) % coarse_buckets)
+                    out["token"].append(w)
+                    out["doc"].append(int(did))
+                    out["size"].append(n)
+            return pd.DataFrame(
+                {"coarse": pd.Series(out["coarse"], dtype="int64"),
+                 "token": pd.Series(out["token"], dtype="object"),
+                 "doc": pd.Series(out["doc"], dtype="int64"),
+                 "size": pd.Series(out["size"], dtype="int64")})
+
+        exploded = docs_ds.map_batches(prefix_rows, batch_format="pandas")
+    else:
+        # web-scale vocabulary: df-rank HASH JOIN, no driver dict.
+        # (doc, token, size) incidence rows join the df table on token
+        # (bucketed, distributed), then ONE coarse shuffle keyed on doc
+        # re-unites each doc's tokens for a fully vectorized
+        # sort-by-(df, token) prefix cut.
+        from bb_ocr_ray.stages.joins import hash_join
+
+        def incidence(b: pd.DataFrame) -> pd.DataFrame:
+            doc, token, size = [], [], []
+            for did, toks in zip(b[id_col], distinct_tokens(b)):
+                n = len(toks)
+                if n == 0:
+                    continue
+                doc.extend([int(did)] * n)
+                token.extend(toks)
+                size.extend([n] * n)
+            return pd.DataFrame(
+                {"doc": pd.Series(doc, dtype="int64"),
+                 "token": pd.Series(token, dtype="object"),
+                 "size": pd.Series(size, dtype="int64")})
+
+        inc = docs_ds.map_batches(incidence, batch_format="pandas")
+        joined = hash_join(inc, df_ds, on="token")
+
+        def stamp_doc(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__coarse"] = _bucket_ids(b, ["doc"], coarse_buckets)
+            return b
+
+        def prefix_fold(g: pd.DataFrame) -> pd.DataFrame:
+            # every row of a doc is in this bucket: the global (df,
+            # token) order is recovered exactly, then the prefix cut
+            # keeps rank < n - ceil(t*n) + 1 — all vectorized
+            g = g.sort_values(["doc", "df", "token"], kind="mergesort")
+            rank = g.groupby("doc", sort=False).cumcount().to_numpy()
+            n = g["size"].to_numpy()
+            keep = rank < n - (n * num + den - 1) // den + 1
+            g = g[keep]
+            toks = g["token"].to_numpy()
+            return pd.DataFrame(
+                {"coarse": pd.Series(
+                    (pd.util.hash_array(toks, categorize=False)
+                     % coarse_buckets).astype("int64")),
+                 "token": pd.Series(toks, dtype="object"),
+                 "doc": pd.Series(g["doc"].to_numpy(), dtype="int64"),
+                 "size": pd.Series(g["size"].to_numpy(), dtype="int64")})
+
+        exploded = (joined.map_batches(stamp_doc, batch_format="pandas")
+                    .groupby("__coarse")
+                    .map_groups(prefix_fold, batch_format="pandas"))
 
     def coarse_pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []

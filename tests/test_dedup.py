@@ -341,6 +341,40 @@ def test_set_similarity_matches_brute_random(ray_session):
         assert got == expect, f"threshold {thr}: {got ^ expect}"
 
 
+def test_set_similarity_distributed_vocab_path(ray_session):
+    """vocab_broadcast_limit=0 forces the df-rank hash-join path (the
+    web-scale branch: no driver-side vocabulary dict, prefix ranks
+    attached by the bucketed join + a vectorized per-doc fold).  It
+    must produce the exact broadcast-path result — pairs AND
+    (inter, uni) — on a high-overlap corpus including empty docs and
+    boundary-threshold pairs (VERDICT r3 item 2)."""
+    import numpy as np
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import set_similarity_join
+
+    rng = np.random.RandomState(77)
+    pool = [f"t{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        k = rng.randint(3, 14)
+        toks = sorted(set(rng.choice(pool, size=k)))
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+    docs.append({"doc_id": 900, "text": ""})       # empty-token edge
+    docs.append({"doc_id": 901, "text": ""})       # pairs with 900 at J=1
+
+    def run(limit):
+        out = set_similarity_join(
+            rd.from_items(docs).repartition(4), min_jaccard=0.5,
+            vocab_broadcast_limit=limit).to_pandas()
+        return set(zip(out["id_a"], out["id_b"], out["inter"], out["uni"]))
+
+    broadcast = run(2_000_000)
+    distributed = run(0)
+    assert distributed == broadcast
+    assert (900, 901, 1, 1) in distributed          # "" token round-trips
+
+
 def test_dup_span_stats_planted(ray_session):
     """Planted window duplication: a shared 8-token sentence across two
     docs, a within-doc repeat, and a unique doc — exact counts."""
