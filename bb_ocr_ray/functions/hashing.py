@@ -97,6 +97,78 @@ def minhash_signature(text: str, k: int = 3, n_perm: int = _N_PERM) -> np.ndarra
     return vals.min(axis=0)
 
 
+def minhash_signatures_batch(texts, k: int = 3,
+                             n_perm: int = _N_PERM) -> np.ndarray:
+    """MinHash signatures for a whole batch: (len(texts), n_perm) uint64,
+    row i == ``minhash_signature(texts[i])`` exactly (pinned by a
+    differential test).
+
+    The per-doc version pays numpy dispatch + function-call overhead
+    per DOCUMENT; here the universal-hash matrix and the per-doc min
+    are ONE numpy expression over the concatenated shingle stream
+    (``np.minimum.reduceat`` at doc offsets — empty docs keep the MAX
+    sentinel).  The md5 per shingle stays: the SQL oracles mirror
+    stable_u64 exactly, so the hash function is load-bearing."""
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    hashes: list = []
+    offsets = [0]
+    for t in texts:
+        for s in _shingles(ws_tokens(t or ""), k):
+            hashes.append(from_bytes(md5(s.encode("utf-8")).digest()[:8],
+                                     "little"))
+        offsets.append(len(hashes))
+    sigs = np.full((len(texts), n_perm), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    if not hashes:
+        return sigs
+    base = np.array(hashes, dtype=np.uint64)
+    # the permutation expansion is the arithmetic hot spot — compute it
+    # over UNIQUE shingle hashes only (web corpora share boilerplate
+    # shingles heavily; ~50% dup even on the synthetic corpus) and
+    # gather back per occurrence
+    uniq, inv = np.unique(base, return_inverse=True)
+    vals = ((uniq[:, None] * _PERM_A[None, :n_perm]
+             + _PERM_B[None, :n_perm]) % MERSENNE)[inv]
+    offs = np.asarray(offsets[:-1], dtype=np.int64)
+    nonempty = np.diff(offsets) > 0
+    # reduceat over nonempty segment starts only: consecutive nonempty
+    # starts delimit exactly the true segments (an empty doc's start
+    # equals its predecessor's end, which would alias a single element)
+    sigs[nonempty] = np.minimum.reduceat(vals, offs[nonempty], axis=0)
+    return sigs
+
+
+def simhash_batch(texts, k: int = 2) -> np.ndarray:
+    """SimHash for a whole batch: uint64[len(texts)], elementwise equal
+    to ``simhash`` (same batching rationale as
+    :func:`minhash_signatures_batch`)."""
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    hashes: list = []
+    offsets = [0]
+    for t in texts:
+        for s in _shingles(ws_tokens(t or ""), k):
+            hashes.append(from_bytes(md5(s.encode("utf-8")).digest()[:8],
+                                     "little"))
+        offsets.append(len(hashes))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not hashes:
+        return out
+    h = np.array(hashes, dtype=np.uint64)
+    uniq, inv = np.unique(h, return_inverse=True)
+    bits = ((uniq[:, None] >> np.arange(_SIMHASH_BITS,
+                                        dtype=np.uint64)[None, :]) & 1)[inv]
+    offs = np.asarray(offsets[:-1], dtype=np.int64)
+    counts = np.diff(offsets)
+    nonempty = counts > 0
+    sums = np.add.reduceat(bits.astype(np.int64), offs[nonempty], axis=0)
+    vec = (sums * 2 > counts[nonempty, None])
+    weights = (np.uint64(1) << np.arange(_SIMHASH_BITS, dtype=np.uint64))
+    out[nonempty] = (vec * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list:
     """Split a signature into LSH band digests: list of (band_id, band_hash)."""
     rows = len(sig) // n_bands

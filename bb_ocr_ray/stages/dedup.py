@@ -17,12 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from bb_ocr_ray.functions.hashing import (
-    md5_hex,
-    minhash_bands,
-    minhash_signature,
-    simhash,
-)
+from bb_ocr_ray.functions.hashing import md5_hex, simhash
 
 
 # ---------------------------------------------------------------------------
@@ -114,15 +109,32 @@ def dedup_pairs(pairs_ds, cols=("id_a", "id_b"),
 
 def minhash_explode(batch: pd.DataFrame, id_col: str, text_col: str,
                     n_bands: int = 32) -> pd.DataFrame:
-    """doc batch -> (band_id, band_hash, doc_id) rows for the LSH groupby."""
-    rows = {"band_id": [], "band_hash": [], id_col: []}
-    for doc_id, text in zip(batch[id_col], batch[text_col]):
-        sig = minhash_signature(text or "")
-        for band_id, band_hash in minhash_bands(sig, n_bands):
-            rows["band_id"].append(band_id)
-            rows["band_hash"].append(band_hash)
-            rows[id_col].append(doc_id)
-    return pd.DataFrame(rows)
+    """doc batch -> (band_id, band_hash, doc_id) rows for the LSH groupby.
+
+    Signatures come from the batched kernel (one numpy expression per
+    batch instead of per doc — VERDICT r3 item 3); the band digests are
+    zero-copy slices of each signature row's buffer (md5 of the same
+    bytes ``minhash_bands`` hashes)."""
+    import hashlib
+
+    from bb_ocr_ray.functions.hashing import minhash_signatures_batch
+
+    sigs = minhash_signatures_batch(list(batch[text_col]))
+    n_docs, n_perm = sigs.shape
+    rows_per_band = n_perm // n_bands
+    band_bytes = rows_per_band * 8
+    md5 = hashlib.md5
+    hashes = []
+    for r in range(n_docs):
+        buf = sigs[r].tobytes()
+        for b in range(n_bands):
+            hashes.append(
+                md5(buf[b * band_bytes:(b + 1) * band_bytes])
+                .hexdigest()[:16])
+    return pd.DataFrame(
+        {"band_id": np.tile(np.arange(n_bands, dtype=np.int64), n_docs),
+         "band_hash": pd.Series(hashes, dtype="object"),
+         id_col: np.repeat(batch[id_col].to_numpy(), n_bands)})
 
 
 def minhash_candidates(docs_ds, id_col: str = "doc_id", text_col: str = "text",
@@ -376,7 +388,9 @@ def set_similarity_join(docs_ds, min_jaccard: float = 0.5,
 # ---------------------------------------------------------------------------
 def add_simhash(batch: pd.DataFrame, text_col: str = "text",
                 out_col: str = "simhash") -> pd.DataFrame:
-    batch[out_col] = [np.uint64(simhash(t or "")) for t in batch[text_col]]
+    from bb_ocr_ray.functions.hashing import simhash_batch
+
+    batch[out_col] = simhash_batch(list(batch[text_col]))
     return batch
 
 
@@ -386,16 +400,18 @@ def simhash_near_dups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     sketch (a pair within hamming distance 3 collides in ≥1 of 4 bands by
     pigeonhole), verify hamming distance inside the bucket."""
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"table_id": [], "band": [], id_col: [], "sh": []}
-        for doc_id, text in zip(batch[id_col], batch[text_col]):
-            sh = simhash(text or "")
-            for t in range(n_tables):
-                band = (sh >> (16 * t)) & 0xFFFF
-                rows["table_id"].append(t)
-                rows["band"].append(band)
-                rows[id_col].append(doc_id)
-                rows["sh"].append(np.uint64(sh))
-        return pd.DataFrame(rows)
+        from bb_ocr_ray.functions.hashing import simhash_batch
+
+        sh = simhash_batch(list(batch[text_col]))          # uint64[n]
+        shifts = (np.arange(n_tables, dtype=np.uint64) * np.uint64(16))
+        bands = ((sh[:, None] >> shifts[None, :])
+                 & np.uint64(0xFFFF)).astype("int64").ravel()
+        n = len(sh)
+        return pd.DataFrame(
+            {"table_id": np.tile(np.arange(n_tables, dtype=np.int64), n),
+             "band": bands,
+             id_col: np.repeat(batch[id_col].to_numpy(), n_tables),
+             "sh": np.repeat(sh, n_tables)})
 
     exploded = docs_ds.map_batches(explode, batch_format="pandas")
 
@@ -923,31 +939,44 @@ def dup_span_stats(docs_ds, k: int = 8, id_col: str = "doc_id",
     No grouped op ever sees a per-key group (per-group tax) and no
     stage holds more than a bucket.
     """
-    from collections import Counter
-
-    from bb_ocr_ray.functions.hashing import md5_hex, ws_tokens
+    from bb_ocr_ray.functions.hashing import ws_tokens
     from bb_ocr_ray.stages.joins import _auto_num_buckets
 
     if coarse_buckets is None:
         coarse_buckets = _auto_num_buckets()
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        ids, hs, cs = [], [], []
+        # window strings are SLICES of the ws-normalized text (cheaper
+        # than k-way joins), hashed in one tight loop; the per-doc
+        # Counter is replaced by ONE batch-level groupby (VERDICT r3
+        # item 3).  digest()[:8].hex() == hexdigest()[:16], byte-equal
+        # to the previous md5_hex(...)[:16].
+        import hashlib
+
+        md5 = hashlib.md5
+        ids, hs, n_win = [], [], []
         for d, t in zip(b[id_col], b[text_col]):
             tk = ws_tokens(t or "")
-            if len(tk) < k:
+            n = len(tk) - k + 1
+            if n <= 0:
                 continue
-            cnt = Counter(
-                md5_hex(" ".join(tk[i:i + k]))[:16]
-                for i in range(len(tk) - k + 1)
-            )
-            for h, c in cnt.items():
-                ids.append(int(d))
-                hs.append(h)
-                cs.append(c)
-        df = pd.DataFrame({"h": pd.array(hs, dtype="object"),
-                           id_col: pd.array(ids, dtype="int64"),
-                           "c": pd.array(cs, dtype="int64")})
+            nt = " ".join(tk)
+            ends = np.cumsum(np.fromiter((len(w) for w in tk),
+                                         dtype=np.int64, count=len(tk))
+                             + 1) - 1          # exclusive end of token i
+            starts = np.concatenate(([np.int64(0)], ends[:-1] + 1))
+            hs.extend(md5(nt[starts[i]:ends[i + k - 1]]
+                          .encode("utf-8")).digest()[:8].hex()
+                      for i in range(n))
+            ids.append(int(d))
+            n_win.append(n)
+        df = pd.DataFrame(
+            {"h": pd.array(hs, dtype="object"),
+             id_col: np.repeat(np.asarray(ids, dtype="int64"),
+                               np.asarray(n_win, dtype="int64"))})
+        df = (df.groupby([id_col, "h"], as_index=False, sort=False)
+              .size().rename(columns={"size": "c"}))
+        df["c"] = df["c"].astype("int64")
         df["_wb"] = (pd.util.hash_array(df["h"].to_numpy(), categorize=False)
                      % coarse_buckets).astype("int64")
         return df

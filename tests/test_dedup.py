@@ -409,3 +409,72 @@ def test_dup_span_stats_planted(ray_session):
     assert out.loc[2, "n_windows"] == 9 and out.loc[2, "n_dup_windows"] == 2
     # doc 3: 2 windows, none duplicated
     assert out.loc[3, "n_windows"] == 2 and out.loc[3, "n_dup_windows"] == 0
+
+
+def test_batched_sketch_kernels_match_per_doc():
+    """The batched minhash/simhash kernels (numpy reduceat over the
+    concatenated shingle stream) must equal the per-doc functions
+    ELEMENTWISE — including empty docs, sub-k docs, whitespace-only
+    docs, and duplicate docs (VERDICT r3 item 3: identical outputs is
+    the vectorization contract, since the SQL oracles mirror the
+    per-doc constants)."""
+    import numpy as np
+
+    from bb_ocr_ray.functions.hashing import (
+        minhash_signature, minhash_signatures_batch, simhash, simhash_batch)
+
+    rng = np.random.RandomState(4)
+    pool = [f"w{i}" for i in range(50)]
+    texts = ["", "   ", "one", "one two", "one two three",
+             "a\tb\nc  d\r\ne f g h i j"]
+    texts += [" ".join(rng.choice(pool, size=rng.randint(1, 60)))
+              for _ in range(40)]
+    texts.append(texts[-1])                      # exact duplicate
+
+    batch = minhash_signatures_batch(texts)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(batch[i], minhash_signature(t))
+
+    sb = simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(sb[i]) == simhash(t), f"simhash mismatch at {i}: {t!r}"
+
+
+def test_dup_span_explode_slicing_matches_joins():
+    """dup_span_stats' window slicing must hash exactly the k-token
+    join strings — pinned against an independent ' '.join re-derivation
+    over multi-whitespace fixtures."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.stages.dedup import dup_span_stats
+
+    texts = ["alpha  beta\tgamma delta epsilon zeta eta theta iota",
+             "x " * 20, "short one", "",
+             "one two three four five six seven eight one two three "
+             "four five six seven eight"]
+    docs = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    got = dup_span_stats(rd.from_items(docs).repartition(2), k=8
+                         ).to_pandas().set_index("doc_id").sort_index()
+
+    # independent local re-derivation
+    from collections import Counter
+    k = 8
+    win = Counter()
+    per_doc = {}
+    for d in docs:
+        tk = ws_tokens(d["text"])
+        ws = [" ".join(tk[i:i + k]) for i in range(len(tk) - k + 1)]
+        if ws:
+            per_doc[d["doc_id"]] = ws
+            win.update(hashlib.md5(w.encode()).digest()[:8].hex()
+                       for w in ws)
+    for did, ws in per_doc.items():
+        n_dup = sum(1 for w in ws
+                    if win[hashlib.md5(w.encode()).digest()[:8].hex()] >= 2)
+        assert got.loc[did, "n_windows"] == len(ws)
+        assert got.loc[did, "n_dup_windows"] == n_dup
+    assert set(got.index) == set(per_doc)
