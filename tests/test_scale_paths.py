@@ -461,6 +461,50 @@ def test_pagerank_matches_numpy(ray_session):
                                rtol=1e-12, atol=1e-15)
 
 
+def test_pagerank_tol_early_exit(ray_session):
+    """tol-mode PageRank stops as soon as max |Δrank| <= tol (observed
+    via the stats out-param) and the early result stays within the
+    documented drift bound tol*d/(1-d) of the full fixed-iteration
+    run.  Exact mode (tol=None) must NOT exit early here: the deltas
+    at iteration 10 are far above float equality."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    edges = pd.DataFrame({
+        "src": rng.randint(0, 50, 400).astype("int64"),
+        "dst": rng.randint(0, 60, 400).astype("int64")})
+    ds = rd.from_pandas(edges).repartition(4)
+
+    full = (pagerank(ds, iters=40, coarse_buckets=5)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+
+    tol = 1e-6
+    st = {}
+    early = (pagerank(ds, iters=40, coarse_buckets=5, tol=tol, stats=st)
+             .to_pandas().sort_values("node").reset_index(drop=True))
+    assert st["iters_run"] < 40, "tol exit never fired"
+    assert st["max_delta"] <= tol
+    bound = tol * 0.85 / 0.15 + 1e-12
+    assert list(early["node"]) == list(full["node"])
+    assert np.abs(early["rank"].to_numpy()
+                  - full["rank"].to_numpy()).max() <= bound
+
+    st2 = {}
+    exact = (pagerank(ds, iters=10, coarse_buckets=5, stats=st2)
+             .to_pandas().sort_values("node").reset_index(drop=True))
+    assert st2["iters_run"] == 10, "exact mode exited before convergence"
+    # repeat runs agree to float-sum-reorder noise (coarse partials
+    # arrive in nondeterministic order; the query rounds to 6 dp)
+    np.testing.assert_allclose(
+        exact["rank"].to_numpy(),
+        pagerank(ds, iters=10, coarse_buckets=5).to_pandas()
+        .sort_values("node")["rank"].to_numpy(), rtol=1e-12, atol=1e-15)
+
+
 def test_pagerank_static_matches_dataset(ray_session):
     """Actor-resident-edge pagerank == the pure-Dataset pagerank on a
     random graph (parallel edges, sinks, dst-only nodes in edge-less
