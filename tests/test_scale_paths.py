@@ -425,6 +425,83 @@ def test_coarse_agg_matches_pandas(ray_session):
     assert len(got2) == 20 and set(got2["n"]) == {2}
 
 
+def test_coarse_agg_arrow_blocks_match_pandas_blocks(ray_session):
+    """The Arrow-block stamp fast path (pyarrow group_by combiner, no
+    full-batch pandas conversion) must produce results identical to
+    the pandas-block path on the same data — including null keys/
+    values, string keys, every refoldable how, multiple size aggs,
+    the partial=False path, and a MIXED arrow+pandas block stream
+    (the bucket hash must agree across paths or one key's rows split
+    across buckets)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.coarse import coarse_agg
+
+    rng = np.random.RandomState(13)
+    n = 4000
+    df = pd.DataFrame({
+        "k": [f"key{i % 211}" for i in rng.randint(0, 4000, n)],
+        "v": rng.randint(-50, 50, n).astype("int64"),
+        "w": rng.randn(n),
+    })
+    df.loc[df.index[:40], "k"] = None
+    df.loc[df.index[40:70], "v"] = pd.NA
+    df["v"] = df["v"].astype("Int64")
+
+    spec = {"total": ("v", "sum"), "lo": ("w", "min"),
+            "hi": ("w", "max"), "n1": ("v", "size"),
+            "n2": ("w", "size"), "nv": ("v", "count")}
+
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    ds_arrow = rd.from_arrow(tbl).repartition(6)
+    ds_pandas = rd.from_pandas(df).repartition(6)
+
+    def canon(out):
+        out = out.copy()
+        out["total"] = out["total"].astype("float64")
+        for c in ("n1", "n2", "nv"):
+            out[c] = out[c].astype("int64")
+        return (out.sort_values("k", na_position="last",
+                                kind="mergesort")
+                .reset_index(drop=True)
+                [["k", "total", "lo", "hi", "n1", "n2", "nv"]])
+
+    got_a = canon(coarse_agg(ds_arrow, ["k"], spec,
+                             coarse_buckets=7).to_pandas())
+    got_p = canon(coarse_agg(ds_pandas, ["k"], spec,
+                             coarse_buckets=7).to_pandas())
+    pd.testing.assert_frame_equal(got_a, got_p, check_dtype=False)
+
+    # mixed block stream: same key must reach ONE bucket in both paths
+    # (no repartition on the union — Ray's shuffle reduce itself cannot
+    # merge arrow+pandas blocks; the stamp's uniform pandas output is
+    # what makes the downstream groupby shuffle legal)
+    half = n // 2
+    mixed = (rd.from_arrow(pa.Table.from_pandas(df.iloc[:half],
+                                                preserve_index=False))
+             .union(rd.from_pandas(df.iloc[half:].reset_index(drop=True))))
+    got_m = canon(coarse_agg(mixed, ["k"], spec,
+                             coarse_buckets=7).to_pandas())
+    pd.testing.assert_frame_equal(got_m, got_p, check_dtype=False)
+
+    # partial=False path over arrow blocks ("first" is not refoldable;
+    # the probe value is constant per key so shuffle order is moot)
+    df2 = df.assign(kw=df["k"].fillna("<null>").str.len().astype("int64"))
+    ds2 = rd.from_arrow(pa.Table.from_pandas(
+        df2, preserve_index=False)).repartition(4)
+    got_f = (coarse_agg(ds2, ["k"], {"f": ("kw", "first")},
+                        coarse_buckets=4, partial=False)
+             .to_pandas().sort_values("k", na_position="last")
+             .reset_index(drop=True))
+    exp_f = (df2.groupby("k", as_index=False, dropna=False)
+             .agg(f=("kw", "first"))
+             .sort_values("k", na_position="last").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_f, exp_f, check_dtype=False)
+
+
 def test_pagerank_matches_numpy(ray_session):
     """Distributed PageRank == dense numpy power iteration on a random
     graph with parallel edges, skewed in-degrees, and dangling sinks."""
