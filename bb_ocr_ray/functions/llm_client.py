@@ -71,7 +71,77 @@ class DeterministicFakeClient(LLMClient):
         return "```json\n" + json.dumps(body, sort_keys=True) + "\n```"
 
 
-_BACKENDS: dict = {"fake": DeterministicFakeClient}
+class FlakyFakeClient(DeterministicFakeClient):
+    """Chaos backend for exercising the retry path offline (no state
+    shared across actor processes, so failure injection is driven by
+    MARKERS in the prompt itself, which travel with the row):
+
+    * ``[[fail_always]]`` in the prompt — every attempt raises.
+    * ``[[fail_n:K]]`` — the first K attempts for this prompt raise,
+      the (K+1)-th succeeds (per-instance attempt counter: retries
+      happen inside one actor, so instance state is correct).
+    * otherwise — behaves exactly like DeterministicFakeClient.
+    """
+
+    def __init__(self):
+        self._attempts: dict = {}
+
+    def generate(self, model: str, prompt: str, images_b64=None,
+                 timeout_seconds: float | None = None) -> str:
+        if "[[fail_always]]" in prompt:
+            raise ConnectionError("injected permanent failure")
+        marker = "[[fail_n:"
+        pos = prompt.find(marker)
+        if pos >= 0:
+            k = int(prompt[pos + len(marker):prompt.index("]]", pos)])
+            seen = self._attempts.get(prompt, 0)
+            self._attempts[prompt] = seen + 1
+            if seen < k:
+                raise TimeoutError(
+                    f"injected transient failure {seen + 1}/{k}")
+        return super().generate(model, prompt, images_b64,
+                                timeout_seconds)
+
+
+class RetryingClient:
+    """Retry/backoff/error-as-data wrapper around any ``LLMClient``
+    (reference ``enhanced_extractor.py:843-864``: 3 attempts, LINEAR
+    backoff, failures recorded as data — the pipeline never raises).
+
+    Not an ``LLMClient`` itself: ``generate_with_retry`` returns
+    ``(text | None, error | None, attempts)`` so callers can put the
+    transport error in a column (M11 dead-letter semantics) instead of
+    catching exceptions per row.  ``sleep`` is injectable for tests.
+    """
+
+    def __init__(self, inner: LLMClient, max_attempts: int = 3,
+                 backoff_seconds: float = 1.0, sleep=None):
+        import time
+
+        self.inner = inner
+        self.max_attempts = max(1, int(max_attempts))
+        self.backoff_seconds = backoff_seconds
+        self.sleep = sleep if sleep is not None else time.sleep
+
+    def generate_with_retry(self, model: str, prompt: str, images_b64=None,
+                            timeout_seconds: float | None = None):
+        last_err = None
+        for attempt in range(1, self.max_attempts + 1):
+            try:
+                text = self.inner.generate(model, prompt, images_b64,
+                                           timeout_seconds)
+                return text, None, attempt
+            except Exception as exc:  # noqa: BLE001 — error-as-data seam
+                last_err = f"{type(exc).__name__}: {exc}"
+                if attempt < self.max_attempts:
+                    # linear backoff: 1x, 2x, ... (reference's ladder)
+                    self.sleep(self.backoff_seconds * attempt)
+        return (None, f"{last_err} ({self.max_attempts} attempts)",
+                self.max_attempts)
+
+
+_BACKENDS: dict = {"fake": DeterministicFakeClient,
+                   "flaky": FlakyFakeClient}
 
 
 def register_backend(name: str, factory) -> None:

@@ -18,19 +18,39 @@ from bb_ocr_ray.functions.templates import assemble_prompt
 
 
 class EnrichStage:
-    """Stateful enrichment worker (one LLM client per actor-pool slot)."""
+    """Stateful enrichment worker (one LLM client per actor-pool slot).
 
-    def __init__(self, backend: str = "fake", model: str = "fake-model"):
-        from bb_ocr_ray.functions.llm_client import create_llm_client
+    Every backend call goes through ``RetryingClient`` (reference
+    ``enhanced_extractor.py:843-864``: 3 attempts, linear backoff) —
+    transport failures become ``enrich_error`` rows with
+    ``enrich_attempts`` recording the cost; the stage NEVER raises
+    (M11 dead-letter semantics), so one flaky provider call cannot
+    kill a 100-TB job's task."""
 
-        self.client = create_llm_client(backend)
+    def __init__(self, backend: str = "fake", model: str = "fake-model",
+                 max_attempts: int = 3, backoff_seconds: float = 1.0,
+                 sleep=None):
+        from bb_ocr_ray.functions.llm_client import (RetryingClient,
+                                                     create_llm_client)
+
+        self.client = RetryingClient(create_llm_client(backend),
+                                     max_attempts=max_attempts,
+                                     backoff_seconds=backoff_seconds,
+                                     sleep=sleep)
         self.model = model
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        titles, digests, errors = [], [], []
+        titles, digests, errors, attempts = [], [], [], []
         for text in batch["text"]:
             prompt = assemble_prompt([(text or "")[:300]])
-            raw = self.client.generate(self.model, prompt)
+            raw, err, n_att = self.client.generate_with_retry(
+                self.model, prompt)
+            attempts.append(n_att)
+            if raw is None:
+                titles.append(None)
+                digests.append(None)
+                errors.append(err)
+                continue
             obj, err = repair_json(raw)
             if obj is None:
                 titles.append(None)
@@ -44,15 +64,19 @@ class EnrichStage:
         out["enriched_title"] = pd.Series(titles, dtype="object").values
         out["enrichment_digest"] = pd.Series(digests, dtype="object").values
         out["enrich_error"] = pd.Series(errors, dtype="object").values
+        out["enrich_attempts"] = pd.Series(attempts, dtype="int64").values
         return out
 
 
 def enrich(ds, backend: str = "fake", model: str = "fake-model",
-           concurrency: int = 2, batch_size: int = 256):
+           concurrency: int = 2, batch_size: int = 256,
+           max_attempts: int = 3, backoff_seconds: float = 1.0):
     """Actor-pool enrichment over the extracted stream."""
     return ds.map_batches(
         EnrichStage,
-        fn_constructor_kwargs={"backend": backend, "model": model},
+        fn_constructor_kwargs={"backend": backend, "model": model,
+                               "max_attempts": max_attempts,
+                               "backoff_seconds": backoff_seconds},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pandas",
