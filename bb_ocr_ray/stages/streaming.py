@@ -21,9 +21,11 @@ De-funneled design (round 3): the driver never iterates the stream.
   allowed lateness: order genuinely matters), so each key-hash bucket
   replays through ONE ``map_groups`` task that feeds its bucket actor
   sequentially — per-actor FIFO per bucket, n_actors tasks in
-  parallel, no driver funnel.  The replay task holds one bucket's
-  (user_id, ts) pairs; bound that by growing ``n_actors`` with the
-  cluster, while the ACTOR state stays O(open keys + lateness buffer).
+  parallel, no driver funnel (out-of-order simulations carry an
+  explicit ``arrival_col`` sequence stamp through the same path).
+  The replay task holds one bucket's (user_id, ts) pairs; bound that
+  by growing ``n_actors`` with the cluster, while the ACTOR state
+  stays O(open keys + lateness buffer).
 
 NULL user_id rows are dropped at routing (repo convention for user
 aggregates, same as q_sessionize / q_pivot_events).
@@ -220,7 +222,7 @@ class WatermarkSessionActor:
 
 def sessionize_watermark(events_ds, gap_seconds: float = 1800.0,
                          allowed_lateness: float = 0.0, n_actors: int = 4,
-                         presorted: bool = False):
+                         arrival_col: str | None = None):
     """Watermark/late-data sessionization over a (possibly out-of-order)
     event stream.  Returns (per-user DataFrame, total late-dropped).
 
@@ -232,51 +234,50 @@ def sessionize_watermark(events_ds, gap_seconds: float = 1800.0,
     result equals the batch groupby sessionization for ANY lateness
     (asserted by the q_sessionize_stream oracle) and nothing is late.
 
-    With ``presorted=True`` the input is replayed AS-IS in dataset row
-    order (true streaming arrival order, out-of-order fixtures).  Row
-    order across parallel tasks is not Ray-preservable, so this mode
-    funnels through the driver — it exists for arrival-order
-    simulations (tests); the scale path is the default mode."""
+    Out-of-order arrival simulations pass ``arrival_col``: an int64
+    per-event arrival sequence (what a real stream carries — a Kafka
+    offset, an ingest stamp).  Each bucket then replays sorted by that
+    column through the SAME distributed map_groups path; the per-actor
+    event sequences are exactly what a global in-arrival-order feed
+    would deliver, because an actor only ever sees its own bucket's
+    events and their relative arrival order is preserved.  (This
+    replaced the r3 ``presorted=True`` driver loop — dataset row order
+    across parallel tasks is not Ray-preservable, so the arrival
+    stamp is the honest scale contract.)"""
     actors = [WatermarkSessionActor.remote(gap_seconds, allowed_lateness)
               for _ in range(n_actors)]
 
-    if presorted:
-        for batch in events_ds.iter_batches(batch_size=4096,
-                                            batch_format="pandas"):
-            users, ts = _clean(batch)
-            if not len(users):
-                continue
-            buckets = _buckets_of(users, n_actors)
-            ray.get([actors[int(a)].ingest.remote(
-                users[buckets == a].tolist(),
-                (ts[buckets == a] / 1e6).tolist())
-                for a in np.unique(buckets)])
-    else:
-        def stamp(batch: pd.DataFrame) -> pd.DataFrame:
-            users, ts = _clean(batch)
-            return pd.DataFrame({
-                "user_id": pd.Series(users, dtype="int64"),
-                "ts_us": pd.Series(ts, dtype="int64"),
-                "bucket": pd.Series(_buckets_of(users, n_actors),
-                                    dtype="int64")})
+    order_col = arrival_col if arrival_col is not None else "ts_us"
 
-        def replay(group: pd.DataFrame) -> pd.DataFrame:
-            g = group.sort_values("ts_us", kind="mergesort")
-            a = actors[int(g["bucket"].iloc[0])]
-            n = 0
-            for lo in range(0, len(g), 4096):
-                chunk = g.iloc[lo:lo + 4096]
-                # sequential: the bucket's stream stays FIFO at the actor
-                ray.get(a.ingest.remote(
-                    chunk["user_id"].tolist(),
-                    (chunk["ts_us"].to_numpy() / 1e6).tolist()))
-                n += len(chunk)
-            return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+    def stamp(batch: pd.DataFrame) -> pd.DataFrame:
+        users, ts = _clean(batch)
+        out = pd.DataFrame({
+            "user_id": pd.Series(users, dtype="int64"),
+            "ts_us": pd.Series(ts, dtype="int64"),
+            "bucket": pd.Series(_buckets_of(users, n_actors),
+                                dtype="int64")})
+        if arrival_col is not None:
+            seq = batch.dropna(subset=["user_id"])[arrival_col]
+            out[arrival_col] = seq.astype("int64").to_numpy()
+        return out
 
-        (events_ds.map_batches(stamp, batch_format="pandas")
-         .groupby("bucket")
-         .map_groups(replay, batch_format="pandas")
-         .sum("n"))
+    def replay(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_col, kind="mergesort")
+        a = actors[int(g["bucket"].iloc[0])]
+        n = 0
+        for lo in range(0, len(g), 4096):
+            chunk = g.iloc[lo:lo + 4096]
+            # sequential: the bucket's stream stays FIFO at the actor
+            ray.get(a.ingest.remote(
+                chunk["user_id"].tolist(),
+                (chunk["ts_us"].to_numpy() / 1e6).tolist()))
+            n += len(chunk)
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+    (events_ds.map_batches(stamp, batch_format="pandas")
+     .groupby("bucket")
+     .map_groups(replay, batch_format="pandas")
+     .sum("n"))
 
     parts = ray.get([a.finalize.remote() for a in actors])
     n_late = int(sum(p["n_late"].iloc[0] if len(p) else 0 for p in parts))

@@ -502,18 +502,37 @@ def test_watermark_sessionizer_late_data(ray_session):
     def ev(u, sec):
         return {"user_id": u, "ts": t0 + pd.Timedelta(seconds=sec)}
 
-    # arrival order: u1 at 0s, 100s, then an out-of-order 50s (within
-    # lateness 200) -> folds; then 10_000s advancing the watermark,
-    # then 60s (older than 10_000-200) -> LATE, dropped
-    rows = [ev(1, 0), ev(1, 100), ev(1, 50), ev(1, 10_000), ev(1, 60)]
-    ds = rd.from_items(rows).repartition(1)
+    # arrival order (carried by the explicit arrival stamp, replayed
+    # through the distributed map_groups path — no driver loop):
+    # u1 at 0s, 100s, then an out-of-order 50s (within lateness 200)
+    # -> folds; then 10_000s advancing the watermark, then 60s (older
+    # than 10_000-200) -> LATE, dropped
+    rows = [dict(ev(1, sec), seq=i) for i, sec in
+            enumerate([0, 100, 50, 10_000, 60])]
+    ds = rd.from_items(rows).repartition(2)
     got, n_late = sessionize_watermark(
         ds, gap_seconds=1800.0, allowed_lateness=200.0, n_actors=1,
-        presorted=True)
+        arrival_col="seq")
     assert n_late == 1
     # folded events: 0,50,100 (one session) + 10_000 (gap > 1800: new)
     assert got.loc[0, "n_sessions"] == 2
     assert got.loc[0, "n_events"] == 4
+
+    # multi-user, multi-actor: per-bucket arrival replay must equal a
+    # global in-arrival-order feed (actors only see their own users)
+    rows2 = ([dict(ev(1, sec), seq=i * 2) for i, sec in
+              enumerate([0, 100, 50, 10_000, 60])]
+             + [dict(ev(2, sec), seq=i * 2 + 1) for i, sec in
+                enumerate([5, 9_000, 20, 9_100])])
+    ds2 = rd.from_items(rows2).repartition(3)
+    got2, n_late2 = sessionize_watermark(
+        ds2, gap_seconds=1800.0, allowed_lateness=200.0, n_actors=3,
+        arrival_col="seq")
+    got2 = got2.set_index("user_id")
+    assert n_late2 == 2         # u1's 60s AND u2's 20s arrive too late
+    assert got2.loc[1, "n_sessions"] == 2 and got2.loc[1, "n_events"] == 4
+    # u2 folded: 5 | 9000, 9100 (gap 1800: 5 -> new session at 9000)
+    assert got2.loc[2, "n_sessions"] == 2 and got2.loc[2, "n_events"] == 3
 
 
 def test_frame_sample_plumbing(ray_session):
