@@ -46,19 +46,17 @@ def metadata_from_text(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def run_lifecycle(pages_ds, out_dir: str, llm_backend: str | None = None,
-                  llm_model: str = "fake-model"):
-    """pages -> accepted/rejected partitioned parquet + audit rows.
-
-    ``llm_backend`` (optional) routes the extracted stream through the
-    pluggable enrichment-model stage (stages/enrich, §2.10: any
-    registered ``LLMClient`` backend — offline runs use "fake") before
-    validation, mirroring the reference's OCR→prompt→LLM→repair slot.
-    Returns (out_dir, audit Dataset)."""
+def lifecycle_decided(pages_ds, llm_backend: str | None = None,
+                      llm_model: str = "fake-model", cfg=None):
+    """The lifecycle chain up to (but not including) the sink: pages ->
+    extract (-> optional enrichment) -> metadata heuristics ->
+    validation -> decision column.  Lazy; shared by :func:`run_lifecycle`
+    and the resumable runner (``state.manifest.run_resumable_lifecycle``),
+    which write it through different partition layouts."""
+    from bb_ocr_ray.config import DEFAULT_PIPELINE
     from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
-    from bb_ocr_ray.stages.sinks import flatten_metadata, write_partitioned
 
-    extracted = extract_pages(pages_ds)
+    extracted = extract_pages(pages_ds, cfg or DEFAULT_PIPELINE)
     if llm_backend is not None:
         from bb_ocr_ray.stages.enrich import enrich
 
@@ -91,6 +89,20 @@ def run_lifecycle(pages_ds, out_dir: str, llm_backend: str | None = None,
             if isinstance(a, (list, tuple)) and len(a) else "")
         return batch.drop(columns=["authors"])
 
+    return meta.map_batches(decide, batch_format="pandas")
+
+
+def run_lifecycle(pages_ds, out_dir: str, llm_backend: str | None = None,
+                  llm_model: str = "fake-model"):
+    """pages -> accepted/rejected partitioned parquet + audit rows.
+
+    ``llm_backend`` (optional) routes the extracted stream through the
+    pluggable enrichment-model stage (stages/enrich, §2.10: any
+    registered ``LLMClient`` backend — offline runs use "fake") before
+    validation, mirroring the reference's OCR→prompt→LLM→repair slot.
+    Returns (out_dir, audit Dataset)."""
+    from bb_ocr_ray.stages.sinks import flatten_metadata, write_partitioned
+
     # ONE consumer executes the extract+heuristics pipeline: the
     # partitioned parquet sink.  Audit rows come from reading the sink
     # back (S9 prior-output loader, manifest.py analog) — a pruned
@@ -98,7 +110,7 @@ def run_lifecycle(pages_ds, out_dir: str, llm_backend: str | None = None,
     # and never a full-corpus materialize() pinning 100 TB in the
     # object store (VERDICT r2 item 2; the trade paragraph_dedup's
     # docstring argues: re-read beats pin).
-    decided = meta.map_batches(decide, batch_format="pandas")
+    decided = lifecycle_decided(pages_ds, llm_backend, llm_model)
     write_partitioned(decided, out_dir, ["decision"])
 
     import ray.data as rd

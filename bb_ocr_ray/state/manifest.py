@@ -152,59 +152,70 @@ def run_resumable_extract(sf_dir: str, out_root: str, n_partitions: int = 8,
         return _run_partitions(plans, manifest, done, sf_dir, cfg)
 
 
+def _skip_completed(plan, prior, part_dir) -> bool:
+    """True if ``plan`` is already durably complete; raises on a plan
+    mismatch (restarting with a different n_partitions or fragment
+    layout would silently duplicate/drop rows)."""
+    if prior is None or not os.path.isdir(part_dir):
+        return False
+    same_plan = (
+        prior.get("fragment_ids") == list(plan.fragment_ids)
+        and prior.get("hash_bucket", plan.hash_bucket) == plan.hash_bucket
+        and prior.get("n_buckets", plan.n_buckets) == plan.n_buckets
+    )
+    if not same_plan:
+        raise RuntimeError(
+            f"partition {plan.partition_id}: manifest plan mismatch "
+            f"(was fragments={prior.get('fragment_ids')} bucket="
+            f"{prior.get('hash_bucket')}/{prior.get('n_buckets')}, "
+            f"now {list(plan.fragment_ids)} bucket="
+            f"{plan.hash_bucket}/{plan.n_buckets}) — rerun with the "
+            "original n_partitions or a fresh out_root"
+        )
+    return True
+
+
+def _pages_for_plan(plan, cfg):
+    """The partition's page stream: read ONLY the plan's fragments,
+    hash-bucket filter in fallback mode, synthesize pages, and honor
+    the payload block budget."""
+    from bb_ocr_ray.functions.hashing import crc32
+    from bb_ocr_ray.sources.pages import pages_batch
+    from bb_ocr_ray.sources.tables import read_parquet_clean
+
+    docs = read_parquet_clean(list(plan.fragment_ids),
+                              columns=["doc_id", "text", "lang"])
+    if plan.hash_bucket is not None:
+        bucket, nb = plan.hash_bucket, plan.n_buckets
+        docs = docs.map_batches(
+            lambda b, bucket=bucket, nb=nb: b[
+                [crc32(str(d)) % nb == bucket for d in b["doc_id"]]
+            ],
+            batch_format="pandas",
+        )
+    pages = docs.map_batches(pages_batch, batch_format="pyarrow")
+    if cfg.payload_block_budget_mb:
+        from bb_ocr_ray.stages.sizing import split_by_bytes
+
+        pages = split_by_bytes(
+            pages, "html", max_bytes=cfg.payload_block_budget_mb << 20
+        )
+    return pages
+
+
 def _run_partitions(plans, manifest, done, sf_dir, cfg):
     import pyarrow.parquet as pq
-    import ray.data as rd
 
-    from bb_ocr_ray.functions.hashing import crc32
     from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
-    from bb_ocr_ray.sources.pages import pages_batch
 
     out_root = manifest.root
     n_run = n_skipped = 0
     for plan in plans:
         part_dir = os.path.join(out_root, f"part-{plan.partition_id:05d}")
-        prior = done.get(plan.partition_id)
-        if prior is not None and os.path.isdir(part_dir):
-            # the skip is only valid if the completed partition covered
-            # the SAME work: restarting with a different n_partitions or
-            # fragment layout would silently duplicate/drop rows
-            same_plan = (
-                prior.get("fragment_ids") == list(plan.fragment_ids)
-                and prior.get("hash_bucket", plan.hash_bucket) == plan.hash_bucket
-                and prior.get("n_buckets", plan.n_buckets) == plan.n_buckets
-            )
-            if not same_plan:
-                raise RuntimeError(
-                    f"partition {plan.partition_id}: manifest plan mismatch "
-                    f"(was fragments={prior.get('fragment_ids')} bucket="
-                    f"{prior.get('hash_bucket')}/{prior.get('n_buckets')}, "
-                    f"now {list(plan.fragment_ids)} bucket="
-                    f"{plan.hash_bucket}/{plan.n_buckets}) — rerun with the "
-                    "original n_partitions or a fresh out_root"
-                )
+        if _skip_completed(plan, done.get(plan.partition_id), part_dir):
             n_skipped += 1
             continue
-        from bb_ocr_ray.sources.tables import read_parquet_clean
-
-        docs = read_parquet_clean(list(plan.fragment_ids),
-                                  columns=["doc_id", "text", "lang"])
-        if plan.hash_bucket is not None:
-            bucket, nb = plan.hash_bucket, plan.n_buckets
-            docs = docs.map_batches(
-                lambda b, bucket=bucket, nb=nb: b[
-                    [crc32(str(d)) % nb == bucket for d in b["doc_id"]]
-                ],
-                batch_format="pandas",
-            )
-        pages = docs.map_batches(pages_batch, batch_format="pyarrow")
-        if cfg.payload_block_budget_mb:
-            from bb_ocr_ray.stages.sizing import split_by_bytes
-
-            pages = split_by_bytes(
-                pages, "html", max_bytes=cfg.payload_block_budget_mb << 20
-            )
-        extracted = extract_pages(pages, cfg)
+        extracted = extract_pages(_pages_for_plan(plan, cfg), cfg)
 
         import time as _time
 
@@ -227,4 +238,76 @@ def _run_partitions(plans, manifest, done, sf_dir, cfg):
                                        out_tbl.column("text").to_pylist())),
         })
         n_run += 1
+    return n_run, n_skipped
+
+
+def run_resumable_lifecycle(sf_dir: str, out_root: str,
+                            n_partitions: int = 8,
+                            llm_backend: str | None = None,
+                            llm_model: str = "fake-model",
+                            pipeline_cfg=None):
+    """Resumable MULTI-SINK lifecycle (VERDICT r3 item 7): pages ->
+    extract (-> enrich) -> metadata -> validation -> accept/reject
+    partitioned sinks, checkpointed per resume partition.
+
+    Layout: ``part-{pid:05d}/decision=accepted/`` and
+    ``.../decision=rejected/`` — BOTH lifecycle sinks live inside one
+    atomically-published partition dir, so a kill can never leave an
+    accepted row without its sibling reject set: either the whole
+    partition (both sinks) published, or neither did.  The lineage
+    digest covers (url, decision, len(text)) so a divergent rerun of
+    either sink is refused.
+
+    Returns (n_run, n_skipped)."""
+    import contextlib
+
+    import pyarrow.parquet as pq
+
+    from bb_ocr_ray.config import DEFAULT_PIPELINE
+    from bb_ocr_ray.pipelines.lifecycle import lifecycle_decided
+    from bb_ocr_ray.stages.sizing import block_budget
+
+    cfg = pipeline_cfg or DEFAULT_PIPELINE
+    budget_ctx = (
+        block_budget(cfg.payload_block_budget_mb << 20)
+        if cfg.payload_block_budget_mb else contextlib.nullcontext()
+    )
+    fragments = [os.path.join(sf_dir, "documents.parquet")]
+    plans = plan_partitions(fragments, n_partitions)
+    manifest = RunManifest(out_root)
+    done = manifest.completed()
+
+    n_run = n_skipped = 0
+    with budget_ctx:
+        for plan in plans:
+            part_dir = os.path.join(out_root,
+                                    f"part-{plan.partition_id:05d}")
+            if _skip_completed(plan, done.get(plan.partition_id), part_dir):
+                n_skipped += 1
+                continue
+            decided = lifecycle_decided(_pages_for_plan(plan, cfg),
+                                        llm_backend, llm_model, cfg=cfg)
+            import time as _time
+
+            t0 = _time.time()
+            tmp_dir = f"{part_dir}.tmp.{os.getpid()}"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            decided.write_parquet(tmp_dir, partition_cols=["decision"])
+            out_tbl = pq.read_table(tmp_dir,
+                                    columns=["url", "text", "decision"])
+            decisions = out_tbl.column("decision").to_pylist()
+            digest = output_digest(
+                [f"{u}\x1f{d}" for u, d in
+                 zip(out_tbl.column("url").to_pylist(), decisions)],
+                [len(t) for t in out_tbl.column("text").to_pylist()],
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+            os.replace(tmp_dir, part_dir)                # atomic publish
+            wall = _time.time() - t0
+            manifest.record(plan, out_tbl.num_rows, digest, metrics={
+                "wall_s": round(wall, 3),
+                "n_accepted": decisions.count("accepted"),
+                "n_rejected": decisions.count("rejected"),
+            })
+            n_run += 1
     return n_run, n_skipped
