@@ -97,75 +97,89 @@ def minhash_signature(text: str, k: int = 3, n_perm: int = _N_PERM) -> np.ndarra
     return vals.min(axis=0)
 
 
+def _batch_shingle_hashes(texts, k: int):
+    """Per-batch shingle stream: md5 each DISTINCT shingle string once
+    (a dict memo — web corpora repeat boilerplate shingles heavily and
+    the bench corpus replicates whole docs), return (hashes, offsets)
+    where ``hashes[offsets[i]:offsets[i+1]]`` are doc i's shingle
+    hashes.  The md5 stays per distinct shingle: the SQL oracles mirror
+    stable_u64 exactly, so the hash function is load-bearing."""
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    memo: dict = {}
+    hashes: list = []
+    offsets = [0]
+    for t in texts:
+        for s in _shingles(ws_tokens(t or ""), k):
+            h = memo.get(s)
+            if h is None:
+                h = memo[s] = from_bytes(
+                    md5(s.encode("utf-8")).digest()[:8], "little")
+            hashes.append(h)
+        offsets.append(len(hashes))
+    return hashes, offsets
+
+
 def minhash_signatures_batch(texts, k: int = 3,
                              n_perm: int = _N_PERM) -> np.ndarray:
     """MinHash signatures for a whole batch: (len(texts), n_perm) uint64,
     row i == ``minhash_signature(texts[i])`` exactly (pinned by a
     differential test).
 
-    The per-doc version pays numpy dispatch + function-call overhead
-    per DOCUMENT; here the universal-hash matrix and the per-doc min
-    are ONE numpy expression over the concatenated shingle stream
-    (``np.minimum.reduceat`` at doc offsets — empty docs keep the MAX
-    sentinel).  The md5 per shingle stays: the SQL oracles mirror
-    stable_u64 exactly, so the hash function is load-bearing."""
-    md5 = hashlib.md5
-    from_bytes = int.from_bytes
-    hashes: list = []
-    offsets = [0]
-    for t in texts:
-        for s in _shingles(ws_tokens(t or ""), k):
-            hashes.append(from_bytes(md5(s.encode("utf-8")).digest()[:8],
-                                     "little"))
-        offsets.append(len(hashes))
+    Batching helps exactly where work REPEATS across the batch, and
+    only the md5 memo captures that STABLY — measured (2000 docs,
+    40-400 tokens, 3 reps):
+
+    * md5 memo per distinct shingle string: free on distinct data
+      (~1.00x vs the per-doc function), ~2x on 8x-replicated docs
+      (md5 is the per-shingle Python cost).
+    * REJECTED — permute the batch's unique hashes once and gather
+      per doc: up to 1.8x on replicated docs but 12x SLOWER on
+      distinct shingles (the (n_unique x n_perm) matrix becomes
+      occurrence-sized: hundreds of MB of DRAM-bound temporaries),
+      and even on replicated docs its wall swung 0.7-3.3 s across
+      identical reps (large-allocation sensitivity) where the
+      per-doc shape held +-5%.
+    * REJECTED — one (total_occurrences x n_perm) gather +
+      ``np.minimum.reduceat`` at doc offsets: 31x slower on distinct
+      shingles; the bench corpus's 8x replication had hidden it.
+
+    So: hash with the memo, then permute+min per doc exactly like
+    :func:`minhash_signature` — cache-resident temporaries, stable
+    wall, and elementwise-identical output."""
+    hashes, offsets = _batch_shingle_hashes(texts, k)
     sigs = np.full((len(texts), n_perm), np.iinfo(np.uint64).max,
                    dtype=np.uint64)
     if not hashes:
         return sigs
     base = np.array(hashes, dtype=np.uint64)
-    # the permutation expansion is the arithmetic hot spot — compute it
-    # over UNIQUE shingle hashes only (web corpora share boilerplate
-    # shingles heavily; ~50% dup even on the synthetic corpus) and
-    # gather back per occurrence
-    uniq, inv = np.unique(base, return_inverse=True)
-    vals = ((uniq[:, None] * _PERM_A[None, :n_perm]
-             + _PERM_B[None, :n_perm]) % MERSENNE)[inv]
-    offs = np.asarray(offsets[:-1], dtype=np.int64)
-    nonempty = np.diff(offsets) > 0
-    # reduceat over nonempty segment starts only: consecutive nonempty
-    # starts delimit exactly the true segments (an empty doc's start
-    # equals its predecessor's end, which would alias a single element)
-    sigs[nonempty] = np.minimum.reduceat(vals, offs[nonempty], axis=0)
+    a, b = _PERM_A[None, :n_perm], _PERM_B[None, :n_perm]
+    for i in range(len(texts)):
+        lo, hi = offsets[i], offsets[i + 1]
+        if hi > lo:
+            sigs[i] = ((base[lo:hi, None] * a + b) % MERSENNE).min(axis=0)
     return sigs
 
 
 def simhash_batch(texts, k: int = 2) -> np.ndarray:
     """SimHash for a whole batch: uint64[len(texts)], elementwise equal
-    to ``simhash`` (same batching rationale as
-    :func:`minhash_signatures_batch`)."""
-    md5 = hashlib.md5
-    from_bytes = int.from_bytes
-    hashes: list = []
-    offsets = [0]
-    for t in texts:
-        for s in _shingles(ws_tokens(t or ""), k):
-            hashes.append(from_bytes(md5(s.encode("utf-8")).digest()[:8],
-                                     "little"))
-        offsets.append(len(hashes))
+    to ``simhash`` (same measured rationale as
+    :func:`minhash_signatures_batch`: md5 memo + per-doc bit fold; the
+    unique-gather bit matrix was rejected for the same instability)."""
+    hashes, offsets = _batch_shingle_hashes(texts, k)
     out = np.zeros(len(texts), dtype=np.uint64)
     if not hashes:
         return out
     h = np.array(hashes, dtype=np.uint64)
-    uniq, inv = np.unique(h, return_inverse=True)
-    bits = ((uniq[:, None] >> np.arange(_SIMHASH_BITS,
-                                        dtype=np.uint64)[None, :]) & 1)[inv]
-    offs = np.asarray(offsets[:-1], dtype=np.int64)
-    counts = np.diff(offsets)
-    nonempty = counts > 0
-    sums = np.add.reduceat(bits.astype(np.int64), offs[nonempty], axis=0)
-    vec = (sums * 2 > counts[nonempty, None])
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)[None, :]
     weights = (np.uint64(1) << np.arange(_SIMHASH_BITS, dtype=np.uint64))
-    out[nonempty] = (vec * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    for i in range(len(texts)):
+        lo, hi = offsets[i], offsets[i + 1]
+        if hi > lo:
+            counts = ((h[lo:hi, None] >> shifts) & 1).astype(
+                np.int64).sum(axis=0)
+            out[i] = ((counts * 2 > (hi - lo))
+                      * weights).sum(dtype=np.uint64)
     return out
 
 
