@@ -1767,3 +1767,16 @@ ORACLES["q_link_graph"] = f"""
     SELECT domain, path, CAST(pages * mult AS BIGINT) AS n
     FROM pc CROSS JOIN paths
 """
+
+
+ORACLES["q_incremental_dedup"] = """
+    WITH idx AS (SELECT DISTINCT md5(coalesce(text, '')) AS h
+                 FROM documents WHERE doc_id % 2 = 0),
+    firsts AS (SELECT md5(coalesce(text, '')) AS content_md5,
+                      min(doc_id) AS keep_doc_id
+               FROM documents GROUP BY 1)
+    SELECT f.content_md5, f.keep_doc_id
+    FROM firsts f LEFT JOIN idx ON f.content_md5 = idx.h
+    WHERE idx.h IS NULL
+    ORDER BY f.content_md5
+"""

@@ -4353,3 +4353,52 @@ def q_link_graph(sf_dir: str):
 
 
 QUERIES.update({"q_link_graph": q_link_graph})
+
+
+# ---------------------------------------------------------------------------
+# Cross-run incremental dedup (persisted seen-set / recrawl hygiene)
+# ---------------------------------------------------------------------------
+def q_incremental_dedup(sf_dir: str):
+    """Recrawl against a persisted seen-set: a prior run (the even
+    doc_ids) built a shard-partitioned content-hash index
+    (state/hash_index — the at-scale version of the reference's
+    in-memory seen-set, aggregator.py:61-69); the new full crawl keeps
+    one first-seen row per never-before-seen content hash.  The index
+    build, the within-batch first-per-hash, and the anti-join are all
+    distributed (one coarse shuffle each); the index lives on disk
+    between the two phases, exactly as it would between real runs."""
+    import shutil
+    import tempfile
+
+    from bb_ocr_ray.state.hash_index import (build_hash_index,
+                                             incremental_dedup)
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"content_md5": [md5_hex(t or "") for t in b["text"]],
+             "doc_id": b["doc_id"].astype("int64")})
+
+    # the (hash, id) projection is consumed by BOTH simulated runs —
+    # materialize it once (two narrow int/hex columns, ~48 B/doc; in
+    # real use the runs are separate processes and each hashes only
+    # its own batch)
+    hds = ds.map_batches(hashed, batch_format="pandas").materialize()
+    prior = hds.map_batches(lambda b: b[b["doc_id"] % 2 == 0],
+                            batch_format="pandas")
+    tmp = tempfile.mkdtemp(prefix="hash_index_q_", dir="/tmp")
+    try:
+        idx = f"{tmp}/idx"
+        build_hash_index(prior, idx, key="content_md5", n_shards=16)
+        out = incremental_dedup(hds, idx, key="content_md5",
+                                order_col="doc_id").to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = out.rename(columns={"doc_id": "keep_doc_id"})
+    out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
+    return (out[["content_md5", "keep_doc_id"]]
+            .sort_values("content_md5").reset_index(drop=True))
+
+
+QUERIES.update({"q_incremental_dedup": q_incremental_dedup})

@@ -1,0 +1,94 @@
+"""Cross-run persisted seen-set (state/hash_index): build, delta
+update, shard pruning, and incremental dedup semantics."""
+
+import os
+
+import pandas as pd
+import pytest
+
+
+def _docs(rows):
+    import ray.data as rd
+
+    return rd.from_items(rows).repartition(3)
+
+
+def test_build_update_dedup_roundtrip(ray_session, tmp_path):
+    from bb_ocr_ray.functions.hashing import md5_hex
+    from bb_ocr_ray.state.hash_index import (build_hash_index,
+                                             incremental_dedup,
+                                             read_hash_index,
+                                             update_hash_index)
+
+    def row(i, text):
+        return {"content_hash": md5_hex(text), "url": f"u{i:03d}",
+                "text": text}
+
+    run1 = [row(i, f"doc {i}") for i in range(10)]
+    idx = str(tmp_path / "idx")
+    build_hash_index(_docs(run1), idx, n_shards=8)
+    assert sorted(read_hash_index(idx).to_pandas()["content_hash"]) == \
+        sorted({r["content_hash"] for r in run1})
+
+    # run 2: 5 previously-seen contents + 4 new (one duplicated twice
+    # inside the batch -> first-per-hash winner is the min url)
+    run2 = ([row(100 + i, f"doc {i}") for i in range(5)]
+            + [row(200, "new A"), row(201, "new B"), row(202, "new C"),
+               row(203, "new C"), row(199, "new C")])
+    out = (incremental_dedup(_docs(run2), idx, order_col="url")
+           .to_pandas().sort_values("content_hash").reset_index(drop=True))
+    assert len(out) == 3                      # A, B, C — seen ones gone
+    c_hash = run2[-1]["content_hash"]
+    assert out.set_index("content_hash").loc[c_hash, "url"] == "u199"
+
+    # persist run 2's survivors; a rerun of the same update is a no-op
+    survivors = (incremental_dedup(_docs(run2), idx, order_col="url")
+                 .materialize())
+    delta = update_hash_index(survivors, idx, n_shards=8)
+    assert delta is not None and os.path.isdir(delta)
+    # the same batch again -> same content address -> skipped
+    assert update_hash_index(survivors, idx, n_shards=8) is None
+    # and a batch with nothing new (everything now ingested) is a skip
+    assert update_hash_index(
+        incremental_dedup(_docs(run2), idx, order_col="url"),
+        idx, n_shards=8) is None
+
+    # run 3 sees run-2 content as already ingested
+    run3 = [row(300, "new A"), row(301, "brand new D")]
+    out3 = incremental_dedup(_docs(run3), idx, order_col="url").to_pandas()
+    assert list(out3["url"]) == ["u301"]
+
+
+def test_build_is_atomic_and_rerunnable(ray_session, tmp_path):
+    from bb_ocr_ray.functions.hashing import md5_hex
+    from bb_ocr_ray.state.hash_index import build_hash_index, read_hash_index
+
+    rows = [{"content_hash": md5_hex(f"x{i}"), "url": f"u{i}"}
+            for i in range(20)]
+    idx = str(tmp_path / "idx")
+    build_hash_index(_docs(rows), idx, n_shards=4)
+    first = sorted(read_hash_index(idx).to_pandas()["content_hash"])
+    # rebuild over the same data converges to the same index, no
+    # leftover temp dirs
+    build_hash_index(_docs(rows), idx, n_shards=4)
+    assert sorted(read_hash_index(idx).to_pandas()["content_hash"]) == first
+    assert not [d for d in os.listdir(tmp_path) if ".tmp" in d]
+
+
+def test_shard_pruning_reads_only_named_shards(ray_session, tmp_path):
+    from bb_ocr_ray.functions.hashing import md5_hex
+    from bb_ocr_ray.state.hash_index import (build_hash_index,
+                                             read_hash_index, shard_of)
+
+    rows = [{"content_hash": md5_hex(f"k{i}"), "url": f"u{i}"}
+            for i in range(64)]
+    idx = str(tmp_path / "idx")
+    build_hash_index(_docs(rows), idx, n_shards=4)
+    hashes = pd.Series([r["content_hash"] for r in rows])
+    shards = shard_of(hashes, 4)
+    want = int(shards[0])
+    got = read_hash_index(idx, shards=[want]).to_pandas()["content_hash"]
+    expect = sorted(hashes[shards == want])
+    assert sorted(got) == expect
+    # pruning to a shard reads a strict subset
+    assert len(got) < len(rows)
