@@ -1780,3 +1780,22 @@ ORACLES["q_incremental_dedup"] = """
     WHERE idx.h IS NULL
     ORDER BY f.content_md5
 """
+
+
+ORACLES["q_lm_quality"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bgr AS (SELECT doc_id,
+                   unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(generate_series(1, len(tk)-1),
+                                   i -> tk[i] || ' ' || tk[i+1]) END) AS bg,
+                   unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(generate_series(1, len(tk)-1),
+                                   i -> tk[i]) END) AS w1
+            FROM toks),
+    cnt AS (SELECT bg, count(*) AS c FROM bgr GROUP BY 1),
+    ctx AS (SELECT w1, count(*) AS cc FROM bgr GROUP BY 1)
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(sum(ln(cnt.c::DOUBLE / ctx.cc)) / count(*), 6) AS avg_logp
+    FROM bgr b JOIN cnt ON b.bg = cnt.bg JOIN ctx ON b.w1 = ctx.w1
+    GROUP BY 1 ORDER BY 1
+"""

@@ -4402,3 +4402,78 @@ def q_incremental_dedup(sf_dir: str):
 
 
 QUERIES.update({"q_incremental_dedup": q_incremental_dedup})
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+def q_lm_quality(sf_dir: str):
+    """Per-document bigram-LM log-likelihood (the scoring half of a
+    CCNet/Gopher-style perplexity quality filter — Wenzek et al. 2020,
+    public method): train bigram/context counts over the corpus, score
+    each doc by the mean log P(w2|w1) of its bigrams.  Self-trained, so
+    every doc bigram has count >= 1 (no smoothing needed; a real
+    pipeline trains on a reference corpus and smooths — the operator
+    shape is identical).
+
+    Scale shape: per-batch (doc, bigram) COUNT partials bound the
+    shuffle at per-doc vocabulary; the two LM tables are coarse_agg
+    folds (bigram-vocabulary-wide — at 100 TB prune to top-V bigrams
+    by document frequency first, the q_inverted_index pattern); counts
+    attach to the scoring stream via two bucketed hash joins; the
+    per-doc fold is one more coarse_agg.  Nothing row-unbounded on the
+    driver.  avg_logp rounds to 6 dp (sum-order + libm-ulp drift is
+    ~1e-13, far under the grain — the q_regression argument)."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.stages.coarse import coarse_agg
+    from bb_ocr_ray.stages.joins import hash_join
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def bigram_partials(b: pd.DataFrame) -> pd.DataFrame:
+        ids, bgs, w1s, ks = [], [], [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            tk = ws_tokens(t or "")
+            if len(tk) < 2:
+                continue
+            c = Counter(zip(tk[:-1], tk[1:]))
+            for (w1, w2), k in c.items():
+                ids.append(int(d))
+                bgs.append(w1 + " " + w2)
+                w1s.append(w1)
+                ks.append(k)
+        return pd.DataFrame(
+            {"doc_id": pd.array(ids, dtype="int64"),
+             "bg": pd.array(bgs, dtype="object"),
+             "w1": pd.array(w1s, dtype="object"),
+             "k": pd.array(ks, dtype="int64")})
+
+    rows = ds.map_batches(bigram_partials, batch_format="pandas")
+    cnt = coarse_agg(rows, ["bg"], {"c": ("k", "sum")})
+    ctx = coarse_agg(rows, ["w1"], {"cc": ("k", "sum")})
+    j = hash_join(hash_join(rows, cnt, on="bg"), ctx, on="w1")
+
+    def lp(b: pd.DataFrame) -> pd.DataFrame:
+        # explicit float64 coercion: join output columns can arrive
+        # object-dtyped (schema degradation through shuffles) and
+        # np.log on an object array falls back to per-element .log()
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "sum_lp": b["k"].astype("float64").to_numpy()
+             * np.log(b["c"].astype("float64").to_numpy()
+                      / b["cc"].astype("float64").to_numpy()),
+             "n": b["k"].astype("int64")})
+
+    out = coarse_agg(j.map_batches(lp, batch_format="pandas"),
+                     ["doc_id"],
+                     {"sum_lp": ("sum_lp", "sum"), "n_bigrams": ("n", "sum")}
+                     ).to_pandas()
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    out["avg_logp"] = _round_sql(out["sum_lp"] / out["n_bigrams"], 6)
+    return (out[["doc_id", "n_bigrams", "avg_logp"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+QUERIES.update({"q_lm_quality": q_lm_quality})
