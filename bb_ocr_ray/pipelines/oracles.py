@@ -1799,3 +1799,33 @@ ORACLES["q_lm_quality"] = f"""
     FROM bgr b JOIN cnt ON b.bg = cnt.bg JOIN ctx ON b.w1 = ctx.w1
     GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["q_pii_scrub"] = """
+    WITH dirty AS (
+        SELECT doc_id,
+               coalesce(text, '')
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || doc_id || '@mail'
+                            || (doc_id % 9) || '.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' from 10.' || (doc_id % 256) || '.'
+                            || ((doc_id * 3) % 256) || '.'
+                            || (doc_id % 100)
+                       ELSE '' END AS t
+        FROM documents),
+    pass1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+               regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                              '<EMAIL>', 'g') AS t
+        FROM dirty)
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(t,
+               '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ips,
+           md5(regexp_replace(t, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}',
+                              '<IP>', 'g')) AS clean_md5
+    FROM pass1 ORDER BY doc_id
+"""

@@ -4477,3 +4477,56 @@ def q_lm_quality(sf_dir: str):
 
 
 QUERIES.update({"q_lm_quality": q_lm_quality})
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (email / IPv4 redaction — training-data hygiene)
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def q_pii_scrub(sf_dir: str):
+    """Redact emails and IPv4 addresses from document text, counting
+    removals per doc (standard pre-training hygiene).  The synthetic
+    corpus carries no PII, so the query PLANTS it deterministically
+    from doc_id (the q_pagerank/q_crawl_diff synthesis pattern — both
+    engines derive the identical dirty text): docs with
+    ``doc_id % 5 == 0`` gain an email, docs with ``doc_id % 7 == 0``
+    an IPv4, built from doc_id arithmetic.  Patterns are RE2-safe and
+    kept to character classes + bounded repeats so Python ``re`` and
+    DuckDB's RE2 agree exactly.  Output: (doc_id, n_emails, n_ips,
+    clean_md5) — the md5 of the redacted text proves the REWRITE
+    matches byte-for-byte, not just the counts.  One streaming map,
+    no shuffle."""
+    import re
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    email_re = re.compile(_PII_EMAIL)
+    ip_re = re.compile(_PII_IPV4)
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        ids, n_em, n_ip, digests = [], [], [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            d = int(d)
+            t = t or ""
+            if d % 5 == 0:
+                t += f" contact user{d}@mail{d % 9}.example.com"
+            if d % 7 == 0:
+                t += f" from 10.{d % 256}.{(d * 3) % 256}.{d % 100}"
+            t2, k_em = email_re.subn("<EMAIL>", t)
+            t3, k_ip = ip_re.subn("<IP>", t2)
+            ids.append(d)
+            n_em.append(k_em)
+            n_ip.append(k_ip)
+            digests.append(md5_hex(t3))
+        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                             "n_emails": pd.array(n_em, dtype="int64"),
+                             "n_ips": pd.array(n_ip, dtype="int64"),
+                             "clean_md5": pd.array(digests, dtype="object")})
+
+    out = ds.map_batches(scrub, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES.update({"q_pii_scrub": q_pii_scrub})
