@@ -314,6 +314,11 @@ def q5_revenue_by_nation(sf_dir: str):
     )
     orders = _read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey"])
+    # deliberately a HARD hash_join, not the size-gated auto_join:
+    # o_orderkey is the probe side's own key (every lineitem row
+    # matches), so a broadcast buys nothing and the per-batch pandas
+    # merge against a row-cardinality broadcast frame dominates —
+    # measured 2.3 s -> 10.8 s at sf0.1 when routed through the gate
     joined = hash_join(li, orders, on="o_orderkey")
 
     cust = _read_parquet(_t(sf_dir, "customer"),
