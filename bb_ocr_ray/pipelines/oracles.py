@@ -1829,3 +1829,17 @@ ORACLES["q_pii_scrub"] = """
                               '<IP>', 'g')) AS clean_md5
     FROM pass1 ORDER BY doc_id
 """
+
+
+ORACLES["q_mix_balance"] = """
+    WITH keyed AS (SELECT doc_id, coalesce(lang, '<null>') AS lang
+                   FROM documents),
+    cnt AS (SELECT lang, count(*) AS n FROM keyed GROUP BY 1),
+    rates AS (SELECT lang, (10000 * (SELECT min(n) FROM cnt)) // n AS p
+              FROM cnt)
+    SELECT k.doc_id, k.lang
+    FROM keyed k JOIN rates r ON k.lang = r.lang
+    WHERE CAST(md5_number_upper('mix|' || CAST(k.doc_id AS VARCHAR))
+               % 10000 AS BIGINT) < r.p
+    ORDER BY k.doc_id
+"""

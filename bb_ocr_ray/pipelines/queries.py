@@ -4535,3 +4535,57 @@ def q_pii_scrub(sf_dir: str):
 
 
 QUERIES.update({"q_pii_scrub": q_pii_scrub})
+
+
+# ---------------------------------------------------------------------------
+# Data-mixing rebalance (downsample to the minority language)
+# ---------------------------------------------------------------------------
+def q_mix_balance(sf_dir: str):
+    """Language-mix rebalancing (the data-mixing step of a pre-training
+    pipeline): derive per-language keep probabilities that downsample
+    every language to the MINORITY language's expected count, then keep
+    rows by a seeded integer draw.  Unlike q_stratified_sample (fixed
+    externally-given rates), the rates here are DERIVED from the data:
+    p(lang) = floor(10000 * min_count / count(lang)).
+
+    Scale shape: the per-language counts are one coarse fold
+    (|langs|-sized), the rate table broadcasts as a dict, and the keep
+    decision is one streaming map with the q_weighted_sample draw
+    (stable_u64('mix|' || doc_id) % 10000 — integer-exact,
+    reproducible across runs, layouts, and engines).  NULL langs form
+    their own group ('<null>' key both sides)."""
+    from bb_ocr_ray.functions.hashing import stable_u64
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "lang": b["lang"].fillna("<null>").astype(str)})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+    cnt = coarse_agg(keyed, ["lang"], {"n": ("doc_id", "size")}).to_pandas()
+    mn = int(cnt["n"].min())
+    rates = {l: (10000 * mn) // int(n)
+             for l, n in zip(cnt["lang"], cnt["n"])}
+
+    import ray
+
+    rates_ref = ray.put(rates)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rates_ref)
+        if not len(b):
+            return b
+        draw = np.fromiter(
+            (stable_u64(f"mix|{int(x)}") % 10000 for x in b["doc_id"]),
+            dtype=np.int64, count=len(b))
+        p = b["lang"].map(r).astype("int64").to_numpy()
+        return b[draw < p]
+
+    out = keyed.map_batches(keep, batch_format="pandas").to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "lang"]])
+
+
+QUERIES.update({"q_mix_balance": q_mix_balance})
