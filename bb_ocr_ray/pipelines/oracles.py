@@ -1801,34 +1801,50 @@ ORACLES["q_lm_quality"] = f"""
 """
 
 
-ORACLES["q_pii_scrub"] = """
-    WITH dirty AS (
+def _pii_scrub_sql() -> str:
+    """Planted-PII variant of _pii_redact_sql: identical cascade
+    (generated from the same engine pattern constants) over text
+    dirtied by the same doc_id arithmetic as queries._plant_pii."""
+    from bb_ocr_ray.functions.pii import EMAIL_PAT, IPV4_PAT, PHONE_PAT
+
+    return f"""
+    WITH t0 AS (
         SELECT doc_id,
                coalesce(text, '')
                || CASE WHEN doc_id % 5 = 0
                        THEN ' contact user' || doc_id || '@mail'
                             || (doc_id % 9) || '.example.com'
                        ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' call +' || (1 + doc_id % 98) || ' '
+                            || (100 + doc_id % 900) || ' '
+                            || (100 + (doc_id * 7) % 900) || ' '
+                            || (1000 + doc_id % 9000)
+                       ELSE '' END
                || CASE WHEN doc_id % 7 = 0
                        THEN ' from 10.' || (doc_id % 256) || '.'
                             || ((doc_id * 3) % 256) || '.'
                             || (doc_id % 100)
-                       ELSE '' END AS t
+                       ELSE '' END AS tx
         FROM documents),
-    pass1 AS (
-        SELECT doc_id,
-               len(regexp_extract_all(t,
-                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
-               regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
-                              '<EMAIL>', 'g') AS t
-        FROM dirty)
-    SELECT doc_id, n_emails,
-           len(regexp_extract_all(t,
-               '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ips,
-           md5(regexp_replace(t, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}',
-                              '<IP>', 'g')) AS clean_md5
-    FROM pass1 ORDER BY doc_id
-"""
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(tx, '{EMAIL_PAT}')) AS n_emails,
+                  regexp_replace(tx, '{EMAIL_PAT}', '<EMAIL>', 'g') AS tx
+           FROM t0),
+    s2 AS (SELECT doc_id, n_emails,
+                  len(regexp_extract_all(tx, '{PHONE_PAT}')) AS n_phones,
+                  regexp_replace(tx, '{PHONE_PAT}', '<PHONE>', 'g') AS tx
+           FROM s1),
+    s3 AS (SELECT doc_id, n_emails, n_phones,
+                  len(regexp_extract_all(tx, '{IPV4_PAT}')) AS n_ips,
+                  regexp_replace(tx, '{IPV4_PAT}', '<IP>', 'g') AS tx
+           FROM s2)
+    SELECT doc_id, n_emails, n_phones, n_ips, md5(tx) AS clean_md5
+    FROM s3 ORDER BY doc_id
+    """
+
+
+ORACLES["q_pii_scrub"] = _pii_scrub_sql()
 
 
 ORACLES["q_mix_balance"] = """

@@ -4485,48 +4485,51 @@ QUERIES.update({"q_lm_quality": q_lm_quality})
 
 
 # ---------------------------------------------------------------------------
-# PII scrubbing (email / IPv4 redaction — training-data hygiene)
+# PII scrubbing on PLANTED PII (proves the redaction cascade fires)
 # ---------------------------------------------------------------------------
-_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-_PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+def _plant_pii(doc_id: int, text: str) -> str:
+    """Deterministic PII synthesis from doc_id arithmetic (the
+    q_pagerank/q_crawl_diff pattern — both engines derive the same
+    dirty text): emails on %5, international phones on %3, IPv4 on %7.
+    Phone digits are sized to functions/pii.PHONE_PAT exactly."""
+    t = text or ""
+    if doc_id % 5 == 0:
+        t += f" contact user{doc_id}@mail{doc_id % 9}.example.com"
+    if doc_id % 3 == 0:
+        t += (f" call +{1 + doc_id % 98} {100 + doc_id % 900}"
+              f" {100 + (doc_id * 7) % 900} {1000 + doc_id % 9000}")
+    if doc_id % 7 == 0:
+        t += f" from 10.{doc_id % 256}.{(doc_id * 3) % 256}.{doc_id % 100}"
+    return t
 
 
 def q_pii_scrub(sf_dir: str):
-    """Redact emails and IPv4 addresses from document text, counting
-    removals per doc (standard pre-training hygiene).  The synthetic
-    corpus carries no PII, so the query PLANTS it deterministically
-    from doc_id (the q_pagerank/q_crawl_diff synthesis pattern — both
-    engines derive the identical dirty text): docs with
-    ``doc_id % 5 == 0`` gain an email, docs with ``doc_id % 7 == 0``
-    an IPv4, built from doc_id arithmetic.  Patterns are RE2-safe and
-    kept to character classes + bounded repeats so Python ``re`` and
-    DuckDB's RE2 agree exactly.  Output: (doc_id, n_emails, n_ips,
-    clean_md5) — the md5 of the redacted text proves the REWRITE
-    matches byte-for-byte, not just the counts.  One streaming map,
-    no shuffle."""
-    import re
+    """The REAL redaction cascade (functions/pii.redact_text —
+    email -> phone -> IPv4, sequential, RE2-parity patterns) exercised
+    on text with PLANTED PII.  q_pii_redact runs the same cascade on
+    the raw corpus, which carries no PII — its value-hash gate proves
+    only that clean text passes through unchanged.  This query plants
+    deterministic emails/phones/IPs from doc_id arithmetic so the
+    oracle verifies the cascade actually FIRES: per-category counts
+    plus the md5 of the redacted text (byte-exact rewrite, not just
+    counts).  One streaming map, no shuffle."""
+    from bb_ocr_ray.functions.pii import redact_text
 
     ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    email_re = re.compile(_PII_EMAIL)
-    ip_re = re.compile(_PII_IPV4)
 
     def scrub(b: pd.DataFrame) -> pd.DataFrame:
-        ids, n_em, n_ip, digests = [], [], [], []
+        ids, n_em, n_ph, n_ip, digests = [], [], [], [], []
         for d, t in zip(b["doc_id"], b["text"]):
             d = int(d)
-            t = t or ""
-            if d % 5 == 0:
-                t += f" contact user{d}@mail{d % 9}.example.com"
-            if d % 7 == 0:
-                t += f" from 10.{d % 256}.{(d * 3) % 256}.{d % 100}"
-            t2, k_em = email_re.subn("<EMAIL>", t)
-            t3, k_ip = ip_re.subn("<IP>", t2)
+            clean, ke, kp, ki = redact_text(_plant_pii(d, t))
             ids.append(d)
-            n_em.append(k_em)
-            n_ip.append(k_ip)
-            digests.append(md5_hex(t3))
+            n_em.append(ke)
+            n_ph.append(kp)
+            n_ip.append(ki)
+            digests.append(md5_hex(clean))
         return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
                              "n_emails": pd.array(n_em, dtype="int64"),
+                             "n_phones": pd.array(n_ph, dtype="int64"),
                              "n_ips": pd.array(n_ip, dtype="int64"),
                              "clean_md5": pd.array(digests, dtype="object")})
 
