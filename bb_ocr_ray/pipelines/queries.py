@@ -4421,11 +4421,16 @@ def q_lm_quality(sf_dir: str):
     pipeline trains on a reference corpus and smooths — the operator
     shape is identical).
 
+    Complementary to q_lm_score (unigram LM broadcast via ray.put —
+    right when the model fits one worker's heap): here the model is
+    bigram-sized, so counts attach to the scoring stream via
+    DISTRIBUTED bucketed hash joins instead of a broadcast — the
+    join-attached posture survives models that outgrow any heap.
+
     Scale shape: per-batch (doc, bigram) COUNT partials bound the
     shuffle at per-doc vocabulary; the two LM tables are coarse_agg
     folds (bigram-vocabulary-wide — at 100 TB prune to top-V bigrams
-    by document frequency first, the q_inverted_index pattern); counts
-    attach to the scoring stream via two bucketed hash joins; the
+    by document frequency first, the q_inverted_index pattern); the
     per-doc fold is one more coarse_agg.  Nothing row-unbounded on the
     driver.  avg_logp rounds to 6 dp (sum-order + libm-ulp drift is
     ~1e-13, far under the grain — the q_regression argument)."""
