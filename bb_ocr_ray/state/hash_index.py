@@ -38,10 +38,15 @@ import pandas as pd
 
 
 def shard_of(keys: pd.Series, n_shards: int) -> np.ndarray:
-    """Deterministic shard per key — from the KEY TEXT (hex prefix),
-    not a process-dependent hash, so every run and engine agrees."""
+    """Deterministic shard per key — md5 of the KEY TEXT, never a
+    process-dependent hash, so every run agrees.  md5 (not a hex
+    prefix of the key itself) because index keys need not be hex:
+    URL-keyed or token-keyed indexes share long prefixes, which a
+    prefix rule would collapse into one hot shard."""
+    md5 = hashlib.md5
     return np.fromiter(
-        (int(k[:8], 16) % n_shards for k in keys),
+        (int.from_bytes(md5(k.encode("utf-8")).digest()[:4], "little")
+         % n_shards for k in keys),
         dtype=np.int64, count=len(keys))
 
 
