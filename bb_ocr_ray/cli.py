@@ -106,6 +106,70 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_lifecycle(args) -> int:
+    """Resumable multi-sink lifecycle (accept/reject chain)."""
+    from bb_ocr_ray.state.manifest import run_resumable_lifecycle
+
+    cfg = None
+    if args.payload_budget_mb:
+        from bb_ocr_ray.config import PipelineConfig
+
+        cfg = PipelineConfig(payload_block_budget_mb=args.payload_budget_mb)
+    n_run, n_skipped = run_resumable_lifecycle(
+        args.sf_dir, args.out, n_partitions=args.partitions,
+        llm_backend=args.llm_backend, pipeline_cfg=cfg,
+    )
+    print(json.dumps({"cmd": "lifecycle", "out": args.out,
+                      "partitions_run": n_run,
+                      "partitions_skipped": n_skipped}))
+    return 0
+
+
+def cmd_dedup_index(args) -> int:
+    """Persisted cross-run seen-set: build the index, or apply it to a
+    new batch (keep never-seen-before rows) and optionally append the
+    survivors' keys as a delta."""
+    import os
+
+    import ray.data as rd
+
+    from bb_ocr_ray.state.hash_index import (build_hash_index,
+                                             incremental_dedup,
+                                             update_hash_index)
+
+    # enumerate *.parquet explicitly: a resumable run root also holds
+    # manifest/*.json lineage records, which a bare dir read trips on
+    inp = args.inp
+    if os.path.isdir(inp):
+        inp = sorted(
+            os.path.join(root, n)
+            for root, _dirs, names in os.walk(inp)
+            for n in names if n.endswith(".parquet"))
+        if not inp:
+            print(f"no parquet files under {args.inp}", file=sys.stderr)
+            return 2
+    ds = rd.read_parquet(inp)
+    if args.action == "build":
+        build_hash_index(ds, args.index, key=args.key,
+                         n_shards=args.shards)
+        print(json.dumps({"cmd": "dedup-index", "action": "build",
+                          "index": args.index}))
+        return 0
+    survivors = incremental_dedup(ds, args.index, key=args.key,
+                                  order_col=args.order_col).materialize()
+    n = survivors.count()
+    if args.out:
+        survivors.write_parquet(args.out)
+    delta = None
+    if args.update:
+        delta = update_hash_index(survivors, args.index, key=args.key,
+                                  n_shards=args.shards)
+    print(json.dumps({"cmd": "dedup-index", "action": "apply",
+                      "survivors": int(n), "out": args.out,
+                      "delta": delta}))
+    return 0
+
+
 def cmd_bench_entry(args) -> int:
     """Smoke the driver contract the way the driver does."""
     sys.path.insert(0, args.repo)
@@ -143,6 +207,31 @@ def main(argv=None) -> int:
                     help="parquet output dir (omit to print)")
     pq.add_argument("--limit", type=int, default=20)
     pq.set_defaults(fn=cmd_query)
+
+    pl = sub.add_parser("lifecycle",
+                        help="resumable accept/reject lifecycle run")
+    pl.add_argument("--sf-dir", required=True)
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--partitions", type=int, default=8)
+    pl.add_argument("--llm-backend", default=None,
+                    help="optional enrichment backend (e.g. 'fake')")
+    pl.add_argument("--payload-budget-mb", type=int, default=None)
+    pl.set_defaults(fn=cmd_lifecycle)
+
+    pdx = sub.add_parser("dedup-index",
+                         help="persisted cross-run seen-set (build/apply)")
+    pdx.add_argument("action", choices=["build", "apply"])
+    pdx.add_argument("--in", dest="inp", required=True,
+                     help="input parquet file/dir")
+    pdx.add_argument("--index", required=True, help="index directory")
+    pdx.add_argument("--key", default="content_hash")
+    pdx.add_argument("--order-col", default="url")
+    pdx.add_argument("--shards", type=int, default=64)
+    pdx.add_argument("--out", default=None,
+                     help="survivors parquet dir (apply only)")
+    pdx.add_argument("--update", action="store_true",
+                     help="append survivors' keys as an index delta")
+    pdx.set_defaults(fn=cmd_dedup_index)
 
     pb = sub.add_parser("entry-smoke", help="run the driver entry() contract")
     pb.add_argument("--repo", default="/root/repo")

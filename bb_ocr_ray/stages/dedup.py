@@ -38,6 +38,17 @@ def _local_first(batch: pd.DataFrame, key: str, order_col: str) -> pd.DataFrame:
     )
 
 
+def _first_positions(keys: pd.Series, orders: pd.Series) -> np.ndarray:
+    """Row positions of each key's min-``order`` winner, in original
+    row order — the positional core both dedup_exact paths share."""
+    mini = pd.DataFrame({"k": keys.reset_index(drop=True),
+                         "o": orders.reset_index(drop=True)})
+    keep = (mini.sort_values(["k", "o"], kind="mergesort")
+            .drop_duplicates(subset=["k"], keep="first").index.to_numpy())
+    keep.sort()
+    return keep
+
+
 def dedup_exact(ds, key: str = "content_hash", order_col: str = "url",
                 coarse_buckets: int | None = None):
     """Keep exactly one row per key: the minimum ``order_col`` row
@@ -45,9 +56,17 @@ def dedup_exact(ds, key: str = "content_hash", order_col: str = "url",
     then ONE coarse shuffle — the key is hashed into a bounded bucket
     count (content hashes are row-cardinality; grouping on them
     directly pays Ray's per-group tax on every surviving row) and the
-    per-key winner pick is a vectorized in-task
-    ``sort_values + drop_duplicates``.  Requires ``key`` column
-    present (see add_content_hash).
+    per-key winner pick is a vectorized in-task positional select.
+    Requires ``key`` column present (see add_content_hash).
+
+    Native-block dual path (the coarse_agg stamp pattern): ARROW
+    blocks stay arrow — only the (key, order) pair converts to pandas
+    for the winner pick and the survivors are a zero-copy
+    ``Table.take`` — so wide payloads never copy through pandas and
+    NESTED columns (list<...>, which Ray's pandas block rebuild
+    rejects outright) survive dedup.  Both paths hash the key with
+    the same function, so a mixed block stream cannot split a key
+    across buckets.
 
     Determinism contract: (key, order_col) must identify rows uniquely
     — if two rows tie on BOTH, the survivor's remaining columns depend
@@ -58,21 +77,34 @@ def dedup_exact(ds, key: str = "content_hash", order_col: str = "url",
     if coarse_buckets is None:
         coarse_buckets = _auto_num_buckets()
 
-    def pre(b: pd.DataFrame) -> pd.DataFrame:
-        b = _local_first(b, key, order_col)
-        b = b.assign(_kb=(pd.util.hash_array(
-            b[key].to_numpy(), categorize=False)
-            % coarse_buckets).astype("int64"))
-        return b
+    def _kb_of(keys: pd.Series) -> np.ndarray:
+        return (pd.util.hash_array(keys.to_numpy(), categorize=False)
+                % coarse_buckets).astype("int64")
 
-    def winners(g: pd.DataFrame) -> pd.DataFrame:
-        return _local_first(g, key, order_col).drop(columns=["_kb"])
+    def pre(b):
+        if isinstance(b, pd.DataFrame):
+            b = _local_first(b, key, order_col)
+            return b.assign(_kb=_kb_of(b[key]))
+        keep = _first_positions(b.column(key).to_pandas(),
+                                b.column(order_col).to_pandas())
+        t = b.take(keep)
+        return t.append_column(
+            "_kb", pa.array(_kb_of(t.column(key).to_pandas()),
+                            pa.int64()))
+
+    def winners(g):
+        if isinstance(g, pd.DataFrame):
+            return _local_first(g, key, order_col).drop(columns=["_kb"])
+        keep = _first_positions(g.column(key).to_pandas(),
+                                g.column(order_col).to_pandas())
+        t = g.take(keep)
+        return t.drop(["_kb"])
 
     # no forced batch_size: dedup_exact often follows expensive maps
     # (quality filters), and a large batch_size on a FUSED map chain
     # serializes the upstream (see stages/coarse.py docstring)
-    return (ds.map_batches(pre, batch_format="pandas")
-            .groupby("_kb").map_groups(winners, batch_format="pandas"))
+    return (ds.map_batches(pre, batch_format=None)
+            .groupby("_kb").map_groups(winners, batch_format=None))
 
 
 # ---------------------------------------------------------------------------

@@ -555,7 +555,30 @@ def _membership_hash(big_ds, keys_ds, on: str, num_buckets: int | None,
     tag_batch = _auto_tag_batch(big_ds, keys_ds)
     big_schema, big_clean = _arrow_schema(big_ds)
     keys_schema, keys_clean = _arrow_schema(keys_ds)
-    if big_clean and keys_clean and on in keys_schema.names:
+
+    def _key_joinable(ds, schema) -> bool:
+        # membership only ever computes on the KEY column: nested /
+        # null-typed PAYLOAD columns ride the arrow path untouched
+        # (pa.nulls pads, concat_tables merges, is_in never sees them)
+        # — and they MUST take it, because Ray's pandas block rebuild
+        # rejects list columns outright (tensor-extension TypeError in
+        # the shuffle reduce).  Require true arrow blocks (a synthetic
+        # schema from pandas dtypes says nothing about object columns).
+        try:
+            if not isinstance(ds.schema().base_schema, pa.Schema):
+                return False
+        except Exception:  # noqa: BLE001 — unknown schema provenance
+            return False
+        if on not in schema.names:
+            return False
+        f = schema.field(on)
+        return not (pa.types.is_nested(f.type) or pa.types.is_null(f.type))
+
+    arrow_ok = on in keys_schema.names and (
+        (big_clean and keys_clean)
+        or (_key_joinable(big_ds, big_schema)
+            and _key_joinable(keys_ds, keys_schema)))
+    if arrow_ok:
         try:
             return _membership_hash_arrow(
                 big_ds, keys_ds, on, num_buckets, keep_members,

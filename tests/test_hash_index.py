@@ -59,6 +59,44 @@ def test_build_update_dedup_roundtrip(ray_session, tmp_path):
     assert list(out3["url"]) == ["u301"]
 
 
+def test_incremental_dedup_carries_nested_columns(ray_session, tmp_path):
+    """Rows with list<> payload columns (the lifecycle sink's
+    categories/authors shapes) must survive first-per-key dedup AND
+    the distributed anti-join intact: Ray's pandas block rebuild
+    rejects nested columns, so both operators must keep such payloads
+    on arrow blocks end-to-end."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bb_ocr_ray.functions.hashing import md5_hex
+    from bb_ocr_ray.state.hash_index import (build_hash_index,
+                                             incremental_dedup)
+
+    def tbl(rows):
+        return pa.table({
+            "content_hash": pa.array([md5_hex(r[0]) for r in rows]),
+            "url": pa.array([r[1] for r in rows]),
+            "tags": pa.array([r[2] for r in rows],
+                             pa.list_(pa.string())),
+        })
+
+    prior = rd.from_arrow(tbl([("a", "u1", ["x"]), ("b", "u2", [])]))
+    idx = str(tmp_path / "idx")
+    build_hash_index(prior, idx, n_shards=4)
+
+    new = rd.from_arrow(tbl([
+        ("a", "u3", ["seen"]),              # already indexed: dropped
+        ("c", "u5", ["k", "l"]),            # dup pair: u4 wins
+        ("c", "u4", ["keep", "me"]),
+        ("d", "u6", []),
+    ])).repartition(2)
+    out = (incremental_dedup(new, idx, order_col="url")
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert list(out["url"]) == ["u4", "u6"]
+    assert list(out.loc[0, "tags"]) == ["keep", "me"]
+    assert list(out.loc[1, "tags"]) == []
+
+
 def test_build_is_atomic_and_rerunnable(ray_session, tmp_path):
     from bb_ocr_ray.functions.hashing import md5_hex
     from bb_ocr_ray.state.hash_index import build_hash_index, read_hash_index
