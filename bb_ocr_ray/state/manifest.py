@@ -203,9 +203,23 @@ def _pages_for_plan(plan, cfg):
     return pages
 
 
-def _run_partitions(plans, manifest, done, sf_dir, cfg):
+def _read_back(part_tmp_dir: str, columns: list):
+    """Read a just-written partition for the lineage digest; an EMPTY
+    partition (hash-bucket fallback with more buckets than rows) has
+    zero parquet files, which pq.read_table rejects — return a typed
+    empty table instead so the manifest records 0 rows."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    files = [os.path.join(root, n)
+             for root, _d, names in os.walk(part_tmp_dir)
+             for n in names if n.endswith(".parquet")]
+    if not files:
+        return pa.table({c: pa.array([], pa.string()) for c in columns})
+    return pq.read_table(part_tmp_dir, columns=columns)
+
+
+def _run_partitions(plans, manifest, done, sf_dir, cfg):
     from bb_ocr_ray.pipelines.extract_pipeline import extract_pages
 
     out_root = manifest.root
@@ -223,7 +237,8 @@ def _run_partitions(plans, manifest, done, sf_dir, cfg):
         tmp_dir = f"{part_dir}.tmp.{os.getpid()}"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         extracted.write_parquet(tmp_dir)
-        out_tbl = pq.read_table(tmp_dir, columns=["url", "text"])
+        os.makedirs(tmp_dir, exist_ok=True)  # empty partition: 0 files
+        out_tbl = _read_back(tmp_dir, ["url", "text"])
         digest = output_digest(
             out_tbl.column("url").to_pylist(),
             [len(t) for t in out_tbl.column("text").to_pylist()],
@@ -261,7 +276,6 @@ def run_resumable_lifecycle(sf_dir: str, out_root: str,
     Returns (n_run, n_skipped)."""
     import contextlib
 
-    import pyarrow.parquet as pq
 
     from bb_ocr_ray.config import DEFAULT_PIPELINE
     from bb_ocr_ray.pipelines.lifecycle import lifecycle_decided
@@ -293,9 +307,10 @@ def run_resumable_lifecycle(sf_dir: str, out_root: str,
             tmp_dir = f"{part_dir}.tmp.{os.getpid()}"
             shutil.rmtree(tmp_dir, ignore_errors=True)
             decided.write_parquet(tmp_dir, partition_cols=["decision"])
-            out_tbl = pq.read_table(tmp_dir,
-                                    columns=["url", "text", "decision"])
-            decisions = out_tbl.column("decision").to_pylist()
+            os.makedirs(tmp_dir, exist_ok=True)  # empty partition
+            out_tbl = _read_back(tmp_dir, ["url", "text", "decision"])
+            decisions = [str(d) for d in
+                         out_tbl.column("decision").to_pylist()]
             digest = output_digest(
                 [f"{u}\x1f{d}" for u, d in
                  zip(out_tbl.column("url").to_pylist(), decisions)],
