@@ -9,9 +9,10 @@ must drop documents whose content hash was already ingested by ANY
 prior run.  This module is that artifact for the Ray engine:
 
 * the index is parquet, hash-partitioned into ``shard=K/`` directories
-  (shard = first 8 hex chars of the key mod n_shards — derived from
-  the key itself, so any run computes the same shard with no
-  coordination);
+  (shard = md5 of the key text mod n_shards — derived from the key
+  itself, so any run computes the same shard with no coordination;
+  ``index_meta.json`` pins key + n_shards and drift is refused, since
+  a delta written at a different shard count breaks shard pruning);
 * ``build_hash_index`` publishes atomically (write to a temp dir, one
   ``os.replace``) — a killed build leaves no index, never half of one;
 * ``update_hash_index`` appends a DELTA directory named by a digest of
@@ -71,9 +72,34 @@ def build_hash_index(ds, index_dir: str, key: str = "content_hash",
     tmp = f"{index_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     distinct.write_parquet(tmp, partition_cols=["shard"])
+    os.makedirs(tmp, exist_ok=True)              # empty input: 0 files
+    with open(os.path.join(tmp, "index_meta.json"), "w") as f:
+        import json
+
+        json.dump({"key": key, "n_shards": n_shards}, f)
     shutil.rmtree(index_dir, ignore_errors=True)
     os.replace(tmp, index_dir)
     return index_dir
+
+
+def _check_meta(index_dir: str, key: str, n_shards: int | None) -> None:
+    """Refuse key / shard-count drift: a delta written with a different
+    n_shards lands keys in the WRONG shard dirs, which silently breaks
+    ``shards=`` pruning (a pruned read would miss those keys)."""
+    import json
+
+    path = os.path.join(index_dir, "index_meta.json")
+    if not os.path.exists(path):
+        return                                   # pre-meta index: legacy
+    with open(path) as f:
+        meta = json.load(f)
+    if meta["key"] != key or (n_shards is not None
+                              and meta["n_shards"] != n_shards):
+        raise RuntimeError(
+            f"hash index at {index_dir} was built with key="
+            f"{meta['key']!r}, n_shards={meta['n_shards']}; got key="
+            f"{key!r}, n_shards={n_shards} — shard-count drift breaks "
+            "shard pruning; use the index's own parameters")
 
 
 def update_hash_index(ds, index_dir: str, key: str = "content_hash",
@@ -86,6 +112,7 @@ def update_hash_index(ds, index_dir: str, key: str = "content_hash",
     The key set must be small enough to digest on the driver relative
     to the batch (it is distinct-key-sized, the same order as the
     index write itself); the parquet write is still distributed."""
+    _check_meta(index_dir, key, n_shards)
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({key: b[key].drop_duplicates()
@@ -143,6 +170,8 @@ def read_hash_index(index_dir: str, key: str = "content_hash",
     shards (the listing itself costs one walk either way)."""
     import ray.data as rd
 
+    _check_meta(index_dir, key, None)
+
     want = None if shards is None else {f"shard={s}" for s in shards}
     files = []
     for root, _dirs, names in os.walk(index_dir):
@@ -151,6 +180,11 @@ def read_hash_index(index_dir: str, key: str = "content_hash",
             continue
         files.extend(os.path.join(root, n) for n in sorted(names)
                      if n.endswith(".parquet"))
+    if not files:
+        import pandas as _pd
+
+        return rd.from_pandas(_pd.DataFrame(
+            {key: _pd.array([], dtype="object")}))
     return rd.read_parquet(sorted(files), columns=[key])
 
 

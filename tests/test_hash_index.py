@@ -113,6 +113,27 @@ def test_build_is_atomic_and_rerunnable(ray_session, tmp_path):
     assert not [d for d in os.listdir(tmp_path) if ".tmp" in d]
 
 
+def test_meta_refuses_shard_count_drift(ray_session, tmp_path):
+    """An update or read with mismatched key / n_shards must refuse
+    loudly: a delta at a different shard count lands keys in the wrong
+    shard dirs and silently breaks pruned reads."""
+    from bb_ocr_ray.functions.hashing import md5_hex
+    from bb_ocr_ray.state.hash_index import (build_hash_index,
+                                             read_hash_index,
+                                             update_hash_index)
+
+    rows = [{"content_hash": md5_hex(f"m{i}"), "url": f"u{i}"}
+            for i in range(8)]
+    idx = str(tmp_path / "idx")
+    build_hash_index(_docs(rows), idx, n_shards=8)
+    with pytest.raises(RuntimeError, match="drift"):
+        update_hash_index(_docs(rows), idx, n_shards=16)
+    with pytest.raises(RuntimeError, match="drift"):
+        read_hash_index(idx, key="url")
+    # matching parameters still work
+    assert read_hash_index(idx).count() == 8
+
+
 def test_shard_pruning_reads_only_named_shards(ray_session, tmp_path):
     from bb_ocr_ray.functions.hashing import md5_hex
     from bb_ocr_ray.state.hash_index import (build_hash_index,
