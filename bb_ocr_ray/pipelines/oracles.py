@@ -1859,3 +1859,20 @@ ORACLES["q_mix_balance"] = """
                % 10000 AS BIGINT) < r.p
     ORDER BY k.doc_id
 """
+
+
+ORACLES["q_skew_join"] = """
+    WITH e AS (SELECT event_type,
+                      CAST(round(value * 1000000) AS BIGINT) AS v_u
+               FROM events),
+    d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                 SUM(v_u) AS sum_u
+          FROM e GROUP BY 1)
+    SELECT e.event_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN e.v_u * d.n_events > d.sum_u
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM e JOIN d USING (event_type)
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -4597,3 +4597,57 @@ def q_mix_balance(sf_dir: str):
 
 
 QUERIES.update({"q_mix_balance": q_mix_balance})
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join (hot-key mitigation; SURVEY §2.4 join family)
+# ---------------------------------------------------------------------------
+def q_skew_join(sf_dir: str):
+    """Hot-key join through :func:`stages.joins.skew_join`: events
+    (probe, every event_type is hot — 5 keys over the whole table, the
+    worst case a hash-partitioned join can meet) joined to a derived
+    per-type dim (built distributed and deliberately NOT broadcast:
+    at web scale the build side is a domain/url dim that fits no
+    heap).  Each hot key is salted across 8 buckets, so no single
+    bucket owns 20% of the table.  Output per type: how many events
+    exceed the type mean — the comparison is integer-exact
+    (v_u * n > sum_u with v_u = round(value*1e6) as int64) so no
+    float-mean boundary can drift between engines.  The join result
+    is salt-invariant; the oracle is the plain join."""
+    from bb_ocr_ray.stages.joins import skew_join
+
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "value"])
+
+    def units(b: pd.DataFrame) -> pd.DataFrame:
+        # v_u stays float64 carrying NaN for NULL values: SQL keeps the
+        # row in count(*) but drops it from SUM(v_u) and evaluates the
+        # above-mean predicate to NULL (-> not counted) — pandas skipna
+        # sum + a NaN comparison (False) mirror all three exactly.  The
+        # non-NaN values are integral floats; exact to 2^53 (~sf1e4).
+        return pd.DataFrame({
+            "event_type": b["event_type"].astype(object),
+            "v_u": _round_sql(b["value"] * 1e6, 0).astype("float64")})
+
+    evu = ev.map_batches(units, batch_format="pandas")
+    dim = coarse_agg(evu, ["event_type"],
+                     {"n_events": ("v_u", "size"), "sum_u": ("v_u", "sum")})
+    j = skew_join(evu, dim, on="event_type", salt=8, hot_threshold=100)
+
+    def above(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(above=(b["v_u"] * b["n_events"]
+                            > b["sum_u"]).astype("int64"))
+        return b.groupby("event_type", as_index=False).agg(
+            n_events=("above", "size"), n_above=("above", "sum"))
+
+    out = coarse_agg(
+        j.map_batches(above, batch_format="pandas"),
+        ["event_type"],
+        {"n_events": ("n_events", "sum"), "n_above": ("n_above", "sum")},
+    ).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_above"] = out["n_above"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES.update({"q_skew_join": q_skew_join})

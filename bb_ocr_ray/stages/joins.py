@@ -953,3 +953,111 @@ def band_join(left_ds, right_ds, time_col: str, band_us: int,
         return j.drop(columns=["__win"])
 
     return both.groupby("__coarse").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join (hot-key mitigation for hash-partitioned joins)
+# ---------------------------------------------------------------------------
+def skew_join(left_ds, right_ds, on, how: str = "inner", salt: int = 16,
+              hot_threshold: int = 100_000, num_buckets: int | None = None,
+              _on_hot=None):
+    """Equality join that survives hot keys on the (large) probe side.
+
+    A plain hash-partitioned join routes EVERY row of a key to one
+    bucket — at web scale one 'twitter.com'-sized key can be a double-
+    digit percentage of the corpus, and that single bucket's task
+    becomes the job's wall clock while every other core idles.  The
+    classic fix (e.g. Beame et al., "Skew in Parallel Query
+    Processing", PODS 2014 — public method) splits hot keys across
+    ``salt`` buckets:
+
+      1. Hot keys are detected with a distributed count (one
+         ``coarse_agg`` over the probe side's key) filtered to
+         ``count >= hot_threshold``.  The FILTERED set is bounded by
+         ``n_rows / hot_threshold`` keys, so collecting and
+         broadcasting it is driver-safe by construction — the
+         unfiltered per-key counts never leave the tasks.
+      2. Hot probe rows get ``_salt`` in [0, salt) (round-robin per
+         batch; the join RESULT is salt-invariant, so the assignment
+         needs no cross-run determinism).  Cold rows ride salt 0.
+      3. Build rows whose key is hot are REPLICATED once per salt;
+         cold build rows ride salt 0.  Replication cost is
+         |hot build rows| * salt — hot keys are few by construction.
+      4. One ordinary :func:`hash_join` on ``keys + [_salt]``; the
+         salt column is dropped on the way out.
+
+    ``how``: inner and left are exact (every PROBE row carries exactly
+    one salt, so it is emitted or null-extended exactly once).  A full
+    outer join would emit an unmatched hot BUILD row once per replica
+    and is refused.
+
+    The detection pass re-executes the probe side's lineage once (it
+    is lazy); feed a source-backed or cheap-to-recompute Dataset, or
+    materialize first if the upstream is expensive.
+
+    Build-side-only hot keys are NOT salted: they concentrate build
+    rows, not probe rows, and the in-bucket merge already chunks the
+    probe side so a large build bucket bounds memory, not wall clock.
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner/left, not {how!r}")
+    if salt < 2:
+        raise ValueError("salt must be >= 2 (1 would be a plain hash_join)")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    from bb_ocr_ray.stages.coarse import coarse_agg
+
+    cnts = coarse_agg(left_ds, keys, {"_cnt": (keys[0], "size")})
+    hot_pd = cnts.map_batches(
+        lambda b: b[b["_cnt"] >= hot_threshold][keys],
+        batch_format="pandas").to_pandas()
+    if _on_hot is not None:
+        _on_hot(len(hot_pd))
+    if hot_pd.empty:
+        return hash_join(left_ds, right_ds, on=keys, how=how,
+                         num_buckets=num_buckets)
+
+    if len(keys) == 1:
+        hot_set = frozenset(hot_pd[keys[0]].tolist())
+
+        def _is_hot(b: pd.DataFrame, hs) -> "np.ndarray":
+            return b[keys[0]].isin(hs).to_numpy()
+    else:
+        hot_set = frozenset(map(tuple, hot_pd[keys].itertuples(index=False)))
+
+        def _is_hot(b: pd.DataFrame, hs) -> "np.ndarray":
+            return pd.Series(list(zip(*[b[k] for k in keys])),
+                             index=b.index).isin(hs).to_numpy()
+
+    import numpy as np
+
+    hot_ref = ray.put(hot_set)
+
+    def salt_probe(b: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hot_ref)
+        b = b.copy()
+        ishot = _is_hot(b, hs)
+        s = np.zeros(len(b), dtype="int64")
+        s[ishot] = np.arange(int(ishot.sum()), dtype="int64") % salt
+        b["_salt"] = s
+        return b
+
+    def explode_build(b: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hot_ref)
+        ishot = _is_hot(b, hs)
+        cold = b[~ishot].copy()
+        cold["_salt"] = np.zeros(len(cold), dtype="int64")
+        hot = b[ishot]
+        if hot.empty:
+            return cold
+        rep = hot.loc[hot.index.repeat(salt)].copy()
+        rep["_salt"] = np.tile(np.arange(salt, dtype="int64"), len(hot))
+        return pd.concat([cold, rep], ignore_index=True)
+
+    joined = hash_join(
+        left_ds.map_batches(salt_probe, batch_format="pandas"),
+        right_ds.map_batches(explode_build, batch_format="pandas"),
+        on=keys + ["_salt"], how=how, num_buckets=num_buckets)
+    return joined.drop_columns(["_salt"])

@@ -642,3 +642,71 @@ def test_grouped_per_key_matches_map_groups_semantics(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"v": "int64", "n": "int64"}),
         exp.astype({"v": "int64", "n": "int64"}))
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    """Planted hot key: skew_join's salted result equals a plain pandas
+    merge row-for-row (inner and left), and the hot key really is
+    detected (otherwise this test exercises nothing)."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import skew_join
+
+    rng = np.random.RandomState(7)
+    # 20k probe rows, 90% on ONE hot key, the rest across 50 cold keys
+    k = np.where(rng.rand(20_000) < 0.9, 777,
+                 rng.randint(0, 50, 20_000)).astype("int64")
+    left = pd.DataFrame({"k": k, "v": np.arange(20_000, dtype="int64")})
+    # build side: every key incl. some unmatched; one row per key
+    right = pd.DataFrame({"k": np.arange(-5, 800, dtype="int64")})
+    right["w"] = right["k"] * 10
+
+    hot_seen = []
+    for how in ("inner", "left"):
+        got = (skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on="k", how=how, salt=8, hot_threshold=1000,
+                         _on_hot=hot_seen.append)
+               .to_pandas()
+               .sort_values(["k", "v"]).reset_index(drop=True))
+        want = (left.merge(right, on="k", how=how)
+                .sort_values(["k", "v"]).reset_index(drop=True))
+        assert "_salt" not in got.columns
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_dtype=False)
+    assert hot_seen == [1, 1]          # exactly the planted hot key
+
+
+def test_skew_join_no_hot_keys_falls_back(ray_session):
+    """Below the hot threshold the operator is a plain hash_join
+    (detected hot set empty, no salting stages added)."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import skew_join
+
+    left = pd.DataFrame({"k": np.arange(100, dtype="int64") % 10,
+                         "v": np.arange(100, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(10, dtype="int64"),
+                          "w": np.arange(10, dtype="int64") * 2})
+    hot_seen = []
+    got = (skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="k", hot_threshold=1000, _on_hot=hot_seen.append)
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    want = (left.merge(right, on="k")
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
+    assert hot_seen == [0]
+
+
+def test_skew_join_refuses_full_outer(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import skew_join
+
+    df = pd.DataFrame({"k": [1], "v": [1]})
+    with pytest.raises(ValueError):
+        skew_join(rd.from_pandas(df), rd.from_pandas(df), on="k",
+                  how="full")
