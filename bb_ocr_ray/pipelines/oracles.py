@@ -1876,3 +1876,17 @@ ORACLES["q_skew_join"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+
+ORACLES["q_connected_components"] = """
+    WITH n AS (SELECT doc_id AS d FROM documents),
+    e AS (SELECT a.d AS u FROM n a JOIN n b ON b.d = a.d + 1
+          WHERE ((a.d * a.d + 3 * a.d) % 11) >= 3),
+    s AS (SELECT d, CASE WHEN (d - 1) IN (SELECT u FROM e)
+                         THEN NULL ELSE d END AS st
+          FROM n)
+    SELECT d AS doc_id,
+           max(st) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS component
+    FROM s
+    ORDER BY d
+"""

@@ -4651,3 +4651,49 @@ def q_skew_join(sf_dir: str):
 
 
 QUERIES.update({"q_skew_join": q_skew_join})
+
+
+# ---------------------------------------------------------------------------
+# Standalone connected components over a link graph (SURVEY §2.7 family)
+# ---------------------------------------------------------------------------
+def q_connected_components(sf_dir: str):
+    """Distributed connected components (alternating large-star /
+    small-star, Kiveris et al. 2014 — ``stages.dedup
+    .connected_components_ds``) over a deterministic chain graph:
+    doc d links to d+1 iff (d² + 3d) mod 11 ≥ 3 AND d+1 is a real doc
+    (existence enforced by a distributed semi-join, so id gaps break
+    chains on both engines).  Expected run length ~3.7 with an
+    irregular tail, so convergence takes several star rounds — real
+    multi-hop propagation, not one-hop lookups.  Components here are
+    intervals by construction, which is what makes a WINDOW-function
+    oracle possible (min-label over an arbitrary graph needs recursive
+    SQL); the operator itself is exercised on arbitrary graphs by the
+    near-dup differential tests.  Docs with no surviving edge are
+    their own component (left join + fill)."""
+    from bb_ocr_ray.stages.dedup import connected_components_ds
+    from bb_ocr_ray.stages.joins import auto_semi, hash_join
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        d = d[((d * d + 3 * d) % 11) >= 3]
+        return pd.DataFrame({"id_a": d, "id_b": d + 1})
+
+    cand = docs.map_batches(edges, batch_format="pandas")
+    real = auto_semi(
+        cand.map_batches(lambda b: b.rename(columns={"id_b": "doc_id"}),
+                         batch_format="pandas"),
+        docs, on="doc_id",
+    ).map_batches(lambda b: b.rename(columns={"doc_id": "id_b"}),
+                  batch_format="pandas")
+
+    cc = connected_components_ds(real)
+    out = hash_join(docs, cc, on="doc_id", how="left").to_pandas()
+    comp = out["component"].fillna(out["doc_id"]).astype("int64")
+    return (pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                          "component": comp})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+QUERIES.update({"q_connected_components": q_connected_components})

@@ -478,3 +478,28 @@ def test_dup_span_explode_slicing_matches_joins():
         assert got.loc[did, "n_windows"] == len(ws)
         assert got.loc[did, "n_dup_windows"] == n_dup
     assert set(got.index) == set(per_doc)
+
+
+def test_connected_components_query_matches_islands(ray_session, sf_tiny):
+    """q_connected_components equals an independent pandas
+    gaps-and-islands derivation (no shared code with the engine's
+    star rounds OR the SQL oracle)."""
+    from bb_ocr_ray.pipelines.queries import q_connected_components
+
+    got = q_connected_components(sf_tiny)
+    docs = pd.read_parquet(f"{sf_tiny}/documents.parquet",
+                           columns=["doc_id"]).sort_values("doc_id")
+    d = docs["doc_id"].to_numpy("int64")
+    present = set(d.tolist())
+    comp, want = {}, []
+    for x in d.tolist():
+        prev = x - 1
+        linked = (prev in present
+                  and ((prev * prev + 3 * prev) % 11) >= 3)
+        comp[x] = comp[prev] if linked else x
+        want.append(comp[x])
+    assert got["doc_id"].tolist() == d.tolist()
+    assert got["component"].tolist() == want
+    # sanity: the graph is not degenerate (some real chains exist)
+    n_islands = len(set(want))
+    assert 1 < n_islands < len(d)
