@@ -1890,3 +1890,43 @@ ORACLES["q_connected_components"] = """
     FROM s
     ORDER BY d
 """
+
+
+ORACLES["q_nb_classify"] = """
+    WITH toks AS (
+      SELECT doc_id, coalesce(lang, '<null>') AS lang,
+             list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \t\n\r\f\v]+'), x -> x <> '') AS tk
+      FROM documents),
+    train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+    test  AS (SELECT * FROM toks WHERE doc_id % 5 = 0 AND len(tk) > 0),
+    tt  AS (SELECT lang, unnest(tk) AS tok FROM train),
+    cnt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tt GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+    voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+    prior AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+              FROM train GROUP BY 1),
+    ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+    langs AS (SELECT p.lang, p.nd, coalesce(t.tot, 0) AS tot
+              FROM prior p LEFT JOIN tot t USING (lang)),
+    dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT doc_id, unnest(tk) AS tok FROM test)
+           GROUP BY 1, 2),
+    sc AS (SELECT d.doc_id, l.lang,
+                  ln(CAST(l.nd AS DOUBLE) / (SELECT n FROM ntr))
+                + sum(d.f * ln((coalesce(c.c, 0) + 1.0)
+                               / (l.tot + (SELECT v FROM voc)))) AS score
+           FROM dt d CROSS JOIN langs l
+           LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = d.tok
+           GROUP BY d.doc_id, l.lang, l.nd, l.tot),
+    rk AS (SELECT doc_id, lang, round(score, 6) AS s6,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY round(score, 6) DESC,
+                                              lang ASC) AS rn
+           FROM sc)
+    SELECT t.doc_id, t.lang AS lang, r.lang AS pred, r.s6 AS score6
+    FROM rk r JOIN test t USING (doc_id)
+    WHERE r.rn = 1
+    ORDER BY t.doc_id
+"""

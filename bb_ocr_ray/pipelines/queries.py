@@ -4697,3 +4697,108 @@ def q_connected_components(sf_dir: str):
 
 
 QUERIES.update({"q_connected_components": q_connected_components})
+
+
+# ---------------------------------------------------------------------------
+# Distributed multinomial Naive Bayes (train = count aggregation, score =
+# broadcast-model map; the classic quality/language classifier shape)
+# ---------------------------------------------------------------------------
+def q_nb_classify(sf_dir: str):
+    """Multinomial Naive Bayes with Laplace smoothing, trained and
+    applied distributed: TRAINING is nothing but count aggregation —
+    per-(lang, token) counts and per-lang doc counts, each one
+    per-batch Counter partial + one coarse_agg — so the classic
+    fastText-shaped corpus classifier needs no parameter server.  The
+    fitted model (|V|·K counts) is broadcast ONCE via ray.put and the
+    SCORE pass is shuffle-free (bounded-vocabulary assumption, the
+    q_lm_score posture; at web-scale vocabularies attach counts by a
+    token hash join instead — the q_lm_quality posture).
+
+    Split: doc_id % 5 != 0 trains, % 5 == 0 is scored.  Zero-token
+    test docs are skipped (no evidence, same rule as q_lm_score).
+    score = ln(nd_L/N) + Σ_tok f·ln((c_{L,tok}+1)/(tot_L+V)), rounded
+    to 6 dp on both engines before the argmax; ties break on lang
+    ascending.  NULL lang trains as the '<null>' class (q_mix_balance
+    convention)."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "lang", "text"])
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 5 != 0]
+        c = Counter()
+        for lg, t in zip(b["lang"].fillna("<null>"), b["text"]):
+            for tok in ws_tokens(t or ""):
+                c[(lg, tok)] += 1
+        ks = list(c.keys())
+        return pd.DataFrame({
+            "lang": pd.array([k[0] for k in ks], dtype="object"),
+            "tok": pd.array([k[1] for k in ks], dtype="object"),
+            "c": pd.array(list(c.values()), dtype="int64")})
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % 5 != 0]
+        g = (b.assign(lang=b["lang"].fillna("<null>"))
+             .groupby("lang", as_index=False).agg(nd=("doc_id", "size")))
+        g["nd"] = g["nd"].astype("int64")
+        return g
+
+    cnt_pd = coarse_agg(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        ["lang", "tok"], {"c": ("c", "sum")}).to_pandas()
+    prior_pd = coarse_agg(
+        ds.map_batches(doc_partial, batch_format="pandas"),
+        ["lang"], {"nd": ("nd", "sum")}).to_pandas()
+
+    n_train = int(prior_pd["nd"].sum())
+    vocab = int(cnt_pd["tok"].nunique())
+    tot = {lg: int(s) for lg, s in
+           cnt_pd.groupby("lang")["c"].sum().items()}
+    nd = dict(zip(prior_pd["lang"], (int(x) for x in prior_pd["nd"])))
+    langs = sorted(nd)
+    model_ref = ray.put({
+        "cnt": {(lg, tk): int(c) for lg, tk, c in
+                zip(cnt_pd["lang"], cnt_pd["tok"], cnt_pd["c"])},
+        "tot": tot, "nd": nd, "langs": langs,
+        "n": n_train, "v": vocab})
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(model_ref)
+        cnt, totl = m["cnt"], m["tot"]
+        ids, truth, preds, s6s = [], [], [], []
+        b = b[b["doc_id"] % 5 == 0]
+        for d, lg, t in zip(b["doc_id"], b["lang"].fillna("<null>"),
+                            b["text"]):
+            tf = Counter(ws_tokens(t or ""))
+            if not tf:
+                continue
+            best_s, best_l = None, None
+            for L in m["langs"]:           # ascending: tie keeps min lang
+                denom = totl.get(L, 0) + m["v"]
+                s = math.log(m["nd"][L] / m["n"]) + sum(
+                    f * math.log((cnt.get((L, tok), 0) + 1) / denom)
+                    for tok, f in tf.items())
+                s6 = float(_round_sql(s, 6))
+                if best_s is None or s6 > best_s:
+                    best_s, best_l = s6, L
+            ids.append(int(d))
+            truth.append(lg)
+            preds.append(best_l)
+            s6s.append(best_s)
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "lang": pd.array(truth, dtype="object"),
+            "pred": pd.array(preds, dtype="object"),
+            "score6": pd.array(s6s, dtype="float64")})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES.update({"q_nb_classify": q_nb_classify})
