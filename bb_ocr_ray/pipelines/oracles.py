@@ -1930,3 +1930,19 @@ ORACLES["q_nb_classify"] = """
     WHERE r.rn = 1
     ORDER BY t.doc_id
 """
+
+
+ORACLES["q_triangle_count"] = """
+    WITH n AS (SELECT doc_id AS d FROM documents),
+    e1 AS (SELECT a.d AS u, b.d AS v FROM n a JOIN n b ON b.d = a.d + 1
+           WHERE ((a.d * a.d + 3 * a.d) % 11) >= 3),
+    e2 AS (SELECT a.d AS u, b.d AS v FROM n a JOIN n b ON b.d = a.d + 2
+           WHERE ((7 * a.d + 5) % 13) >= 4),
+    e AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+    w AS (SELECT x.u AS a, x.v AS b, y.v AS c
+          FROM e x JOIN e y ON y.u = x.v),
+    t AS (SELECT a, b, c FROM w
+          WHERE EXISTS (SELECT 1 FROM e z WHERE z.u = w.a AND z.v = w.c))
+    SELECT a % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM t GROUP BY 1 ORDER BY 1
+"""

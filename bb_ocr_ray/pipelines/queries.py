@@ -4802,3 +4802,81 @@ def q_nb_classify(sf_dir: str):
 
 
 QUERIES.update({"q_nb_classify": q_nb_classify})
+
+
+# ---------------------------------------------------------------------------
+# Distributed triangle counting (web-graph analytics, SURVEY §2.7 family)
+# ---------------------------------------------------------------------------
+def q_triangle_count(sf_dir: str):
+    """Triangle counting by the MapReduce wedge-closure method (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW 2011 — public method): orient every edge low->high,
+    hash-join edges with edges on the shared middle vertex (wedges
+    a<b<c), then keep wedges whose closing (a, c) edge exists via a
+    hash semi-join on a packed (a<<32 | c) key.  Every step is an
+    existing distributed primitive — no driver-side edge set, and the
+    low->high orientation bounds wedge fan-out (at web scale you
+    orient by DEGREE so the last reducer isn't a celebrity node;
+    docstring contract, same salting idea as skew_join).
+
+    Graph: doc d links to d+1 iff (d²+3d) mod 11 ≥ 3 and to d+2 iff
+    (7d+5) mod 13 ≥ 4, targets existence-checked (distributed
+    semi-join).  ~37% of consecutive triples close into triangles.
+    Output: triangle count per (a mod 10) bucket — multi-row, so the
+    hash gate sees the distribution, not one scalar."""
+    from bb_ocr_ray.stages.joins import auto_semi, hash_join, semi_join_hash
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def gen(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        d1 = d[((d * d + 3 * d) % 11) >= 3]
+        d2 = d[((7 * d + 5) % 13) >= 4]
+        return pd.DataFrame({
+            "u": np.concatenate([d1, d2]),
+            "v": np.concatenate([d1 + 1, d2 + 2])})
+
+    cand = docs.map_batches(gen, batch_format="pandas")
+    edges = auto_semi(
+        cand.map_batches(lambda b: b.rename(columns={"v": "doc_id"}),
+                         batch_format="pandas"),
+        docs, on="doc_id",
+    ).map_batches(lambda b: b.rename(columns={"doc_id": "v"}),
+                  batch_format="pandas")
+
+    e1 = edges.map_batches(
+        lambda b: pd.DataFrame({"a": b["u"].astype("int64"),
+                                "b": b["v"].astype("int64")}),
+        batch_format="pandas")
+    e2 = edges.map_batches(
+        lambda b: pd.DataFrame({"b": b["u"].astype("int64"),
+                                "c": b["v"].astype("int64")}),
+        batch_format="pandas")
+    wedges = hash_join(e1, e2, on="b")
+
+    def pack_wedge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": b["a"].astype("int64"),
+            "k": (b["a"].astype("int64") * (1 << 32)
+                  + b["c"].astype("int64"))})
+
+    def pack_edge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": (b["u"].astype("int64") * (1 << 32)
+                  + b["v"].astype("int64"))})
+
+    tri = semi_join_hash(
+        wedges.map_batches(pack_wedge, batch_format="pandas"),
+        edges.map_batches(pack_edge, batch_format="pandas"), on="k")
+
+    out = coarse_agg(
+        tri.map_batches(
+            lambda b: pd.DataFrame({"bucket": b["a"].astype("int64") % 10}),
+            batch_format="pandas"),
+        ["bucket"], {"n_triangles": ("bucket", "size")},
+    ).to_pandas()
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+QUERIES.update({"q_triangle_count": q_triangle_count})
