@@ -998,6 +998,12 @@ def skew_join(left_ds, right_ds, on, how: str = "inner", salt: int = 16,
     Build-side-only hot keys are NOT salted: they concentrate build
     rows, not probe rows, and the in-bucket merge already chunks the
     probe side so a large build bucket bounds memory, not wall clock.
+
+    Measured crossover (SCALE.md §3b): on one 32-cpu box the salted
+    path loses below ~10-20 M hot rows (the hot bucket is one cheap
+    vectorized merge; detection + salting cost more than they save)
+    and wins 2.2x at 27 M hot rows.  On a multi-node cluster the
+    crossover moves sharply left — the hot bucket pins a NODE.
     """
     import ray
 
