@@ -1946,3 +1946,19 @@ ORACLES["q_triangle_count"] = """
     SELECT a % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_triangles
     FROM t GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["q_interval_join"] = """
+    WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+                      epoch_us(ts)
+                    + CAST(round(value * 3600) AS BIGINT) * 1000000 AS e
+               FROM events WHERE event_type = 'click'),
+    r AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + 1800000000 AS e
+          FROM events WHERE event_type = 'error')
+    SELECT c.event_id AS click_id, r.event_id AS error_id,
+           least(c.e, r.e) - greatest(c.s, r.s) AS overlap_us
+    FROM c JOIN r ON c.user_id = r.user_id
+                 AND c.s <= r.e AND r.s <= c.e
+    ORDER BY 1, 2
+"""

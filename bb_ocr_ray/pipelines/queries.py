@@ -4880,3 +4880,61 @@ def q_triangle_count(sf_dir: str):
 
 
 QUERIES.update({"q_triangle_count": q_triangle_count})
+
+
+# ---------------------------------------------------------------------------
+# Variable-length interval overlap join (SURVEY §2.4 custom-operator slot)
+# ---------------------------------------------------------------------------
+def q_interval_join(sf_dir: str):
+    """Interval OVERLAP join with per-row lengths — click sessions
+    ([ts, ts + value hours-as-seconds]) x error windows ([ts, ts+30 m])
+    per user, via :func:`stages.joins.interval_join` (day buckets,
+    variable replication, emit-at-overlap-start dedup).  Generalizes
+    q_band_join's constant band to variable lengths.  Rows with NULL
+    ts/value drop on both engines (SQL NULL predicate).  Output is the
+    pair list plus the exact integer overlap length in microseconds."""
+    from bb_ocr_ray.stages.joins import interval_join
+
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "user_id", "event_type",
+                                "ts", "value"])
+
+    def prep(kind: str, fixed_us: int | None):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["event_type"] == kind]
+            # NULL user_id never matches an equality join; NULL ts
+            # makes the whole predicate NULL — both drop, as in SQL
+            b = b[b["ts"].notna() & b["user_id"].notna()]
+            s = b["ts"].astype("datetime64[us]").astype("int64")
+            if fixed_us is None:
+                b = b[b["value"].notna()]
+                s = b["ts"].astype("datetime64[us]").astype("int64")
+                dur = (_round_sql(b["value"] * 3600.0, 0)
+                       .astype("int64") * 1_000_000)
+            else:
+                dur = fixed_us
+            return pd.DataFrame(
+                {"event_id": b["event_id"].astype("int64"),
+                 "user_id": b["user_id"].astype("int64"),
+                 "s": s.to_numpy(),
+                 "e": (s + dur).to_numpy()})
+
+        return fn
+
+    clicks = ev.map_batches(prep("click", None), batch_format="pandas")
+    errors = ev.map_batches(prep("error", 1_800_000_000),
+                            batch_format="pandas")
+    pairs = interval_join(clicks, errors, key="user_id",
+                          bucket_us=86_400_000_000)
+    out = pairs.map_batches(
+        lambda b: pd.DataFrame(
+            {"click_id": b["event_id"].astype("int64"),
+             "error_id": b["event_id_r"].astype("int64"),
+             "overlap_us": (np.minimum(b["e"], b["e_r"])
+                            - np.maximum(b["s"], b["s_r"])).astype("int64")}),
+        batch_format="pandas").to_pandas()
+    return (out.sort_values(["click_id", "error_id"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_interval_join": q_interval_join})

@@ -1067,3 +1067,91 @@ def skew_join(left_ds, right_ds, on, how: str = "inner", salt: int = 16,
         right_ds.map_batches(explode_build, batch_format="pandas"),
         on=keys + ["_salt"], how=how, num_buckets=num_buckets)
     return joined.drop_columns(["_salt"])
+
+
+def interval_join(left_ds, right_ds, key, bucket_us: int,
+                  start: str = "s", end: str = "e", suffix: str = "_r",
+                  coarse_buckets: int = 64):
+    """Variable-length interval OVERLAP join: all pairs (l, r) with
+    l.key == r.key and [l.start, l.end] ∩ [r.start, r.end] ≠ ∅,
+    endpoints as integer microseconds (closed intervals, SQL's
+    ``l.s <= r.e AND r.s <= l.e``).
+
+    Generalizes :func:`band_join` (constant ±band = constant-length
+    intervals) to per-row lengths.  Time is chunked into ``bucket_us``
+    buckets; each interval replicates to EVERY bucket it touches
+    (variable fan-out — that is the price of variable lengths), one
+    coarse shuffle co-locates bucket contents, and the exact overlap
+    predicate runs vectorized per task.  A qualifying pair meets in
+    every shared bucket, so each pair is EMITTED exactly once: only in
+    the bucket containing max(l.start, r.start) — the overlap's first
+    microsecond, which both intervals span by definition.
+
+    Partitioning assumptions (documented per the operator brief):
+    ``bucket_us`` should be of the order of a typical interval length —
+    replication factor is mean_length/bucket_us + 1, so tiny buckets
+    explode long intervals (a year-long interval over 1 s buckets is
+    3x10^7 copies; split pathological intervals upstream or raise
+    ``bucket_us``).  Rows with NULL endpoints or end < start cannot
+    satisfy the SQL predicate meaningfully and are dropped.
+    """
+    import numpy as np
+
+    keys = [key] if isinstance(key, str) else list(key)
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.dropna(subset=keys + [start, end]).copy()
+            s = batch[start].to_numpy(np.int64)
+            e = batch[end].to_numpy(np.int64)
+            ok = s <= e
+            batch, s, e = batch[ok], s[ok], e[ok]
+            for c in all_cols:
+                if c not in batch.columns:
+                    batch[c] = None
+            batch = batch[all_cols]
+            w0 = s // bucket_us
+            cnt = (e // bucket_us - w0 + 1)
+            idx = np.repeat(np.arange(len(batch)), cnt)
+            off = (np.arange(int(cnt.sum()))
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            out = batch.iloc[idx].copy()
+            out["__win"] = w0[idx] + off
+            out["__side"] = np.int8(side)
+            out["__coarse"] = ((out["__win"].to_numpy(np.uint64)
+                                * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+                               % coarse_buckets).astype(np.int64)
+            return out
+
+        return fn
+
+    both = left_ds.map_batches(tag(0), batch_format="pandas",
+                               batch_size=_TAG_BATCH).union(
+        right_ds.map_batches(tag(1), batch_format="pandas",
+                             batch_size=_TAG_BATCH))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        left = g[g["__side"] == 0][left_cols + ["__win"]]
+        right = g[g["__side"] == 1][right_cols + ["__win"]]
+        right = right.rename(columns={c: (c if (c in keys or c == "__win"
+                                               or c not in left_cols)
+                                          else c + suffix)
+                                      for c in right.columns})
+        j = left.merge(right, on=keys + ["__win"])
+        if j.empty:
+            return j.drop(columns=["__win"])
+        ls = j[start].to_numpy(np.int64)
+        le = j[end].to_numpy(np.int64)
+        rs = j[start + suffix].to_numpy(np.int64)
+        re_ = j[end + suffix].to_numpy(np.int64)
+        ov0 = np.maximum(ls, rs)
+        keep = ((ls <= re_) & (rs <= le)
+                & (ov0 // bucket_us == j["__win"].to_numpy(np.int64)))
+        return j[keep].drop(columns=["__win"])
+
+    return both.groupby("__coarse").map_groups(merge, batch_format="pandas")

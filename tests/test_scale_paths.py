@@ -710,3 +710,45 @@ def test_skew_join_refuses_full_outer(ray_session):
     with pytest.raises(ValueError):
         skew_join(rd.from_pandas(df), rd.from_pandas(df), on="k",
                   how="full")
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    """interval_join == a brute-force pandas overlap join on random
+    variable-length intervals: pairs sharing MANY buckets must emit
+    exactly once (overlap-start rule), NULL keys/endpoints and
+    end < start rows must drop."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import interval_join
+
+    rng = np.random.RandomState(3)
+    W = 100          # bucket width
+    n = 400
+
+    def mk(side):
+        s = rng.randint(0, 3000, n).astype("float64")
+        ln = rng.choice([1, 5, 50, 500, 1500], n).astype("float64")
+        df = pd.DataFrame({
+            "k": rng.randint(0, 5, n).astype("float64"),
+            "s": s, "e": s + ln,
+            "id": np.arange(n, dtype="int64") + (0 if side == 0 else 10_000)})
+        # plant NULLs and ill-formed intervals
+        df.loc[::37, "k"] = np.nan
+        df.loc[1::53, "s"] = np.nan
+        df.loc[2::41, ["s", "e"]] = df.loc[2::41, ["e", "s"]].to_numpy()
+        return df
+
+    L, R = mk(0), mk(1)
+    got = (interval_join(rd.from_pandas(L), rd.from_pandas(R),
+                         key="k", bucket_us=W)
+           .to_pandas())
+    got_pairs = sorted(zip(got["id"], got["id_r"]))
+
+    lv = L.dropna(subset=["k", "s", "e"]); lv = lv[lv["s"] <= lv["e"]]
+    rv = R.dropna(subset=["k", "s", "e"]); rv = rv[rv["s"] <= rv["e"]]
+    m = lv.merge(rv, on="k", suffixes=("", "_r"))
+    m = m[(m["s"] <= m["e_r"]) & (m["s_r"] <= m["e"])]
+    want_pairs = sorted(zip(m["id"], m["id_r"]))
+    assert got_pairs == want_pairs
+    assert len(got_pairs) == len(set(got_pairs))      # exactly-once
+    assert len(got_pairs) > 100                       # non-degenerate
