@@ -4808,23 +4808,20 @@ QUERIES.update({"q_nb_classify": q_nb_classify})
 # Distributed triangle counting (web-graph analytics, SURVEY §2.7 family)
 # ---------------------------------------------------------------------------
 def q_triangle_count(sf_dir: str):
-    """Triangle counting by the MapReduce wedge-closure method (Suri &
-    Vassilvitskii, "Counting Triangles and the Curse of the Last
-    Reducer", WWW 2011 — public method): orient every edge low->high,
-    hash-join edges with edges on the shared middle vertex (wedges
-    a<b<c), then keep wedges whose closing (a, c) edge exists via a
-    hash semi-join on a packed (a<<32 | c) key.  Every step is an
-    existing distributed primitive — no driver-side edge set, and the
-    low->high orientation bounds wedge fan-out (at web scale you
-    orient by DEGREE so the last reducer isn't a celebrity node;
-    docstring contract, same salting idea as skew_join).
+    """Triangle counting through the generic DEGREE-oriented
+    wedge-closure operator (``stages.graph.triangle_count`` — Suri &
+    Vassilvitskii WWW'11): degrees by a coarse fold, edges directed
+    low->high (degree, id) so a celebrity node's neighbor square is
+    never enumerated, wedges by a self hash-join on the source, closure
+    by a packed-key semi-join.  No driver-side edge set anywhere.
 
     Graph: doc d links to d+1 iff (d²+3d) mod 11 ≥ 3 and to d+2 iff
     (7d+5) mod 13 ≥ 4, targets existence-checked (distributed
     semi-join).  ~37% of consecutive triples close into triangles.
-    Output: triangle count per (a mod 10) bucket — multi-row, so the
-    hash gate sees the distribution, not one scalar."""
-    from bb_ocr_ray.stages.joins import auto_semi, hash_join, semi_join_hash
+    Output: triangle count per (min-vertex mod 10) bucket — multi-row,
+    so the hash gate sees the distribution, not one scalar."""
+    from bb_ocr_ray.stages.graph import triangle_count
+    from bb_ocr_ray.stages.joins import auto_semi
 
     docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
 
@@ -4833,41 +4830,18 @@ def q_triangle_count(sf_dir: str):
         d1 = d[((d * d + 3 * d) % 11) >= 3]
         d2 = d[((7 * d + 5) % 13) >= 4]
         return pd.DataFrame({
-            "u": np.concatenate([d1, d2]),
-            "v": np.concatenate([d1 + 1, d2 + 2])})
+            "src": np.concatenate([d1, d2]),
+            "dst": np.concatenate([d1 + 1, d2 + 2])})
 
     cand = docs.map_batches(gen, batch_format="pandas")
     edges = auto_semi(
-        cand.map_batches(lambda b: b.rename(columns={"v": "doc_id"}),
+        cand.map_batches(lambda b: b.rename(columns={"dst": "doc_id"}),
                          batch_format="pandas"),
         docs, on="doc_id",
-    ).map_batches(lambda b: b.rename(columns={"doc_id": "v"}),
+    ).map_batches(lambda b: b.rename(columns={"doc_id": "dst"}),
                   batch_format="pandas")
 
-    e1 = edges.map_batches(
-        lambda b: pd.DataFrame({"a": b["u"].astype("int64"),
-                                "b": b["v"].astype("int64")}),
-        batch_format="pandas")
-    e2 = edges.map_batches(
-        lambda b: pd.DataFrame({"b": b["u"].astype("int64"),
-                                "c": b["v"].astype("int64")}),
-        batch_format="pandas")
-    wedges = hash_join(e1, e2, on="b")
-
-    def pack_wedge(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "a": b["a"].astype("int64"),
-            "k": (b["a"].astype("int64") * (1 << 32)
-                  + b["c"].astype("int64"))})
-
-    def pack_edge(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "k": (b["u"].astype("int64") * (1 << 32)
-                  + b["v"].astype("int64"))})
-
-    tri = semi_join_hash(
-        wedges.map_batches(pack_wedge, batch_format="pandas"),
-        edges.map_batches(pack_edge, batch_format="pandas"), on="k")
+    tri = triangle_count(edges)
 
     out = coarse_agg(
         tri.map_batches(

@@ -320,3 +320,128 @@ def pagerank_static(edges_ds, iters: int = 10, damping: float = 0.85,
         lambda b: pd.DataFrame({"node": b["src"].astype("int64"),
                                 "rank": b["rank"].astype("float64")}),
         batch_format="pandas")
+
+
+def triangle_count(edges_ds, coarse_buckets: int | None = None):
+    """Distributed triangle enumeration with DEGREE orientation — the
+    celebrity-node-safe variant of the wedge-closure method (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW 2011; public algorithm).
+
+    Input: (src, dst) int64 edge Dataset, read as UNDIRECTED; parallel
+    edges, reversed duplicates, and self-loops are normalized away by
+    a distributed first-per-pair fold.  Output: one row per triangle
+    (a, b, c), a < b < c by plain id — each triangle exactly once.
+
+    Why degree orientation: a plain id orientation enumerates, for
+    every node, all pairs of its HIGHER-ID neighbors — a hub with 10^6
+    neighbors contributes ~5·10^11 wedges to one task (the "last
+    reducer").  Directing every edge from lower to higher (degree, id)
+    caps each node's OUT-degree at O(sqrt(|E|)), so wedge volume is
+    O(|E|^1.5) worst case and no single task owns a hub's neighbor
+    square.  The hub's wedges simply do not exist: its edges all point
+    INTO it.
+
+    Plan (all existing primitives, nothing on the driver):
+      degrees = coarse fold over both endpoints;
+      orient  = two hash joins attaching (deg, id) to each endpoint;
+      wedges  = self hash-join of oriented edges on their source;
+      close   = hash semi-join of packed (lo<<32 | hi) wedge ends
+                against packed oriented edges.
+    """
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.coarse import coarse_agg
+    from bb_ocr_ray.stages.dedup import dedup_pairs
+    from bb_ocr_ray.stages.joins import (_auto_num_buckets, hash_join,
+                                         semi_join_hash)
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["src"].to_numpy(np.int64)
+        v = b["dst"].to_numpy(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pd.DataFrame({"id_a": np.minimum(u, v),
+                             "id_b": np.maximum(u, v)})
+
+    und = dedup_pairs(edges_ds.map_batches(norm, batch_format="pandas"))
+
+    def both_ends(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["id_a"].to_numpy(np.int64), b["id_b"].to_numpy(np.int64)]),
+            "one": np.int64(1)})
+
+    deg = coarse_agg(und.map_batches(both_ends, batch_format="pandas"),
+                     ["node"], {"deg": ("one", "sum")})
+
+    e1 = hash_join(
+        und.map_batches(lambda b: b.rename(columns={"id_a": "node"}),
+                        batch_format="pandas"), deg, on="node")
+    e2 = hash_join(
+        e1.map_batches(
+            lambda b: pd.DataFrame({"na": b["node"].astype("int64"),
+                                    "da": b["deg"].astype("int64"),
+                                    "node": b["id_b"].astype("int64")}),
+            batch_format="pandas"), deg, on="node")
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        na = b["na"].to_numpy(np.int64)
+        nb = b["node"].to_numpy(np.int64)
+        da = b["da"].to_numpy(np.int64)
+        db = b["deg"].to_numpy(np.int64)
+        a_first = (da < db) | ((da == db) & (na < nb))
+        return pd.DataFrame({
+            "s": np.where(a_first, na, nb),
+            "t": np.where(a_first, nb, na),
+            "dt": np.where(a_first, db, da),
+            "tid": np.where(a_first, nb, na)})
+
+    oe = e2.map_batches(orient, batch_format="pandas")
+
+    w1 = oe.map_batches(
+        lambda b: pd.DataFrame({"s": b["s"].astype("int64"),
+                                "p": b["t"].astype("int64"),
+                                "dp": b["dt"].astype("int64")}),
+        batch_format="pandas")
+    w2 = oe.map_batches(
+        lambda b: pd.DataFrame({"s": b["s"].astype("int64"),
+                                "q": b["t"].astype("int64"),
+                                "dq": b["dt"].astype("int64")}),
+        batch_format="pandas")
+    wedges = hash_join(w1, w2, on="s")
+
+    def half(b: pd.DataFrame) -> pd.DataFrame:
+        # keep one ordered copy per wedge, ordered by the SAME total
+        # order the edges are oriented in, so the closing edge is
+        # guaranteed to run lo -> hi under that order
+        dp = b["dp"].to_numpy(np.int64)
+        dq = b["dq"].to_numpy(np.int64)
+        p = b["p"].to_numpy(np.int64)
+        q = b["q"].to_numpy(np.int64)
+        keep = (dp < dq) | ((dp == dq) & (p < q))
+        b = b[keep]
+        return pd.DataFrame({
+            "src_node": b["s"].astype("int64"),
+            "k": (b["p"].astype("int64") * (1 << 32)
+                  + b["q"].astype("int64"))})
+
+    packed_edges = oe.map_batches(
+        lambda b: pd.DataFrame({"k": (b["s"].astype("int64") * (1 << 32)
+                                      + b["t"].astype("int64"))}),
+        batch_format="pandas")
+    tri = semi_join_hash(wedges.map_batches(half, batch_format="pandas"),
+                         packed_edges, on="k")
+
+    def unpack(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["k"].to_numpy(np.int64)
+        x = b["src_node"].to_numpy(np.int64)
+        y = k >> 32
+        z = k & ((1 << 32) - 1)
+        arr = np.sort(np.stack([x, y, z], axis=1), axis=1)
+        return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1],
+                             "c": arr[:, 2]})
+
+    return tri.map_batches(unpack, batch_format="pandas")

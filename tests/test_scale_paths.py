@@ -752,3 +752,55 @@ def test_interval_join_matches_bruteforce(ray_session):
     assert got_pairs == want_pairs
     assert len(got_pairs) == len(set(got_pairs))      # exactly-once
     assert len(got_pairs) > 100                       # non-degenerate
+
+
+def test_triangle_count_operator_matches_bruteforce(ray_session):
+    """Degree-oriented triangle_count == brute-force enumeration on a
+    random graph with parallel/reversed/self-loop noise, and on a star
+    graph (hub of 60) where the hub's out-degree must be 0 under the
+    orientation, so correctness there proves celebrity safety."""
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(5)
+    u = rng.randint(0, 60, 500)
+    v = rng.randint(0, 60, 500)
+    noisy = pd.DataFrame({
+        "src": np.concatenate([u, v, u[:50], np.arange(10)]),
+        "dst": np.concatenate([v, u, v[:50], np.arange(10)]),
+    }).astype("int64")
+
+    def brute(df):
+        es = {(min(a, b), max(a, b))
+              for a, b in zip(df["src"], df["dst"]) if a != b}
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = set()
+        for x in adj:
+            for y, z in combinations(sorted(adj[x]), 2):
+                if (min(y, z), max(y, z)) in es:
+                    tri.add(tuple(sorted((x, y, z))))
+        return sorted(tri)
+
+    got = triangle_count(rd.from_pandas(noisy)).to_pandas()
+    got_t = sorted(zip(got["a"], got["b"], got["c"]))
+    want = brute(noisy)
+    assert got_t == want
+    assert len(got_t) == len(set(got_t))
+    assert len(want) > 20          # non-degenerate
+
+    # star: hub 0 -- leaves 1..60, plus 8 leaf-leaf chords
+    leaves = np.arange(1, 61, dtype="int64")
+    star = pd.DataFrame({
+        "src": np.concatenate([np.zeros(60, dtype="int64"),
+                               leaves[:8]]),
+        "dst": np.concatenate([leaves, leaves[1:9]])})
+    got2 = triangle_count(rd.from_pandas(star)).to_pandas()
+    got2_t = sorted(zip(got2["a"], got2["b"], got2["c"]))
+    assert got2_t == brute(star)
+    assert len(got2_t) == 8        # one triangle per chord
