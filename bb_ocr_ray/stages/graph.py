@@ -399,7 +399,12 @@ def triangle_count(edges_ds, coarse_buckets: int | None = None):
             "dt": np.where(a_first, db, da),
             "tid": np.where(a_first, nb, na)})
 
-    oe = e2.map_batches(orient, batch_format="pandas")
+    # oe feeds THREE consumers (both wedge sides + the closure edge
+    # set); without a materialize each consumer re-executes the two
+    # degree joins through lazy lineage.  Materializing the oriented
+    # edge list is the connected_components_ds precedent: it is the
+    # data-bounded edge set of the algorithm, not the corpus.
+    oe = e2.map_batches(orient, batch_format="pandas").materialize()
 
     w1 = oe.map_batches(
         lambda b: pd.DataFrame({"s": b["s"].astype("int64"),
