@@ -1066,7 +1066,18 @@ def skew_join(left_ds, right_ds, on, how: str = "inner", salt: int = 16,
         left_ds.map_batches(salt_probe, batch_format="pandas"),
         right_ds.map_batches(explode_build, batch_format="pandas"),
         on=keys + ["_salt"], how=how, num_buckets=num_buckets)
-    return joined.drop_columns(["_salt"])
+
+    # native-block drop, NOT Dataset.drop_columns: Project ops assume
+    # Arrow blocks and crash on the pandas blocks the bucketed join
+    # emits for object/nested payloads (see rename_columns note above)
+    def _strip(b):
+        import pyarrow as _pa
+
+        if isinstance(b, _pa.Table):
+            return b.drop_columns(["_salt"])
+        return b.drop(columns=["_salt"])
+
+    return joined.map_batches(_strip, batch_format=None)
 
 
 def interval_join(left_ds, right_ds, key, bucket_us: int,
