@@ -322,7 +322,8 @@ def pagerank_static(edges_ds, iters: int = 10, damping: float = 0.85,
         batch_format="pandas")
 
 
-def triangle_count(edges_ds, coarse_buckets: int | None = None):
+def triangle_count(edges_ds, coarse_buckets: int | None = None,
+                   degree_broadcast_limit: int | None = None):
     """Distributed triangle enumeration with DEGREE orientation — the
     celebrity-node-safe variant of the wedge-closure method (Suri &
     Vassilvitskii, "Counting Triangles and the Curse of the Last
@@ -343,8 +344,14 @@ def triangle_count(edges_ds, coarse_buckets: int | None = None):
     INTO it.
 
     Plan (all existing primitives, nothing on the driver):
-      degrees = coarse fold over both endpoints;
-      orient  = two hash joins attaching (deg, id) to each endpoint;
+      degrees = coarse fold over both endpoints (materialized once —
+                it feeds BOTH endpoint attachments);
+      orient  = size-gated like ``auto_join``: the degree table is
+                |V|-bounded, so when its (materialized, hence real)
+                byte size fits ``degree_broadcast_limit`` it ships as
+                one sorted-array ``ray.put`` and both endpoint degrees
+                attach in a single searchsorted map — no shuffle; a
+                web-scale |V| routes to the two hash joins instead;
       wedges  = self hash-join of oriented edges on their source;
       close   = hash semi-join of packed (lo<<32 | hi) wedge ends
                 against packed oriented edges.
@@ -367,44 +374,86 @@ def triangle_count(edges_ds, coarse_buckets: int | None = None):
         return pd.DataFrame({"id_a": np.minimum(u, v),
                              "id_b": np.maximum(u, v)})
 
-    und = dedup_pairs(edges_ds.map_batches(norm, batch_format="pandas"))
+    # und feeds BOTH the degree fold and the orientation; without a
+    # materialize each consumer re-runs the dedup_pairs shuffle.  It is
+    # the algorithm's own normalized edge set — data-bounded, the
+    # connected_components_ds precedent.
+    und = dedup_pairs(
+        edges_ds.map_batches(norm, batch_format="pandas")).materialize()
 
     def both_ends(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": np.concatenate(
             [b["id_a"].to_numpy(np.int64), b["id_b"].to_numpy(np.int64)]),
             "one": np.int64(1)})
 
+    # The degree table is consumed by BOTH endpoint attachments, so
+    # materialize it once; it is |V|-row — the algorithm's own working
+    # set, never the corpus.  Materialized metadata is real, so the
+    # broadcast gate below reads actual bytes, not a lazy estimate
+    # (estimate_size_bytes returns 0 for computed datasets).
     deg = coarse_agg(und.map_batches(both_ends, batch_format="pandas"),
-                     ["node"], {"deg": ("one", "sum")})
+                     ["node"], {"deg": ("one", "sum")},
+                     coarse_buckets=coarse_buckets).materialize()
 
-    e1 = hash_join(
-        und.map_batches(lambda b: b.rename(columns={"id_a": "node"}),
-                        batch_format="pandas"), deg, on="node")
-    e2 = hash_join(
-        e1.map_batches(
-            lambda b: pd.DataFrame({"na": b["node"].astype("int64"),
-                                    "da": b["deg"].astype("int64"),
-                                    "node": b["id_b"].astype("int64")}),
-            batch_format="pandas"), deg, on="node")
+    from bb_ocr_ray.stages.joins import _BROADCAST_LIMIT_BYTES
+    limit = (_BROADCAST_LIMIT_BYTES if degree_broadcast_limit is None
+             else degree_broadcast_limit)
 
-    def orient(b: pd.DataFrame) -> pd.DataFrame:
-        na = b["na"].to_numpy(np.int64)
-        nb = b["node"].to_numpy(np.int64)
-        da = b["da"].to_numpy(np.int64)
-        db = b["deg"].to_numpy(np.int64)
-        a_first = (da < db) | ((da == db) & (na < nb))
-        return pd.DataFrame({
-            "s": np.where(a_first, na, nb),
-            "t": np.where(a_first, nb, na),
-            "dt": np.where(a_first, db, da),
-            "tid": np.where(a_first, nb, na)})
+    if deg.size_bytes() <= limit:
+        # Driver-sized |V|: ship the degree table once as two sorted
+        # arrays and orient every edge in ONE map — saves two all-to-all
+        # joins.  Every endpoint is in the table by construction (deg
+        # was folded from these very edges), so searchsorted is total.
+        import ray
 
-    # oe feeds THREE consumers (both wedge sides + the closure edge
-    # set); without a materialize each consumer re-executes the two
-    # degree joins through lazy lineage.  Materializing the oriented
-    # edge list is the connected_components_ds precedent: it is the
-    # data-bounded edge set of the algorithm, not the corpus.
-    oe = e2.map_batches(orient, batch_format="pandas").materialize()
+        deg_pdf = deg.to_pandas()
+        order = np.argsort(deg_pdf["node"].to_numpy(np.int64))
+        nodes_sorted = deg_pdf["node"].to_numpy(np.int64)[order]
+        degs_sorted = deg_pdf["deg"].to_numpy(np.int64)[order]
+        ref = ray.put((nodes_sorted, degs_sorted))
+
+        def orient_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            nodes, degs = ray.get(ref)
+            na = b["id_a"].to_numpy(np.int64)
+            nb = b["id_b"].to_numpy(np.int64)
+            da = degs[np.searchsorted(nodes, na)]
+            db = degs[np.searchsorted(nodes, nb)]
+            a_first = (da < db) | ((da == db) & (na < nb))
+            return pd.DataFrame({
+                "s": np.where(a_first, na, nb),
+                "t": np.where(a_first, nb, na),
+                "dt": np.where(a_first, db, da)})
+
+        # No materialize here: orientation from materialized `und` is
+        # one shuffle-free searchsorted map, cheap for each of the
+        # three downstream consumers to re-run.
+        oe = und.map_batches(orient_bcast, batch_format="pandas")
+    else:
+        e1 = hash_join(
+            und.map_batches(lambda b: b.rename(columns={"id_a": "node"}),
+                            batch_format="pandas"), deg, on="node")
+        e2 = hash_join(
+            e1.map_batches(
+                lambda b: pd.DataFrame({"na": b["node"].astype("int64"),
+                                        "da": b["deg"].astype("int64"),
+                                        "node": b["id_b"].astype("int64")}),
+                batch_format="pandas"), deg, on="node")
+
+        def orient(b: pd.DataFrame) -> pd.DataFrame:
+            na = b["na"].to_numpy(np.int64)
+            nb = b["node"].to_numpy(np.int64)
+            da = b["da"].to_numpy(np.int64)
+            db = b["deg"].to_numpy(np.int64)
+            a_first = (da < db) | ((da == db) & (na < nb))
+            return pd.DataFrame({
+                "s": np.where(a_first, na, nb),
+                "t": np.where(a_first, nb, na),
+                "dt": np.where(a_first, db, da)})
+
+        # Here oe's lineage holds two hash joins, too expensive for the
+        # three consumers (both wedge sides + closure edge set) to
+        # re-run — materialize the oriented edge list (data-bounded).
+        oe = e2.map_batches(orient, batch_format="pandas").materialize()
 
     w1 = oe.map_batches(
         lambda b: pd.DataFrame({"s": b["s"].astype("int64"),

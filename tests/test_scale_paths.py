@@ -804,3 +804,24 @@ def test_triangle_count_operator_matches_bruteforce(ray_session):
     got2_t = sorted(zip(got2["a"], got2["b"], got2["c"]))
     assert got2_t == brute(star)
     assert len(got2_t) == 8        # one triangle per chord
+
+
+def test_triangle_count_degree_paths_agree(ray_session):
+    """The size-gated degree attachment (broadcast searchsorted vs two
+    hash joins) is a pure plan choice: forcing the hash path with a
+    0-byte gate must yield the identical triangle set."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "src": rng.randint(0, 80, 700),
+        "dst": rng.randint(0, 80, 700)}).astype("int64")
+
+    bcast = triangle_count(rd.from_pandas(df)).to_pandas()
+    joined = triangle_count(rd.from_pandas(df),
+                            degree_broadcast_limit=0).to_pandas()
+    key = lambda t: sorted(zip(t["a"], t["b"], t["c"]))  # noqa: E731
+    assert key(bcast) == key(joined)
+    assert len(bcast) > 20          # non-degenerate
