@@ -4427,13 +4427,21 @@ def q_lm_quality(sf_dir: str):
     DISTRIBUTED bucketed hash joins instead of a broadcast — the
     join-attached posture survives models that outgrow any heap.
 
-    Scale shape: per-batch (doc, bigram) COUNT partials bound the
-    shuffle at per-doc vocabulary; the two LM tables are coarse_agg
-    folds (bigram-vocabulary-wide — at 100 TB prune to top-V bigrams
-    by document frequency first, the q_inverted_index pattern); the
-    per-doc fold is one more coarse_agg.  Nothing row-unbounded on the
-    driver.  avg_logp rounds to 6 dp (sum-order + libm-ulp drift is
-    ~1e-13, far under the grain — the q_regression argument)."""
+    Scale shape (reworked after the sf0.1 sweep showed this the
+    slowest query): the corpus-wide (doc, bigram) explode is computed
+    TWICE (count fold + join probe) and shuffled ONCE — the context
+    table cc(w1) is NOT a second corpus fold, it derives from the
+    bigram-count table itself (every occurrence of bigram "w1 w2"
+    contributes exactly once to both c and cc, so cc = sum of c over
+    bigrams sharing w1 — a vocabulary-sized fold), and cc pre-joins
+    into the count table (vocabulary-sized join on w1) so the probe
+    stream attaches (c, cc) in a single hash join on bg.  Previously:
+    three corpus explodes + four corpus-wide shuffles.  At 100 TB
+    prune to top-V bigrams by document frequency first (the
+    q_inverted_index pattern); the per-doc fold is one more
+    coarse_agg.  Nothing row-unbounded on the driver.  avg_logp
+    rounds to 6 dp (sum-order + libm-ulp drift is ~1e-13, far under
+    the grain — the q_regression argument)."""
     from collections import Counter
 
     from bb_ocr_ray.functions.hashing import ws_tokens
@@ -4443,7 +4451,7 @@ def q_lm_quality(sf_dir: str):
     ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def bigram_partials(b: pd.DataFrame) -> pd.DataFrame:
-        ids, bgs, w1s, ks = [], [], [], []
+        ids, bgs, ks = [], [], []
         for d, t in zip(b["doc_id"], b["text"]):
             tk = ws_tokens(t or "")
             if len(tk) < 2:
@@ -4452,18 +4460,30 @@ def q_lm_quality(sf_dir: str):
             for (w1, w2), k in c.items():
                 ids.append(int(d))
                 bgs.append(w1 + " " + w2)
-                w1s.append(w1)
                 ks.append(k)
         return pd.DataFrame(
             {"doc_id": pd.array(ids, dtype="int64"),
              "bg": pd.array(bgs, dtype="object"),
-             "w1": pd.array(w1s, dtype="object"),
              "k": pd.array(ks, dtype="int64")})
 
     rows = ds.map_batches(bigram_partials, batch_format="pandas")
     cnt = coarse_agg(rows, ["bg"], {"c": ("k", "sum")})
-    ctx = coarse_agg(rows, ["w1"], {"cc": ("k", "sum")})
-    j = hash_join(hash_join(rows, cnt, on="bg"), ctx, on="w1")
+
+    def add_w1(b: pd.DataFrame) -> pd.DataFrame:
+        # ws_tokens splits on ASCII whitespace, so w1 never contains a
+        # plain space — the first space in bg is exactly the seam
+        b = b.copy()
+        b["w1"] = b["bg"].str.split(" ", n=1).str[0]
+        return b
+
+    # cnt_w1 feeds BOTH the context fold and the model join; without a
+    # materialize each consumer re-runs the corpus-wide bigram fold
+    # through lazy lineage.  It is bigram-vocabulary-sized — the LM
+    # model itself, not the corpus.
+    cnt_w1 = cnt.map_batches(add_w1, batch_format="pandas").materialize()
+    ctx = coarse_agg(cnt_w1, ["w1"], {"cc": ("c", "sum")})
+    model = hash_join(cnt_w1, ctx, on="w1")
+    j = hash_join(rows, model, on="bg")
 
     def lp(b: pd.DataFrame) -> pd.DataFrame:
         # explicit float64 coercion: join output columns can arrive
