@@ -430,7 +430,21 @@ def simhash_near_dups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                       max_hamming: int = 3, n_tables: int = 4):
     """SimHash near-dup candidates: block on 16-bit bands of the 64-bit
     sketch (a pair within hamming distance 3 collides in ≥1 of 4 bands by
-    pigeonhole), verify hamming distance inside the bucket."""
+    pigeonhole), verify hamming distance inside the bucket.
+
+    Shuffle-cardinality: grouping directly on (table_id, band) creates
+    up to n_tables x 65536 mostly-singleton groups and Ray grouped ops
+    pay per-GROUP overhead — the same trap minhash_candidates measured
+    (25 s for 153k groups).  Instead the packed bucket key shuffles
+    ONCE on a coarse integer (one group per reducer slot) and colliding
+    buckets are found INSIDE each task with a vectorized duplicate
+    mask.  Identical pair set."""
+    import logging
+
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    coarse_buckets = _auto_num_buckets()
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         from bb_ocr_ray.functions.hashing import simhash_batch
 
@@ -439,45 +453,51 @@ def simhash_near_dups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         bands = ((sh[:, None] >> shifts[None, :])
                  & np.uint64(0xFFFF)).astype("int64").ravel()
         n = len(sh)
+        # bucket identity packs (table_id, band) into one int64
+        tb = (np.tile(np.arange(n_tables, dtype=np.int64), n)
+              * np.int64(1 << 16) + bands)
+        coarse = (pd.util.hash_array(tb, categorize=False)
+                  % coarse_buckets).astype("int64")
         return pd.DataFrame(
-            {"table_id": np.tile(np.arange(n_tables, dtype=np.int64), n),
-             "band": bands,
+            {"tb": tb, "coarse": coarse,
              id_col: np.repeat(batch[id_col].to_numpy(), n_tables),
              "sh": np.repeat(sh, n_tables)})
 
     exploded = docs_ds.map_batches(explode, batch_format="pandas")
+    cap = 64
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        import logging
-
-        recs = sorted(zip(group[id_col], group["sh"]))
-        cap = 64
-        head_n = min(len(recs), cap)
-        if len(recs) > cap:
-            logging.getLogger(__name__).warning(
-                "simhash_near_dups: band bucket of %d docs exceeds cap "
-                "%d; chaining the tail", len(recs), cap)
+    def coarse_verify(group: pd.DataFrame) -> pd.DataFrame:
+        # colliding buckets only (vectorized duplicate mask); per-row
+        # cost, not per-group — singleton buckets never reach Python
+        dup = group[group.duplicated("tb", keep=False)]
         out = {"id_a": [], "id_b": [], "hamming": []}
+        for _, g in dup.groupby("tb", sort=True):
+            recs = sorted(zip(g[id_col], g["sh"]))
+            head_n = min(len(recs), cap)
+            if len(recs) > cap:
+                logging.getLogger(__name__).warning(
+                    "simhash_near_dups: band bucket of %d docs exceeds "
+                    "cap %d; chaining the tail", len(recs), cap)
 
-        def emit(i, j):
-            d = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
-            if d <= max_hamming:
-                out["id_a"].append(recs[i][0])
-                out["id_b"].append(recs[j][0])
-                out["hamming"].append(d)
+            def emit(i, j):
+                d = bin(int(recs[i][1]) ^ int(recs[j][1])).count("1")
+                if d <= max_hamming:
+                    out["id_a"].append(recs[i][0])
+                    out["id_b"].append(recs[j][0])
+                    out["hamming"].append(d)
 
-        for i in range(head_n):
-            for j in range(i + 1, head_n):
-                emit(i, j)
-        # chain the over-cap tail (still hamming-verified): preserves
-        # duplicate-flood connectivity at O(B) cost
-        for i in range(head_n, len(recs)):
-            emit(i - 1, i)
-        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+            for i in range(head_n):
+                for j in range(i + 1, head_n):
+                    emit(i, j)
+            # chain the over-cap tail (still hamming-verified):
+            # preserves duplicate-flood connectivity at O(B) cost
+            for i in range(head_n, len(recs)):
+                emit(i - 1, i)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                             for k, v in out.items()})
 
-    pairs = exploded.groupby(["table_id", "band"]).map_groups(
-        verify, batch_format="pandas"
-    )
+    pairs = exploded.groupby("coarse").map_groups(coarse_verify,
+                                                  batch_format="pandas")
     # a pair's hamming is the same in every colliding band, so the old
     # Min-aggregate was pure dedup paying per-PAIR group overhead —
     # dedup_pairs keeps the (identical) hamming of the first occurrence
