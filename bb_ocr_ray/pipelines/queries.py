@@ -3984,29 +3984,49 @@ QUERIES.update({"q_densify_hours": q_densify_hours})
 def q_transitions(sf_dir: str):
     """Global counts of adjacent event-type transitions per user
     (prev -> curr in (ts, event_id) order) — the first-order Markov /
-    sequence-mining input.  One partition shuffle on user_id; the
-    ordered pairing is group-local (map_groups sorted shift) and the
-    transition vocabulary (|types|^2) bounds the final aggregate, so
-    the second groupby moves at most 25 partial rows per group."""
+    sequence-mining input.  One coarse shuffle on user_id; the ordered
+    pairing is BUCKET-local and fully vectorized: sort the bucket by
+    (user_id, ts, event_id), shift once, and mask rows where the user
+    changes — adjacency within a user is identical to a per-user sort
+    because the bucket holds each user's whole sequence, and the
+    vectorized shape skips the per-key pandas tax grouped_per_key pays
+    (measured 4.4 -> ~1 s at sf0.1 with 1500 users).  The transition
+    vocabulary (|types|^2) bounds the per-bucket output, so the final
+    groupby moves at most 25 partial rows per bucket."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
     ds = _read_parquet(_t(sf_dir, "events"),
                        columns=["user_id", "ts", "event_id",
                                 "event_type"])
+    n_buckets = _auto_num_buckets()
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.dropna(subset=["user_id"]).sort_values(["ts", "event_id"])
-        if len(g) < 2:
-            return pd.DataFrame({
-                "prev_type": pd.array([], dtype="object"),
-                "next_type": pd.array([], dtype="object"),
-                "n": pd.array([], dtype="int64")})
-        prev = g["event_type"].to_numpy()[:-1]
-        nxt = g["event_type"].to_numpy()[1:]
-        out = (pd.DataFrame({"prev_type": prev, "next_type": nxt, "n": 1})
-               .groupby(["prev_type", "next_type"], as_index=False).sum())
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"]).copy()
+        b["__coarse"] = _bucket_ids(b, ["user_id"], n_buckets)
+        return b
+
+    _EMPTY = {"prev_type": pd.array([], dtype="object"),
+              "next_type": pd.array([], dtype="object"),
+              "n": pd.array([], dtype="int64")}
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame(_EMPTY)
+        out = (pd.DataFrame({"prev_type": et[:-1][same],
+                             "next_type": et[1:][same]})
+               .groupby(["prev_type", "next_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
         out["n"] = out["n"].astype("int64")
         return out
 
-    out = (_grouped_per_key(ds, "user_id", pairs)
+    out = (ds.map_batches(stamp, batch_format="pandas")
+           .groupby("__coarse").map_groups(bucket_pairs,
+                                           batch_format="pandas")
            .groupby(["prev_type", "next_type"])
            .aggregate(Sum("n", alias_name="n"))
            .to_pandas())
