@@ -1962,3 +1962,43 @@ ORACLES["q_interval_join"] = """
                  AND c.s <= r.e AND r.s <= c.e
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_boilerplate"] = """
+    WITH dirty AS (
+      SELECT doc_id, source,
+             '(c) 2026 ' || source || ' all rights reserved' || chr(10) ||
+             'home | about | contact ' || source || chr(10) ||
+             CASE WHEN (doc_id // 20) % 2 = 0
+                  THEN 'subscribe to ' || source || ' newsletter' || chr(10)
+                  ELSE '' END ||
+             CASE WHEN (doc_id // 20) % 4 < 3
+                  THEN 'promo ' || source || ' deals' || chr(10)
+                  ELSE '' END ||
+             coalesce(text, '') || chr(10) ||
+             'footnote ' || doc_id AS t
+      FROM documents),
+    ls AS (SELECT doc_id, source, string_split(t, chr(10)) AS ll
+           FROM dirty),
+    lines AS (SELECT doc_id, source,
+                     unnest(list_transform(generate_series(1, len(ll)),
+                                           i -> ll[i])) AS line,
+                     unnest(generate_series(1, len(ll))) AS idx
+              FROM ls),
+    df AS (SELECT source, line, count(DISTINCT doc_id) AS df
+           FROM lines GROUP BY 1, 2),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    freq AS (SELECT df.source, df.line
+             FROM df JOIN nd ON df.source = nd.source
+             WHERE df.df >= 2 AND df.df * 100 > 60 * nd.n_docs),
+    flagged AS (SELECT l.doc_id, l.idx, l.line,
+                       f.line IS NOT NULL AS bp
+                FROM lines l LEFT JOIN freq f
+                  ON l.source = f.source AND l.line = f.line)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE NOT bp) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
+                        FILTER (WHERE NOT bp), '')) AS clean_md5
+    FROM flagged GROUP BY 1 ORDER BY 1
+"""

@@ -4952,3 +4952,66 @@ def q_interval_join(sf_dir: str):
 
 
 QUERIES.update({"q_interval_join": q_interval_join})
+
+
+# ---------------------------------------------------------------------------
+# Per-domain boilerplate line removal (CCNet/C4 corpus cleaning)
+# ---------------------------------------------------------------------------
+def _plant_boiler(doc_id: int, source: str, text: str) -> str:
+    """Deterministic boilerplate synthesis from doc_id/source
+    arithmetic (the q_pii_scrub pattern — both engines derive the same
+    dirty text): a copyright banner and nav menu on EVERY doc of a
+    source (df 100% -> dropped), a newsletter line on half of each
+    source's docs (~50% -> kept, exercising the
+    frequent-but-below-threshold branch), a promo line on 3/4 of them
+    (~75% -> dropped), the original body, and a per-doc unique
+    footnote (df 1 -> kept).  The conditions key on doc_id // 20 —
+    the WITHIN-source index (source = doc_id % 20 in the synthetic
+    tables), so the ratios hold inside every source; doc_id % 2 would
+    be constant per source and degenerate to 0%/100%."""
+    parts = [f"(c) 2026 {source} all rights reserved",
+             f"home | about | contact {source}"]
+    if (doc_id // 20) % 2 == 0:
+        parts.append(f"subscribe to {source} newsletter")
+    if (doc_id // 20) % 4 < 3:
+        parts.append(f"promo {source} deals")
+    parts.append(text or "")
+    parts.append(f"footnote {doc_id}")
+    return "\n".join(parts)
+
+
+def q_boilerplate(sf_dir: str):
+    """CCNet/C4-style per-domain boilerplate removal
+    (:func:`stages.boilerplate.remove_boilerplate`) exercised on text
+    with PLANTED banners: drop every line present in > 60% of a
+    source's docs (and >= 2 of them), rebuild each doc from its kept
+    lines in order.  The md5 of the rebuilt text proves the rewrite is
+    byte-exact, not just counted; megadoc bodies carry real within-doc
+    repeated lines, so the doc-local-distinct df counting is exercised
+    too.  The keep/drop decision is exact integer arithmetic
+    (df*100 > 60*n_docs) on both engines."""
+    from bb_ocr_ray.stages.boilerplate import remove_boilerplate
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+
+    def dirty(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "source": b["source"],
+             "text": [_plant_boiler(int(d), s, t) for d, s, t in
+                      zip(b["doc_id"], b["source"], b["text"])]})
+
+    cleaned = remove_boilerplate(
+        docs.map_batches(dirty, batch_format="pandas"))
+    out = cleaned.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "n_lines": b["n_lines"].astype("int64"),
+             "n_kept": b["n_kept"].astype("int64"),
+             "clean_md5": [md5_hex(t) for t in b["clean_text"]]}),
+        batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES.update({"q_boilerplate": q_boilerplate})

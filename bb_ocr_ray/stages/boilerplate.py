@@ -1,0 +1,155 @@
+"""Per-domain boilerplate line removal — the CCNet / C4 corpus-cleaning
+stage that strips lines repeated across many documents of the same
+domain (copyright banners, nav menus, cookie notices) while keeping
+content lines (Wenzek et al. 2020 "CCNet", Raffel et al. 2020 "C4";
+public methods).  Reference parity: BB-OCR's preprocess chain strips
+repeated chrome structurally (``enhanced_extractor.py`` head/nav/footer
+tag removal); this is the statistical, corpus-level analog a crawl
+pipeline needs when structure is unavailable.
+
+Scale shape:
+- line document-frequency is ONE coarse fold over a doc-locally
+  distinct (domain, line) explode — per-doc distinct happens inside
+  the explode task (a doc's lines never split across batches there),
+  so the shuffle is bounded by per-doc distinct lines;
+- the domain doc-count table is aggregate-sized (|domains| rows) and
+  the frequent-line table is heavy-hitter-sized (only lines clearing
+  df >= min_docs AND df/n_docs > ratio survive), so both attach via
+  size-gated ``auto_join`` — broadcast at bench scale, distributed
+  hash join when a web-scale domain count outgrows the gate;
+- the rebuild is one coarse shuffle on doc_id with an in-task sort —
+  the q_transitions bucket pattern, never per-doc Ray groups.
+
+Frequency is compared in EXACT integer arithmetic
+(``df * 100 > max_ratio_pct * n_docs``) so the keep/drop decision can
+never drift between engines at any scale.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_SEP = "\x1f"   # never occurs in "\n"-split lines of utf-8 web text
+
+
+def _explode(batch: pd.DataFrame, id_col: str, domain_col: str,
+             text_col: str, distinct: bool) -> pd.DataFrame:
+    ids, doms, idxs, lines = [], [], [], []
+    for d, s, t in zip(batch[id_col], batch[domain_col], batch[text_col]):
+        parts = (t or "").split("\n")
+        if distinct:
+            seen = set()
+            for ln in parts:
+                if ln not in seen:
+                    seen.add(ln)
+                    ids.append(d)
+                    doms.append(s)
+                    lines.append(ln)
+        else:
+            for i, ln in enumerate(parts):
+                ids.append(d)
+                doms.append(s)
+                idxs.append(i)
+                lines.append(ln)
+    out = {id_col: pd.array(ids, dtype="int64"),
+           domain_col: pd.array(doms, dtype="object"),
+           "line": pd.array(lines, dtype="object")}
+    if not distinct:
+        out["idx"] = pd.array(idxs, dtype="int64")
+    return pd.DataFrame(out)
+
+
+def remove_boilerplate(docs_ds, id_col: str = "doc_id",
+                       domain_col: str = "source", text_col: str = "text",
+                       max_ratio_pct: int = 60, min_docs: int = 2,
+                       coarse_buckets: int | None = None):
+    """Drop every line that appears in more than ``max_ratio_pct`` %
+    of a domain's documents (and in at least ``min_docs`` of them);
+    rebuild each document from its kept lines in original order.
+
+    Returns a Dataset of (id_col, n_lines, n_kept, clean_text).
+    """
+    from bb_ocr_ray.stages.coarse import _bucket_ids, coarse_agg
+    from bb_ocr_ray.stages.joins import _auto_num_buckets, auto_join
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+
+    # -- line document frequency (doc-locally distinct inside the
+    #    explode task: a doc's lines never split across batches here)
+    df_rows = docs_ds.map_batches(
+        lambda b: _explode(b, id_col, domain_col, text_col, True)
+        .assign(one=np.int64(1)),
+        batch_format="pandas")
+    df = coarse_agg(df_rows, [domain_col, "line"], {"df": ("one", "sum")},
+                    coarse_buckets=coarse_buckets)
+
+    # -- docs per domain (aggregate-sized; materialized so the join
+    #    gate reads real bytes)
+    nd = coarse_agg(
+        docs_ds.map_batches(
+            lambda b: pd.DataFrame({domain_col: b[domain_col],
+                                    "one": np.int64(1)}),
+            batch_format="pandas"),
+        [domain_col], {"n_docs": ("one", "sum")},
+        coarse_buckets=coarse_buckets).materialize()
+
+    joined = auto_join(df, nd, on=domain_col)
+
+    def pick_frequent(b: pd.DataFrame) -> pd.DataFrame:
+        dfv = b["df"].to_numpy(np.int64)
+        ndv = b["n_docs"].to_numpy(np.int64)
+        m = (dfv >= min_docs) & (dfv * 100 > max_ratio_pct * ndv)
+        b = b[m]
+        return pd.DataFrame(
+            {"k": b[domain_col].astype(str) + _SEP + b["line"].astype(str)})
+
+    # heavy-hitter-sized by construction: each surviving line covers
+    # > ratio of its domain's docs, so a domain holds < 100/ratio of
+    # them per distinct-line slot
+    freq = joined.map_batches(pick_frequent,
+                              batch_format="pandas").materialize()
+
+    # -- flag every positional line, then rebuild per doc
+    lines = docs_ds.map_batches(
+        lambda b: _explode(b, id_col, domain_col, text_col, False),
+        batch_format="pandas")
+
+    flagged = auto_join(
+        lines.map_batches(
+            lambda b: b.assign(
+                k=b[domain_col].astype(str) + _SEP + b["line"].astype(str)),
+            batch_format="pandas"),
+        freq.map_batches(lambda b: b.assign(_bp=np.int64(1)),
+                         batch_format="pandas"),
+        on="k", how="left")
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__coarse"] = _bucket_ids(b, [id_col], coarse_buckets)
+        return b
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "idx"], kind="mergesort")
+        keep = g["_bp"].isna().to_numpy()
+        # vectorized per-bucket fold: boundaries of each doc's run
+        idv = g[id_col].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, idv[1:] != idv[:-1]])
+        ends = np.r_[starts[1:], len(idv)]
+        lv = g["line"].to_numpy()
+        ids_out, n_lines, n_kept, texts = [], [], [], []
+        for s, e in zip(starts, ends):
+            km = keep[s:e]
+            ids_out.append(idv[s])
+            n_lines.append(e - s)
+            n_kept.append(int(km.sum()))
+            texts.append("\n".join(lv[s:e][km]))
+        return pd.DataFrame(
+            {id_col: pd.array(ids_out, dtype="int64"),
+             "n_lines": pd.array(n_lines, dtype="int64"),
+             "n_kept": pd.array(n_kept, dtype="int64"),
+             "clean_text": pd.array(texts, dtype="object")})
+
+    return (flagged.map_batches(stamp, batch_format="pandas")
+            .groupby("__coarse").map_groups(rebuild,
+                                            batch_format="pandas"))

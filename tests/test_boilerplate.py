@@ -1,0 +1,87 @@
+"""remove_boilerplate: differential against a direct pandas
+derivation on a corpus with repeated within-doc lines, NULL text,
+and per-domain frequency structure."""
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _pandas_reference(df, max_ratio_pct=60, min_docs=2):
+    rows = []
+    for _, r in df.iterrows():
+        for i, ln in enumerate((r["text"] or "").split("\n")):
+            rows.append((r["doc_id"], r["source"], i, ln))
+    lines = pd.DataFrame(rows, columns=["doc_id", "source", "idx", "line"])
+    dfq = (lines.drop_duplicates(["doc_id", "source", "line"])
+           .groupby(["source", "line"], as_index=False).size()
+           .rename(columns={"size": "df"}))
+    nd = df.groupby("source", as_index=False).size().rename(
+        columns={"size": "n_docs"})
+    j = dfq.merge(nd, on="source")
+    freq = j[(j["df"] >= min_docs)
+             & (j["df"] * 100 > max_ratio_pct * j["n_docs"])]
+    fset = set(zip(freq["source"], freq["line"]))
+    out = []
+    for d, g in lines.sort_values(["doc_id", "idx"]).groupby("doc_id"):
+        keep = [ln for s, ln in zip(g["source"], g["line"])
+                if (s, ln) not in fset]
+        out.append((d, len(g), len(keep), "\n".join(keep)))
+    return pd.DataFrame(out, columns=["doc_id", "n_lines", "n_kept",
+                                      "clean_text"])
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.RandomState(3)
+    rows = []
+    for d in range(120):
+        src = f"s{d % 4}"
+        body = " ".join(rng.choice(["alpha", "beta", "gamma"], 5))
+        parts = [f"banner {src}"]                     # df 100% -> drop
+        if d % 8 < 4:
+            # 50% per source (src = d%4, so d%2 would be 0 or 100%
+            # within a source — d%8<4 alternates inside each source)
+            parts.append(f"half {src}")               # ~50% -> keep
+        if d % 5 < 4:
+            parts.append(f"often {src}")              # 80% -> drop
+        parts.append(body)
+        if d % 7 == 0:
+            # repeated WITHIN the doc: df must count it once
+            parts.extend(["dup line", "dup line", "dup line"])
+        parts.append(f"tail {d}")                     # unique -> keep
+        rows.append((d, src, "\n".join(parts)))
+    rows.append((900, "s0", None))                    # NULL text
+    return pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+
+
+def test_remove_boilerplate_matches_pandas(ray_session, corpus):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.boilerplate import remove_boilerplate
+
+    got = (remove_boilerplate(rd.from_pandas(corpus))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = (_pandas_reference(corpus)
+            .sort_values("doc_id").reset_index(drop=True))
+    got["doc_id"] = got["doc_id"].astype("int64")
+    for c in ("doc_id", "n_lines", "n_kept", "clean_text"):
+        assert got[c].tolist() == want[c].tolist(), c
+    # the cascade actually fires: every planted doc lost its banner
+    planted = got[got["doc_id"] != 900]
+    assert (planted["n_kept"] < planted["n_lines"]).all()
+    # the ~50% line survived where planted
+    ev = planted[planted["doc_id"] % 8 < 4]
+    assert all("half " in t for t in ev["clean_text"])
+
+
+def test_remove_boilerplate_dup_line_df_counts_docs(ray_session, corpus):
+    """'dup line' appears 3x in each %7 doc (18 of 121 docs per the
+    corpus, under every source's 60%), so within-doc repetition must
+    NOT push it over the threshold — it stays."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.boilerplate import remove_boilerplate
+
+    got = remove_boilerplate(rd.from_pandas(corpus)).to_pandas()
+    d0 = got[got["doc_id"] == 0]["clean_text"].iloc[0]
+    assert d0.count("dup line") == 3
