@@ -2002,3 +2002,34 @@ ORACLES["q_boilerplate"] = """
                         FILTER (WHERE NOT bp), '')) AS clean_md5
     FROM flagged GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["q_pmi_pairs"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    prs AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+                                   i -> tk[i])) AS w1,
+             unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+                                   i -> tk[i+1])) AS w2
+      FROM toks
+      UNION ALL
+      SELECT unnest(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                                   i -> tk[i])),
+             unnest(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                                   i -> tk[i+2]))
+      FROM toks),
+    cnt AS (SELECT w1, w2, count(*) AS c12 FROM prs GROUP BY 1, 2),
+    uni AS (SELECT unnest(tk) AS tok FROM toks),
+    uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+    nt AS (SELECT count(*) AS n_tokens FROM uni),
+    npr AS (SELECT count(*) AS n_pairs FROM prs)
+    SELECT cnt.w1, cnt.w2, CAST(cnt.c12 AS BIGINT) AS c12,
+           round(ln(cnt.c12::DOUBLE / npr.n_pairs * nt.n_tokens / u1.c
+                    * nt.n_tokens / u2.c), 6) AS pmi
+    FROM cnt
+    JOIN uc u1 ON cnt.w1 = u1.tok
+    JOIN uc u2 ON cnt.w2 = u2.tok
+    CROSS JOIN nt CROSS JOIN npr
+    WHERE cnt.c12 >= 5
+    ORDER BY pmi DESC, cnt.w1, cnt.w2 LIMIT 20
+"""

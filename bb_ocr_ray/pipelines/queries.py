@@ -5015,3 +5015,100 @@ def q_boilerplate(sf_dir: str):
 
 
 QUERIES.update({"q_boilerplate": q_boilerplate})
+
+
+# ---------------------------------------------------------------------------
+# PMI cooccurrence pairs (word-association / phrase mining)
+# ---------------------------------------------------------------------------
+def q_pmi_pairs(sf_dir: str, window: int = 2, min_count: int = 5,
+                topk: int = 20):
+    """Pointwise mutual information over skip-gram token pairs (Church
+    & Hanks 1990; the word2vec-era association-mining input — public
+    method): for every ordered pair (t[i], t[i+d]), d in 1..window,
+    PMI = ln(P(pair) / (P(w1) P(w2))) with P(pair) = c12/n_pairs and
+    P(w) = c/n_tokens.  Top-k pairs by (pmi desc, w1, w2) at
+    c12 >= min_count.
+
+    Scale shape: per-batch Counter partials bound both explodes at
+    per-doc vocabulary; the pair and unigram tables are
+    vocabulary-sized coarse folds; the c12 >= min_count filter shrinks
+    the pair table BEFORE the two unigram attachments (vocab-sized
+    hash joins — never corpus-wide); the grand totals are two
+    aggregate sums.  The sort ranks the filtered pair table only.
+    pmi rounds to 6 dp before ranking (cross-engine libm drift is
+    ~1e-13; ties break on the pair itself)."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.stages.coarse import coarse_agg
+    from bb_ocr_ray.stages.joins import hash_join
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def pair_partials(b: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in b["text"]:
+            tk = ws_tokens(t or "")
+            for d in range(1, window + 1):
+                c.update(zip(tk[:-d], tk[d:]))
+        if not c:
+            return pd.DataFrame({"w1": pd.array([], dtype="object"),
+                                 "w2": pd.array([], dtype="object"),
+                                 "k": pd.array([], dtype="int64")})
+        w1s, w2s = zip(*c.keys())
+        return pd.DataFrame({"w1": pd.array(w1s, dtype="object"),
+                             "w2": pd.array(w2s, dtype="object"),
+                             "k": pd.array(list(c.values()),
+                                           dtype="int64")})
+
+    def tok_partials(b: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in b["text"]:
+            c.update(ws_tokens(t or ""))
+        return pd.DataFrame({"tok": pd.array(list(c.keys()),
+                                             dtype="object"),
+                             "k": pd.array(list(c.values()),
+                                           dtype="int64")})
+
+    # the pair table feeds the min_count filter AND the grand total —
+    # pair-vocabulary-sized, materialize once so the corpus explode
+    # runs exactly once for it
+    pairs = coarse_agg(ds.map_batches(pair_partials,
+                                      batch_format="pandas"),
+                       ["w1", "w2"], {"c12": ("k", "sum")}).materialize()
+    # unigram counts feed BOTH attachments and both grand totals —
+    # vocabulary-sized, materialize once
+    uni = coarse_agg(ds.map_batches(tok_partials, batch_format="pandas"),
+                     ["tok"], {"c": ("k", "sum")}).materialize()
+
+    n_tokens = int(uni.sum("c"))
+    n_pairs = int(pairs.sum("c12"))
+    kept = pairs.filter(expr=f"c12 >= {int(min_count)}")
+
+    j = hash_join(
+        kept.map_batches(lambda b: b.rename(columns={"w1": "tok"}),
+                         batch_format="pandas"),
+        uni, on="tok")
+    j = hash_join(
+        j.map_batches(
+            lambda b: pd.DataFrame({"w1": b["tok"], "c1": b["c"],
+                                    "w2": b["w2"], "c12": b["c12"]})
+            .rename(columns={"w2": "tok"}), batch_format="pandas"),
+        uni, on="tok")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        c12 = b["c12"].astype("float64").to_numpy()
+        c1 = b["c1"].astype("float64").to_numpy()
+        c2 = b["c"].astype("float64").to_numpy()
+        pmi = np.log(c12 / n_pairs * n_tokens / c1 * n_tokens / c2)
+        return pd.DataFrame({"w1": b["w1"], "w2": b["tok"],
+                             "c12": b["c12"].astype("int64"),
+                             "pmi": _round_sql(pd.Series(pmi), 6)})
+
+    out = (j.map_batches(score, batch_format="pandas")
+           .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+           .limit(topk).to_pandas())
+    return out.reset_index(drop=True)
+
+
+QUERIES.update({"q_pmi_pairs": q_pmi_pairs})

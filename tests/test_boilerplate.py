@@ -85,3 +85,32 @@ def test_remove_boilerplate_dup_line_df_counts_docs(ray_session, corpus):
     got = remove_boilerplate(rd.from_pandas(corpus)).to_pandas()
     d0 = got[got["doc_id"] == 0]["clean_text"].iloc[0]
     assert d0.count("dup line") == 3
+
+
+def test_pmi_pairs_deterministic_and_windowed(ray_session, tmp_path):
+    """q_pmi_pairs: stable across runs, and distance-2 skip-grams are
+    really counted (a corpus where 'a c' only ever cooccurs at d=2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bb_ocr_ray.pipelines.queries import q_pmi_pairs
+
+    docs = ["a b c"] * 6 + ["b c a"] * 3 + ["c b a"] * 3
+    tbl = pa.table({"doc_id": pa.array(range(12), "int64"),
+                    "text": pa.array(docs, "string"),
+                    "lang": pa.array(["en"] * 12, "string"),
+                    "source": pa.array(["s"] * 12, "string"),
+                    "n_chars": pa.array([5] * 12, "int64")})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    r1 = q_pmi_pairs(str(tmp_path), min_count=2, topk=50)
+    r2 = q_pmi_pairs(str(tmp_path), min_count=2, topk=50)
+    assert r1.values.tolist() == r2.values.tolist()
+    got = {(a, b): c for a, b, c in
+           zip(r1["w1"], r1["w2"], r1["c12"])}
+    # d=2 pair from 'a b c' (x6); d=1 'a b' also x6
+    assert got[("a", "c")] == 6
+    assert got[("a", "b")] == 6
+    # ranking is (pmi desc, w1, w2): verify sortedness
+    key = list(zip(-r1["pmi"], r1["w1"], r1["w2"]))
+    assert key == sorted(key)
