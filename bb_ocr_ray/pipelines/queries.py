@@ -4456,7 +4456,11 @@ def q_lm_quality(sf_dir: str):
     bigrams sharing w1 — a vocabulary-sized fold), and cc pre-joins
     into the count table (vocabulary-sized join on w1) so the probe
     stream attaches (c, cc) in a single hash join on bg.  Previously:
-    three corpus explodes + four corpus-wide shuffles.  At 100 TB
+    three corpus explodes + four corpus-wide shuffles.  The model
+    ASSEMBLY is size-gated: a heap-sized vocabulary builds (bg, c, cc)
+    on the driver (two shuffles on a 10^3-row table are pure fixed
+    overhead), a web-scale vocabulary routes to the distributed fold +
+    join; the corpus-wide probe join is distributed on BOTH paths.  At 100 TB
     prune to top-V bigrams by document frequency first (the
     q_inverted_index pattern); the per-doc fold is one more
     coarse_agg.  Nothing row-unbounded on the driver.  avg_logp
@@ -4486,23 +4490,43 @@ def q_lm_quality(sf_dir: str):
              "bg": pd.array(bgs, dtype="object"),
              "k": pd.array(ks, dtype="int64")})
 
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import _BROADCAST_LIMIT_BYTES
+
     rows = ds.map_batches(bigram_partials, batch_format="pandas")
-    cnt = coarse_agg(rows, ["bg"], {"c": ("k", "sum")})
+    # materialized so the assembly gate below reads real bytes; it is
+    # bigram-vocabulary-sized — the LM model itself, not the corpus
+    cnt = coarse_agg(rows, ["bg"], {"c": ("k", "sum")}).materialize()
 
-    def add_w1(b: pd.DataFrame) -> pd.DataFrame:
-        # ws_tokens splits on ASCII whitespace, so w1 never contains a
-        # plain space — the first space in bg is exactly the seam
-        b = b.copy()
-        b["w1"] = b["bg"].str.split(" ", n=1).str[0]
-        return b
+    if cnt.size_bytes() <= _BROADCAST_LIMIT_BYTES:
+        # vocabulary fits a heap: assemble (bg, c, cc) on the driver —
+        # two shuffles on a 10^3-row table cost whole seconds of fixed
+        # overhead (measured 3 s at 32 cpus).  The CORPUS-wide probe
+        # join below stays distributed either way; the join-attached
+        # posture this query demonstrates is the probe side, which
+        # never fits a heap.
+        mp = cnt.to_pandas()
+        # ws_tokens splits on ASCII whitespace, so w1 never contains
+        # a plain space — the first space in bg is exactly the seam
+        mp["w1"] = mp["bg"].str.split(" ", n=1).str[0]
+        cc = (mp.groupby("w1", as_index=False)["c"].sum()
+              .rename(columns={"c": "cc"}))
+        model = rd.from_pandas(
+            mp.merge(cc, on="w1").drop(columns=["w1"]))
+    else:
+        def add_w1(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["w1"] = b["bg"].str.split(" ", n=1).str[0]
+            return b
 
-    # cnt_w1 feeds BOTH the context fold and the model join; without a
-    # materialize each consumer re-runs the corpus-wide bigram fold
-    # through lazy lineage.  It is bigram-vocabulary-sized — the LM
-    # model itself, not the corpus.
-    cnt_w1 = cnt.map_batches(add_w1, batch_format="pandas").materialize()
-    ctx = coarse_agg(cnt_w1, ["w1"], {"cc": ("c", "sum")})
-    model = hash_join(cnt_w1, ctx, on="w1")
+        # cnt_w1 feeds BOTH the context fold and the model join —
+        # materialize so neither re-runs the corpus-wide bigram fold
+        cnt_w1 = (cnt.map_batches(add_w1, batch_format="pandas")
+                  .materialize())
+        ctx = coarse_agg(cnt_w1, ["w1"], {"cc": ("c", "sum")})
+        model = hash_join(cnt_w1, ctx, on="w1")
+
     j = hash_join(rows, model, on="bg")
 
     def lp(b: pd.DataFrame) -> pd.DataFrame:

@@ -212,6 +212,13 @@ def run_plain() -> dict:
         "q_dup_spans": bench_query(Q.q_dup_spans, SF_DIR),
         "q_link_graph": bench_query(Q.q_link_graph, SF_DIR),
         "q_pagerank": bench_query(Q.q_pagerank, SF_DIR),
+        # round-4 showcase ops: coarse-bucketed simhash banding, the
+        # 2-pass bigram-LM quality scorer, bucket-vectorized Markov
+        # transitions, per-domain boilerplate removal
+        "q_simhash_near_dups": bench_query(Q.q_simhash_near_dups, SF_DIR),
+        "q_lm_quality": bench_query(Q.q_lm_quality, SF_DIR),
+        "q_transitions": bench_query(Q.q_transitions, SF_DIR),
+        "q_boilerplate": bench_query(Q.q_boilerplate, SF_DIR),
     }
     out = {
         "metric": "headline extraction wall time (docs->text)",

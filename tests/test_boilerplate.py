@@ -114,3 +114,16 @@ def test_pmi_pairs_deterministic_and_windowed(ray_session, tmp_path):
     # ranking is (pmi desc, w1, w2): verify sortedness
     key = list(zip(-r1["pmi"], r1["w1"], r1["w2"]))
     assert key == sorted(key)
+
+
+def test_lm_quality_assembly_paths_agree(ray_session, sf_tiny, monkeypatch):
+    """The size-gated LM model assembly (driver pandas vs distributed
+    fold+join) is a pure plan choice: forcing the distributed path
+    with a 0-byte gate must yield identical scores."""
+    import bb_ocr_ray.stages.joins as joins
+    from bb_ocr_ray.pipelines.queries import q_lm_quality
+
+    a = q_lm_quality(sf_tiny)
+    monkeypatch.setattr(joins, "_BROADCAST_LIMIT_BYTES", 0)
+    b = q_lm_quality(sf_tiny)
+    assert a.values.tolist() == b.values.tolist()
