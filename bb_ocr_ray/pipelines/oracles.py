@@ -2033,3 +2033,27 @@ ORACLES["q_pmi_pairs"] = f"""
     WHERE cnt.c12 >= 5
     ORDER BY pmi DESC, cnt.w1, cnt.w2 LIMIT 20
 """
+
+
+ORACLES["q_seed_distance"] = """
+    WITH RECURSIVE e AS (
+      SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+      WHERE (d.doc_id * d.doc_id + 3 * d.doc_id) % 11 >= 3
+        AND EXISTS (SELECT 1 FROM documents x
+                    WHERE x.doc_id = d.doc_id + 1)
+      UNION ALL
+      SELECT d.doc_id, d.doc_id + 2 FROM documents d
+      WHERE (7 * d.doc_id + 5) % 13 >= 4
+        AND EXISTS (SELECT 1 FROM documents x
+                    WHERE x.doc_id = d.doc_id + 2)),
+    bfs AS (
+      SELECT doc_id AS node, 0 AS dist FROM documents
+      WHERE doc_id % 97 = 0
+      UNION ALL
+      -- the edge rule only points to HIGHER doc_ids, so the graph is
+      -- a DAG and path count is bounded (out-degree <= 2, depth <= 8)
+      SELECT e.dst, b.dist + 1 FROM bfs b
+      JOIN e ON e.src = b.node WHERE b.dist < 8)
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY 1 ORDER BY 1
+"""

@@ -825,3 +825,37 @@ def test_triangle_count_degree_paths_agree(ray_session):
     key = lambda t: sorted(zip(t["a"], t["b"], t["c"]))  # noqa: E731
     assert key(bcast) == key(joined)
     assert len(bcast) > 20          # non-degenerate
+
+
+def test_seed_distance_matches_numpy_bfs(ray_session, sf_tiny):
+    """q_seed_distance == a direct numpy/dict BFS over the same
+    existence-checked DAG (min hop from any seed, capped)."""
+    from collections import deque
+
+    import pyarrow.parquet as pq
+
+    from bb_ocr_ray.pipelines.queries import q_seed_distance
+
+    got = q_seed_distance(sf_tiny)
+
+    ids = set(pq.read_table(f"{sf_tiny}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_pylist())
+    adj = {}
+    for d in ids:
+        if (d * d + 3 * d) % 11 >= 3 and d + 1 in ids:
+            adj.setdefault(d, []).append(d + 1)
+        if (7 * d + 5) % 13 >= 4 and d + 2 in ids:
+            adj.setdefault(d, []).append(d + 2)
+    dist = {d: 0 for d in ids if d % 97 == 0}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        if dist[u] >= 8:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    want = sorted(dist.items())
+    assert list(zip(got["node"], got["dist"])) == want
+    assert got["dist"].max() >= 2          # real multi-hop propagation
