@@ -2057,3 +2057,50 @@ ORACLES["q_seed_distance"] = """
     SELECT node, CAST(min(dist) AS BIGINT) AS dist
     FROM bfs GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["q_hybrid_rrf"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    lens AS (SELECT doc_id, len(tk) AS L FROM toks),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(L) AS DOUBLE) / count(*) AS avglen
+              FROM lens),
+    pc AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM pc GROUP BY 1),
+    terms AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3),
+    tf AS (SELECT p.doc_id, p.tok, count(*) AS tf
+           FROM pc p JOIN terms t ON p.tok = t.tok GROUP BY 1, 2),
+    contrib AS (
+        SELECT f.doc_id,
+               ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                 * f.tf * (1.2 + 1)
+                 / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.L / s.avglen))
+                 AS c
+        FROM tf f
+        JOIN terms t ON t.tok = f.tok
+        JOIN lens l ON l.doc_id = f.doc_id
+        CROSS JOIN stats s),
+    scored AS (
+        SELECT l.doc_id, round(coalesce(sum(x.c), 0.0), 4) AS score
+        FROM lens l LEFT JOIN contrib x ON x.doc_id = l.doc_id
+        GROUP BY l.doc_id),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rl
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    dn0 AS (SELECT e.vec_id AS doc_id,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(
+                       q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                     e.vec_id) AS rd
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    dn AS (SELECT doc_id, rd FROM dn0 WHERE rd <= 20)
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + l.rl), 0), 6) AS lex_rrf,
+           round(coalesce(1.0 / (60 + d.rd), 0), 6) AS dense_rrf,
+           round(coalesce(1.0 / (60 + l.rl), 0)
+                 + coalesce(1.0 / (60 + d.rd), 0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN dn d ON l.doc_id = d.doc_id
+    ORDER BY 4 DESC, 1
+"""

@@ -5237,3 +5237,46 @@ def q_seed_distance(sf_dir: str, max_hops: int = 8):
 
 
 QUERIES.update({"q_seed_distance": q_seed_distance})
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine arms
+# ---------------------------------------------------------------------------
+def q_hybrid_rrf(sf_dir: str, k_fuse: int = 60):
+    """Reciprocal-rank fusion of a lexical and a dense retrieval arm —
+    the hybrid-retrieval step of a RAG / retrieval stack (Cormack,
+    Clarke & Buettcher SIGIR'09; public method).  The arms are the
+    existing operators: q_bm25's top-20 (corpus-stat folds + partial
+    top-k scoring map) and ann_topk's exact cosine top-20 for query
+    vector 0 (query broadcast once, corpus streams, distributed
+    partial top-k).  Both arm outputs are k-row aggregates, so the
+    fusion itself is driver-side arithmetic BY CONSTRUCTION — the
+    distributed work is inside the arms.  RRF contributions
+    1/(k_fuse + rank) are integer-ratio doubles, bit-identical across
+    engines; outputs round to 6 dp (the canon grain)."""
+    from bb_ocr_ray.stages.ann import ann_topk
+
+    lex = q_bm25(sf_dir).reset_index(drop=True)
+    lex["r_lex"] = np.arange(1, len(lex) + 1, dtype="int64")
+
+    vecs = _read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    dn = ann_topk(vecs, query_ids=[0], k=20).to_pandas()
+    dn = pd.DataFrame({"doc_id": dn["neighbor_id"].astype("int64"),
+                       "r_dense": dn["rank"].astype("int64")})
+
+    f = lex[["doc_id", "r_lex"]].merge(dn, on="doc_id", how="outer")
+    lexc = np.where(f["r_lex"].notna(),
+                    1.0 / (k_fuse + f["r_lex"].fillna(0)), 0.0)
+    denc = np.where(f["r_dense"].notna(),
+                    1.0 / (k_fuse + f["r_dense"].fillna(0)), 0.0)
+    out = pd.DataFrame({
+        "doc_id": f["doc_id"].astype("int64"),
+        "lex_rrf": _round_sql(pd.Series(lexc), 6),
+        "dense_rrf": _round_sql(pd.Series(denc), 6),
+        "rrf": _round_sql(pd.Series(lexc + denc), 6)})
+    return (out.sort_values(["rrf", "doc_id"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_hybrid_rrf": q_hybrid_rrf})
