@@ -2104,3 +2104,27 @@ ORACLES["q_hybrid_rrf"] = f"""
     FROM lex l FULL OUTER JOIN dn d ON l.doc_id = d.doc_id
     ORDER BY 4 DESC, 1
 """
+
+
+ORACLES["q_ctfidf"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT t.doc_id, e.label, unnest(t.tk) AS token
+           FROM toks t JOIN embeddings e ON e.vec_id = t.doc_id),
+    ct AS (SELECT CAST(label AS BIGINT) AS label, token,
+                  CAST(count(*) AS BIGINT) AS tf
+           FROM pc GROUP BY 1, 2),
+    ft AS (SELECT token, sum(tf) AS f FROM ct GROUP BY 1),
+    a AS (SELECT CAST(sum(tf) AS DOUBLE)
+                 / count(DISTINCT label) AS avg_per_class FROM ct),
+    scored AS (
+        SELECT ct.label, ct.token, ct.tf,
+               round(ct.tf * ln(1.0 + a.avg_per_class / ft.f), 6) AS w
+        FROM ct JOIN ft ON ct.token = ft.token CROSS JOIN a),
+    ranked AS (
+        SELECT label, token, tf, w,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY w DESC, token) AS rank
+        FROM scored)
+    SELECT label, CAST(rank AS BIGINT) AS rank, token, tf, w
+    FROM ranked WHERE rank <= 5 ORDER BY 1, 2
+"""

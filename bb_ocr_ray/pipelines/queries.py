@@ -5280,3 +5280,97 @@ def q_hybrid_rrf(sf_dir: str, k_fuse: int = 60):
 
 
 QUERIES.update({"q_hybrid_rrf": q_hybrid_rrf})
+
+
+# ---------------------------------------------------------------------------
+# c-TF-IDF cluster labeling (BERTopic-style top terms per cluster)
+# ---------------------------------------------------------------------------
+def q_ctfidf(sf_dir: str, topk: int = 5):
+    """Class-based TF-IDF over the embedding clusters — the topic /
+    cluster LABELING step of a BERTopic-style corpus map (Grootendorst
+    2022; public method): every document joins its cluster id (the
+    embeddings table's label column, 1:1 on id), per-(cluster, term)
+    counts fold once, and W(t,c) = tf(t,c) * ln(1 + A / f(t)) ranks
+    each cluster's characteristic terms, where f(t) is the term's
+    corpus-wide count and A the mean tokens per cluster.
+
+    Scale shape: one 1:1 bucketed hash join attaches cluster ids; the
+    (cluster, term) table is one coarse fold bounded by cluster-local
+    vocabulary; f(t) derives from THAT table (vocabulary-sized fold —
+    the q_lm_quality trick, never a second corpus pass); A is an
+    aggregate scalar; top-k per cluster is the partial-top-k +
+    grouped-final pattern.  W rounds to 6 dp before ranking; ties
+    break term-ascending on both engines."""
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.stages.joins import hash_join
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    labels = _read_parquet(_t(sf_dir, "embeddings"),
+                           columns=["vec_id", "label"]).map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["vec_id"].astype("int64"),
+                                "label": b["label"].astype("int64")}),
+        batch_format="pandas")
+
+    joined = hash_join(docs, labels, on="doc_id")
+
+    def term_partials(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c = Counter()
+        for lab, t in zip(b["label"], b["text"]):
+            for tok in ws_tokens(t or ""):
+                c[(int(lab), tok)] += 1
+        if not c:
+            return pd.DataFrame({"label": pd.array([], dtype="int64"),
+                                 "token": pd.array([], dtype="object"),
+                                 "k": pd.array([], dtype="int64")})
+        labs, toks = zip(*c.keys())
+        return pd.DataFrame({"label": pd.array(labs, dtype="int64"),
+                             "token": pd.array(toks, dtype="object"),
+                             "k": pd.array(list(c.values()),
+                                           dtype="int64")})
+
+    # (cluster, term) counts — the model table; feeds f(t), A and the
+    # scoring scan, so materialize once (vocabulary-sized)
+    ct = coarse_agg(joined.map_batches(term_partials,
+                                       batch_format="pandas"),
+                    ["label", "token"], {"tf": ("k", "sum")}).materialize()
+
+    ft = coarse_agg(ct, ["token"], {"f": ("tf", "sum")})
+    n_classes = len(ct.unique("label"))
+    total_tokens = int(ct.sum("tf"))
+    avg_per_class = total_tokens / n_classes
+
+    scored = hash_join(ct, ft, on="token")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        w = (b["tf"].astype("float64").to_numpy()
+             * np.log(1.0 + avg_per_class
+                      / b["f"].astype("float64").to_numpy()))
+        return pd.DataFrame({"label": b["label"].astype("int64"),
+                             "token": b["token"],
+                             "tf": b["tf"].astype("int64"),
+                             "w": _round_sql(pd.Series(w), 6)})
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["label", "w", "token"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+                .groupby("label", as_index=False).head(topk))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["w", "token"], ascending=[False, True],
+                          kind="mergesort").head(topk)
+        return g.assign(rank=pd.Series(range(1, len(g) + 1),
+                                       dtype="int64").values)
+
+    out = (scored.map_batches(score, batch_format="pandas")
+           .map_batches(local_topk, batch_format="pandas")
+           .groupby("label").map_groups(final_topk,
+                                        batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["label", "rank"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_ctfidf": q_ctfidf})
