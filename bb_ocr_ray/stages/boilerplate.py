@@ -9,9 +9,10 @@ pipeline needs when structure is unavailable.
 
 Scale shape:
 - line document-frequency is ONE coarse fold over a doc-locally
-  distinct (domain, line) explode — per-doc distinct happens inside
-  the explode task (a doc's lines never split across batches there),
-  so the shuffle is bounded by per-doc distinct lines;
+  distinct (domain, line-md5) explode — per-doc distinct happens
+  inside the explode task (a doc's lines never split across batches
+  there), and 16-byte HASHES travel through the shuffle, never line
+  text (the paragraph_dedup phash precedent);
 - the domain doc-count table is aggregate-sized (|domains| rows) and
   the frequent-line table is heavy-hitter-sized (only lines clearing
   df >= min_docs AND df/n_docs > ratio survive), so both attach via
@@ -34,7 +35,14 @@ _SEP = "\x1f"   # never occurs in "\n"-split lines of utf-8 web text
 
 def _explode(batch: pd.DataFrame, id_col: str, domain_col: str,
              text_col: str, distinct: bool) -> pd.DataFrame:
-    ids, doms, idxs, lines = [], [], [], []
+    """distinct=True emits (id, domain, line md5) — the df fold's
+    input; HASHES travel through the shuffle, never line text (the
+    paragraph_dedup phash precedent).  distinct=False emits the
+    positional (id, domain, idx, line, lh) rows the rebuild needs —
+    those never shuffle (the frequent-set flag attaches map-side)."""
+    from bb_ocr_ray.functions.hashing import md5_hex
+
+    ids, doms, idxs, lines, hashes = [], [], [], [], []
     for d, s, t in zip(batch[id_col], batch[domain_col], batch[text_col]):
         parts = (t or "").split("\n")
         if distinct:
@@ -44,18 +52,20 @@ def _explode(batch: pd.DataFrame, id_col: str, domain_col: str,
                     seen.add(ln)
                     ids.append(d)
                     doms.append(s)
-                    lines.append(ln)
+                    hashes.append(md5_hex(ln))
         else:
             for i, ln in enumerate(parts):
                 ids.append(d)
                 doms.append(s)
                 idxs.append(i)
                 lines.append(ln)
+                hashes.append(md5_hex(ln))
     out = {id_col: pd.array(ids, dtype="int64"),
            domain_col: pd.array(doms, dtype="object"),
-           "line": pd.array(lines, dtype="object")}
+           "lh": pd.array(hashes, dtype="object")}
     if not distinct:
         out["idx"] = pd.array(idxs, dtype="int64")
+        out["line"] = pd.array(lines, dtype="object")
     return pd.DataFrame(out)
 
 
@@ -81,7 +91,7 @@ def remove_boilerplate(docs_ds, id_col: str = "doc_id",
         lambda b: _explode(b, id_col, domain_col, text_col, True)
         .assign(one=np.int64(1)),
         batch_format="pandas")
-    df = coarse_agg(df_rows, [domain_col, "line"], {"df": ("one", "sum")},
+    df = coarse_agg(df_rows, [domain_col, "lh"], {"df": ("one", "sum")},
                     coarse_buckets=coarse_buckets)
 
     # -- docs per domain (aggregate-sized; materialized so the join
@@ -102,7 +112,7 @@ def remove_boilerplate(docs_ds, id_col: str = "doc_id",
         m = (dfv >= min_docs) & (dfv * 100 > max_ratio_pct * ndv)
         b = b[m]
         return pd.DataFrame(
-            {"k": b[domain_col].astype(str) + _SEP + b["line"].astype(str)})
+            {"k": b[domain_col].astype(str) + _SEP + b["lh"].astype(str)})
 
     # heavy-hitter-sized by construction: each surviving line covers
     # > ratio of its domain's docs, so a domain holds < 100/ratio of
@@ -118,7 +128,7 @@ def remove_boilerplate(docs_ds, id_col: str = "doc_id",
     flagged = auto_join(
         lines.map_batches(
             lambda b: b.assign(
-                k=b[domain_col].astype(str) + _SEP + b["line"].astype(str)),
+                k=b[domain_col].astype(str) + _SEP + b["lh"].astype(str)),
             batch_format="pandas"),
         freq.map_batches(lambda b: b.assign(_bp=np.int64(1)),
                          batch_format="pandas"),
