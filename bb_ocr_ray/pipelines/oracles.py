@@ -2128,3 +2128,17 @@ ORACLES["q_ctfidf"] = f"""
     SELECT label, CAST(rank AS BIGINT) AS rank, token, tf, w
     FROM ranked WHERE rank <= 5 ORDER BY 1, 2
 """
+
+
+ORACLES["q_sorted_neighborhood"] = """
+    WITH k AS (SELECT doc_id, substr(coalesce(text, ''), 1, 12) AS bk
+               FROM documents),
+    r AS (SELECT doc_id, bk,
+                 row_number() OVER (ORDER BY bk, doc_id) AS rnk
+          FROM k)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(b.rnk - a.rnk AS BIGINT) AS d,
+           CAST(a.bk = b.bk AS BIGINT) AS key_match
+    FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+    ORDER BY 1, 2
+"""

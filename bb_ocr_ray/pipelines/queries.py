@@ -5374,3 +5374,27 @@ def q_ctfidf(sf_dir: str, topk: int = 5):
 
 
 QUERIES.update({"q_ctfidf": q_ctfidf})
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking pairs (merge/purge dedup family)
+# ---------------------------------------------------------------------------
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood candidate pairs
+    (:func:`stages.dedup.sorted_neighborhood_pairs`, window 3,
+    blocking key = first 12 chars of text): the non-LSH dedup
+    blocking strategy.  Rank parity holds across engines because the
+    (key, doc_id) order is total, Python compares str by codepoint,
+    and DuckDB's default binary collation compares UTF-8 bytes —
+    UTF-8 preserves codepoint order, so the two sorts are identical
+    on any text."""
+    from bb_ocr_ray.stages.dedup import sorted_neighborhood_pairs
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    out = sorted_neighborhood_pairs(docs).to_pandas()
+    return (out.sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_sorted_neighborhood": q_sorted_neighborhood})

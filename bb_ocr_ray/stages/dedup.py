@@ -1063,3 +1063,95 @@ def dup_span_stats(docs_ds, k: int = 8, id_col: str = "doc_id",
             .groupby("_db").map_groups(
                 lambda g: per_doc(g.drop(columns=["_db"])),
                 batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood candidate pairs (merge/purge blocking)
+# ---------------------------------------------------------------------------
+def sorted_neighborhood_pairs(docs_ds, key_fn=None, window: int = 3,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              bucket_chars: int = 2):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95
+    merge/purge; public method): sort all records by a blocking key,
+    pair every record with its next ``window`` neighbors in the global
+    sort order.  The non-LSH dedup blocking strategy — catches
+    near-dups whose keys sort adjacently even when no hash bucket
+    would collide.
+
+    Scale shape (no global sort of the data): records bucket by the
+    first ``bucket_chars`` characters of the key — a prefix partition
+    of the sort order, so ranks are bucket offset + local rank; a
+    per-bucket count histogram prefix-sums on the driver
+    (bucket-vocabulary-sized, the q_zip_index pattern); ONE shuffle
+    co-locates each bucket, which sorts locally by (key, id).
+    Neighbor pairs come from a ``window``-way offset replication +
+    one integer hash join on the global rank, so bucket-boundary
+    pairs need no special casing.  Partitioning assumption: the
+    ``bucket_chars``-prefix distribution bounds the largest bucket —
+    at web scale raise ``bucket_chars`` (each char multiplies the
+    partition count) the way a longer LSH band narrows buckets.
+
+    Returns (id_a, id_b, d, key_match): ids of the lower/higher
+    ranked record, their rank distance 1..window, and whether the two
+    BLOCKING KEYS are equal (the cheap verify feature).
+    """
+    from bb_ocr_ray.stages.joins import hash_join
+
+    if key_fn is None:
+        def key_fn(t):
+            return (t or "")[:12]
+
+    def keys(b: pd.DataFrame) -> pd.DataFrame:
+        bk = [key_fn(t) for t in b[text_col]]
+        return pd.DataFrame({id_col: b[id_col].astype("int64"),
+                             "bk": pd.array(bk, dtype="object"),
+                             "bucket": pd.array(
+                                 [k[:bucket_chars] for k in bk],
+                                 dtype="object")})
+
+    keyed = docs_ds.map_batches(keys, batch_format="pandas").materialize()
+
+    # bucket histogram -> driver prefix sum (bucket-vocabulary-sized)
+    hist = keyed.map_batches(
+        lambda b: b.groupby("bucket", as_index=False)
+        .size().rename(columns={"size": "n"}),
+        batch_format="pandas").to_pandas()
+    hist = (hist.groupby("bucket", as_index=False)["n"].sum()
+            .sort_values("bucket", kind="mergesort"))
+    offsets = dict(zip(hist["bucket"],
+                       np.cumsum(np.r_[0, hist["n"].to_numpy()[:-1]])))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bk", id_col], kind="mergesort")
+        base = int(offsets[g["bucket"].iloc[0]])
+        return pd.DataFrame({
+            id_col: g[id_col].astype("int64").to_numpy(),
+            "bk": g["bk"].to_numpy(),
+            "rnk": base + np.arange(len(g), dtype="int64")})
+
+    ranked = (keyed.groupby("bucket")
+              .map_groups(rank_bucket, batch_format="pandas")
+              .materialize())
+
+    def probes(b: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for d in range(1, window + 1):
+            parts.append(pd.DataFrame({
+                "id_a": b[id_col].astype("int64"),
+                "bk_a": b["bk"],
+                "d": np.full(len(b), d, dtype="int64"),
+                "rnk": b["rnk"].astype("int64") + d}))
+        return pd.concat(parts, ignore_index=True)
+
+    pairs = hash_join(ranked.map_batches(probes, batch_format="pandas"),
+                      ranked, on="rnk")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id_a": b["id_a"].astype("int64"),
+            "id_b": b[id_col].astype("int64"),
+            "d": b["d"].astype("int64"),
+            "key_match": (b["bk_a"] == b["bk"]).astype("int64")})
+
+    return pairs.map_batches(finish, batch_format="pandas")

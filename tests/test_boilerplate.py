@@ -127,3 +127,40 @@ def test_lm_quality_assembly_paths_agree(ray_session, sf_tiny, monkeypatch):
     monkeypatch.setattr(joins, "_BROADCAST_LIMIT_BYTES", 0)
     b = q_lm_quality(sf_tiny)
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_sorted_neighborhood_matches_pandas(ray_session):
+    """Operator pairs == a direct pandas rank derivation, on a corpus
+    engineered so pairs CROSS bucket boundaries (keys spread over many
+    2-char prefixes) and one prefix is heavily skewed."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.RandomState(9)
+    texts = [f"{c}{c2} body {i}" for i, (c, c2) in
+             enumerate(zip(rng.choice(list("abcd"), 200),
+                           rng.choice(list("xy"), 200)))]
+    texts += [f"zz skewed {i}" for i in range(60)]     # one hot bucket
+    texts += ["", "", "éaccent unicode"]          # empties + unicode
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+
+    got = (sorted_neighborhood_pairs(rd.from_pandas(df)).to_pandas()
+           .sort_values(["id_a", "id_b", "d"]).reset_index(drop=True))
+
+    ref = df.copy()
+    ref["bk"] = ref["text"].str[:12].fillna("")
+    ref = ref.sort_values(["bk", "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+    rows = []
+    for i in range(len(ref)):
+        for d in range(1, 4):
+            if i + d < len(ref):
+                rows.append((ref["doc_id"][i], ref["doc_id"][i + d], d,
+                             int(ref["bk"][i] == ref["bk"][i + d])))
+    want = (pd.DataFrame(rows, columns=["id_a", "id_b", "d", "key_match"])
+            .sort_values(["id_a", "id_b", "d"]).reset_index(drop=True))
+    assert got.values.tolist() == want.values.tolist()
+    # boundary pairs exist: some pair spans two different buckets
+    assert (got["key_match"] == 0).any() and (got["key_match"] == 1).any()
