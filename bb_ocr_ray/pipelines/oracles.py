@@ -2142,3 +2142,25 @@ ORACLES["q_sorted_neighborhood"] = """
     FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_embed_covariance"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    x AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i,
+                 unnest(list_transform(generate_series(1, 64),
+                                       k -> e[k])) AS val
+          FROM v),
+    n AS (SELECT count(*) AS n FROM v),
+    s AS (SELECT i, sum(val) AS sx FROM x GROUP BY 1),
+    p AS (SELECT a.i AS i, b.i AS j, sum(a.val * b.val) AS sxy
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           round((p.sxy - sa.sx * sb.sx / n.n) / n.n, 6) AS cov
+    FROM p
+    JOIN s sa ON sa.i = p.i
+    JOIN s sb ON sb.i = p.j
+    CROSS JOIN n
+    ORDER BY 1, 2
+"""

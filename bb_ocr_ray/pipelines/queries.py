@@ -5398,3 +5398,64 @@ def q_sorted_neighborhood(sf_dir: str):
 
 
 QUERIES.update({"q_sorted_neighborhood": q_sorted_neighborhood})
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance of the embedding matrix (PCA input)
+# ---------------------------------------------------------------------------
+def q_embed_covariance(sf_dir: str, dim: int = 64):
+    """Full covariance matrix of the embedding corpus — the input of a
+    PCA / whitening stage, computed as DISTRIBUTED MATRIX PARTIAL
+    SUMS: each batch contributes one vectorized X^T X (numpy matmul,
+    upper triangle flattened to (i, j, sxy) rows), the column-sum
+    vector, and its row count; one coarse fold merges the partials and
+    the final (dim x (dim+1)/2)-row covariance assembles from the
+    merged sums.  Nothing corpus-sized moves: the shuffle carries
+    2,080 partial rows PER BATCH regardless of batch row count.
+
+    Both engines evaluate the identical expression
+    cov = (Sxy - Sx*Sy/n)/n from their own float64 sums; summation
+    order differs (numpy pairwise vs DuckDB sequential) by ~1e-12
+    relative, absorbed by the round-6 grain."""
+    from bb_ocr_ray.stages.coarse import coarse_agg
+
+    ds = _read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+    iu, ju = np.triu_indices(dim)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in b["embedding"]])
+        if not len(X):
+            return pd.DataFrame({"i": pd.array([], dtype="int64"),
+                                 "j": pd.array([], dtype="int64"),
+                                 "s": pd.array([], dtype="float64")})
+        M = X.T @ X                       # dim x dim, one BLAS call
+        sx = X.sum(axis=0)
+        # (i, j) 1-based upper triangle; (i, 0) rows carry the column
+        # sums; (0, 0) carries the row count — one uniform fold key
+        return pd.DataFrame({
+            "i": np.concatenate([iu + 1, np.arange(1, dim + 1),
+                                 [0]]).astype("int64"),
+            "j": np.concatenate([ju + 1, np.zeros(dim, dtype=int),
+                                 [0]]).astype("int64"),
+            "s": np.concatenate([M[iu, ju], sx,
+                                 [float(len(X))]])})
+
+    merged = coarse_agg(ds.map_batches(partial, batch_format="pandas"),
+                        ["i", "j"], {"s": ("s", "sum")}).to_pandas()
+
+    n = float(merged.loc[(merged["i"] == 0) & (merged["j"] == 0),
+                         "s"].iloc[0])
+    sx = (merged[(merged["j"] == 0) & (merged["i"] > 0)]
+          .set_index("i")["s"])
+    up = merged[merged["j"] > 0]
+    cov = ((up["s"].to_numpy()
+            - sx.loc[up["i"]].to_numpy() * sx.loc[up["j"]].to_numpy() / n)
+           / n)
+    out = pd.DataFrame({"i": up["i"].astype("int64").to_numpy(),
+                        "j": up["j"].astype("int64").to_numpy(),
+                        "cov": _round_sql(pd.Series(cov), 6)})
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+QUERIES.update({"q_embed_covariance": q_embed_covariance})

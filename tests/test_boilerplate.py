@@ -164,3 +164,24 @@ def test_sorted_neighborhood_matches_pandas(ray_session):
     assert got.values.tolist() == want.values.tolist()
     # boundary pairs exist: some pair spans two different buckets
     assert (got["key_match"] == 0).any() and (got["key_match"] == 1).any()
+
+
+def test_embed_covariance_matches_numpy(ray_session, sf_tiny):
+    """Distributed matrix partial sums == np.cov (population) on the
+    materialized embedding matrix."""
+    import pyarrow.parquet as pq
+
+    from bb_ocr_ray.pipelines.queries import q_embed_covariance
+
+    got = q_embed_covariance(sf_tiny)
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in
+                    pq.read_table(f"{sf_tiny}/embeddings.parquet",
+                                  columns=["embedding"])
+                    ["embedding"].to_pylist()])
+    C = np.cov(X, rowvar=False, bias=True)      # population covariance
+    iu, ju = np.triu_indices(X.shape[1])
+    want = np.round(C[iu, ju], 6)
+    assert got["i"].tolist() == (iu + 1).tolist()
+    assert got["j"].tolist() == (ju + 1).tolist()
+    np.testing.assert_allclose(got["cov"].to_numpy(), want, atol=2e-6)
+    assert np.abs(got["cov"].to_numpy()).max() > 0   # non-degenerate
