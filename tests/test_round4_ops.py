@@ -1,6 +1,7 @@
-"""remove_boilerplate: differential against a direct pandas
-derivation on a corpus with repeated within-doc lines, NULL text,
-and per-domain frequency structure."""
+"""Round-4 operator differentials: boilerplate removal (pandas
+reference on a corpus with within-doc repeats, NULL text, per-domain
+frequency structure), PMI pairs, the size-gated LM assembly paths,
+sorted-neighborhood blocking, and embedding covariance."""
 import numpy as np
 import pandas as pd
 import pytest
