@@ -2164,3 +2164,24 @@ ORACLES["q_embed_covariance"] = """
     CROSS JOIN n
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_typo_pairs"] = f"""
+    WITH t0 AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    dirty AS (
+      SELECT d.doc_id,
+             coalesce(d.text, '') ||
+             CASE WHEN d.doc_id % 3 = 0 AND len(t0.tk) >= 1
+                       AND len(t0.tk[1]) >= 4
+                  THEN ' ' || substr(t0.tk[1], 1, 1) || substr(t0.tk[1], 3)
+                  ELSE '' END AS text
+      FROM documents d JOIN t0 ON t0.doc_id = d.doc_id),
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM dirty),
+    pc AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM toks),
+    df AS (SELECT tok, count(*) AS df FROM pc GROUP BY 1),
+    v AS (SELECT tok FROM df WHERE df >= 5 AND len(tok) >= 4)
+    SELECT a.tok AS tok_a, b.tok AS tok_b
+    FROM v a JOIN v b ON a.tok < b.tok
+    WHERE levenshtein(a.tok, b.tok) = 1
+    ORDER BY 1, 2
+"""

@@ -5459,3 +5459,65 @@ def q_embed_covariance(sf_dir: str, dim: int = 64):
 
 
 QUERIES.update({"q_embed_covariance": q_embed_covariance})
+
+
+# ---------------------------------------------------------------------------
+# Typo-variant vocabulary pairs (SymSpell deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+def q_typo_pairs(sf_dir: str):
+    """Vocabulary pairs at byte-Levenshtein distance EXACTLY 1 via
+    :func:`stages.dedup.typo_variant_pairs` (FastSS / SymSpell
+    deletion-neighborhood blocking) — the spelling-variant mining /
+    vocabulary-cleaning step of a corpus pipeline.  The clean
+    synthetic vocabulary has no distance-1 pairs, so typos are
+    PLANTED (the q_pii_scrub pattern): every doc_id % 3 == 0 doc
+    appends its first token with the second character dropped; both
+    engines derive the same dirty text, and the planted variants
+    clear the df >= 5 vocabulary gate.  The oracle verifies with
+    DuckDB's own levenshtein() over the vocabulary cross join — a
+    genuinely independent distance implementation (byte-based, which
+    is why the engine's verify runs on UTF-8 bytes)."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.stages.dedup import typo_variant_pairs
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def dirty(b: pd.DataFrame) -> pd.DataFrame:
+        texts = []
+        for d, t in zip(b["doc_id"], b["text"]):
+            t = t or ""
+            tk = ws_tokens(t)
+            if int(d) % 3 == 0 and tk and len(tk[0]) >= 4:
+                t = t + " " + tk[0][:1] + tk[0][2:]
+            texts.append(t)
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "text": pd.array(texts, dtype="object")})
+
+    dd = ds.map_batches(dirty, batch_format="pandas")
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in b["text"]:
+            c.update(set(ws_tokens(t or "")))
+        return pd.DataFrame({"tok": pd.array(list(c.keys()),
+                                             dtype="object"),
+                             "df": pd.array(list(c.values()),
+                                            dtype="int64")})
+
+    vocab = coarse_agg(dd.map_batches(df_partial, batch_format="pandas"),
+                       ["tok"], {"df": ("df", "sum")}).map_batches(
+        lambda b: b[(b["df"].astype("int64") >= 5)
+                    & (b["tok"].str.len() >= 4)][["tok"]],
+        batch_format="pandas").materialize()
+
+    out = typo_variant_pairs(vocab).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"tok_a": pd.array([], dtype="object"),
+                             "tok_b": pd.array([], dtype="object")})
+    return (out.sort_values(["tok_a", "tok_b"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_typo_pairs": q_typo_pairs})

@@ -186,3 +186,44 @@ def test_embed_covariance_matches_numpy(ray_session, sf_tiny):
     assert got["j"].tolist() == (ju + 1).tolist()
     np.testing.assert_allclose(got["cov"].to_numpy(), want, atol=2e-6)
     assert np.abs(got["cov"].to_numpy()).max() > 0   # non-degenerate
+
+
+def test_typo_variant_pairs_matches_bruteforce(ray_session):
+    """Deletion-neighborhood blocking == brute-force byte-Levenshtein
+    over a vocabulary with planted distance-1 variants, a distance-2
+    shared-variant false candidate ('ab...'/'ba...'), and a multibyte
+    token proving the BYTE metric (DuckDB levenshtein parity)."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import typo_variant_pairs
+
+    vocab = ["table", "tble", "tabel", "chair", "chairs", "abcd",
+             "bacd", "café", "cafe", "stone", "st0ne", "zzzz"]
+    got = (typo_variant_pairs(
+        rd.from_pandas(pd.DataFrame({"tok": vocab})))
+        .to_pandas().sort_values(["tok_a", "tok_b"])
+        .reset_index(drop=True))
+
+    def lev(a, b):
+        a, b = a.encode(), b.encode()
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted((a, b) for i, a in enumerate(vocab)
+                  for b in vocab[i + 1:] if lev(*sorted((a, b))) == 1
+                  for a, b in [sorted((a, b))])
+    assert list(zip(got["tok_a"], got["tok_b"])) == want
+    pairs = set(zip(got["tok_a"], got["tok_b"]))
+    assert ("table", "tble") in pairs            # deletion
+    assert ("st0ne", "stone") in pairs           # substitution
+    # transposition = distance 2; shares deletion variants with its
+    # partner, so it IS a candidate — the verify must filter it
+    assert ("abcd", "bacd") not in pairs
+    # café/cafe differ by a 2-byte char swap -> byte distance 2
+    assert ("cafe", "café") not in pairs
