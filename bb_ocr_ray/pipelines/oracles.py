@@ -2185,3 +2185,15 @@ ORACLES["q_typo_pairs"] = f"""
     WHERE levenshtein(a.tok, b.tok) = 1
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_crawl_schedule"] = """
+    WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY doc_id) AS r
+               FROM documents)
+    SELECT doc_id, source, CAST(r AS BIGINT) AS r,
+           CAST(row_number() OVER (ORDER BY r, source, doc_id)
+                AS BIGINT) AS slot
+    FROM r ORDER BY slot
+"""

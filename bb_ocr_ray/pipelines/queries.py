@@ -5521,3 +5521,88 @@ def q_typo_pairs(sf_dir: str):
 
 
 QUERIES.update({"q_typo_pairs": q_typo_pairs})
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier politeness interleave (round-robin by domain)
+# ---------------------------------------------------------------------------
+def q_crawl_schedule(sf_dir: str):
+    """Politeness-aware fetch ordering: round-robin by domain — every
+    document gets its within-domain rank r, and the global schedule
+    orders by (r, domain, doc_id), so two fetches of the same domain
+    are always separated by one full pass over every other domain
+    with that many pending docs (the crawl-frontier interleave of a
+    polite fetcher).
+
+    Scale shape: within-domain ranks come from ONE coarse shuffle on
+    domain with an in-task sort (the q_transitions bucket pattern);
+    the global slot needs NO data sort — r is bounded by the largest
+    domain's doc count, so a per-r histogram prefix-sums on the
+    driver (the q_zip_index trick with r as the bucket) and a second
+    coarse shuffle on r assigns slot = offset[r] + local rank by
+    (domain, doc_id)."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    n_buckets = _auto_num_buckets()
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+
+    def stamp_dom(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__coarse"] = _bucket_ids(b, ["source"], n_buckets)
+        return b
+
+    def rank_in_domain(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="mergesort")
+        # dropna=False: a NULL domain is its own partition (SQL
+        # PARTITION BY semantics); pandas would otherwise DROP the
+        # NaN group and cumcount would emit garbage for those rows
+        r = (g.groupby("source", sort=False, dropna=False).cumcount()
+             .to_numpy() + 1)
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64")
+                             .to_numpy(),
+                             "source": g["source"].to_numpy(),
+                             "r": r.astype("int64")})
+
+    ranked = (docs.map_batches(stamp_dom, batch_format="pandas")
+              .groupby("__coarse").map_groups(rank_in_domain,
+                                              batch_format="pandas")
+              .materialize())
+
+    hist = ranked.map_batches(
+        lambda b: b.groupby("r", as_index=False)
+        .size().rename(columns={"size": "n"}),
+        batch_format="pandas").to_pandas()
+    hist = (hist.groupby("r", as_index=False)["n"].sum()
+            .sort_values("r", kind="mergesort"))
+    offsets = dict(zip(hist["r"],
+                       np.cumsum(np.r_[0, hist["n"].to_numpy()[:-1]])))
+
+    def stamp_r(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__coarse"] = b["r"].astype("int64") % n_buckets
+        return b
+
+    def slot_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for r, sub in g.groupby("r", sort=True):
+            sub = sub.sort_values(["source", "doc_id"],
+                                  kind="mergesort")
+            parts.append(pd.DataFrame({
+                "doc_id": sub["doc_id"].astype("int64").to_numpy(),
+                "source": sub["source"].to_numpy(),
+                "r": sub["r"].astype("int64").to_numpy(),
+                "slot": int(offsets[r])
+                + np.arange(len(sub), dtype="int64") + 1}))
+        return pd.concat(parts, ignore_index=True)
+
+    out = (ranked.map_batches(stamp_r, batch_format="pandas")
+           .groupby("__coarse").map_groups(slot_bucket,
+                                           batch_format="pandas")
+           .to_pandas())
+    return (out[["doc_id", "source", "r", "slot"]]
+            .sort_values("slot").reset_index(drop=True))
+
+
+QUERIES.update({"q_crawl_schedule": q_crawl_schedule})
