@@ -2197,3 +2197,32 @@ ORACLES["q_crawl_schedule"] = """
                 AS BIGINT) AS slot
     FROM r ORDER BY slot
 """
+
+
+ORACLES["q_hll_intersect"] = """
+    WITH e AS (SELECT event_type,
+                      md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+               FROM events
+               WHERE user_id IS NOT NULL
+                 AND event_type IN ('click', 'view')),
+    r AS (SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END
+                   AS part,
+                 CAST(hv & 63 AS BIGINT) AS bucket,
+                 CASE WHEN hv >> 6 = 0 THEN 59
+                      ELSE least(59, 1 + bit_count(
+                          xor(hv >> 6, (hv >> 6) - 1) >> 1)) END AS rho
+          FROM e),
+    ab AS (SELECT part, bucket, CAST(max(rho) AS BIGINT) AS val
+           FROM r GROUP BY 1, 2),
+    u AS (SELECT 'u' AS part, bucket, CAST(max(val) AS BIGINT) AS val
+          FROM ab GROUP BY 2),
+    cu AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL),
+    vu AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL),
+    x AS (SELECT 'x' AS part, CAST(-1 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS val
+          FROM cu JOIN vu USING (user_id))
+    SELECT * FROM ab UNION ALL SELECT * FROM u UNION ALL
+    SELECT * FROM x ORDER BY 1, 2
+"""

@@ -5606,3 +5606,80 @@ def q_crawl_schedule(sf_dir: str):
 
 
 QUERIES.update({"q_crawl_schedule": q_crawl_schedule})
+
+
+# ---------------------------------------------------------------------------
+# HLL set intersection (inclusion-exclusion over mergeable sketches)
+# ---------------------------------------------------------------------------
+def q_hll_intersect(sf_dir: str):
+    """Approximate audience overlap — |click-users AND view-users| —
+    via HLL inclusion-exclusion: the register states of sketch A
+    (click users), sketch B (view users) and their UNION (elementwise
+    register max — THE property that makes HLL mergeable) are all
+    integer-exact and oracle-checked; the float estimates
+    |A|+|B|-|A∪B| are asserted against truth in pytest (the
+    q_hll_registers split).  An exact intersection row computed
+    independently on both engines (distributed semi-join here, SQL
+    join in DuckDB) rides along as part='x'.
+
+    Scale shape: one streaming partial-fold pass builds both sketch
+    states (<= 64 rows each regardless of corpus size); the union
+    derives from those 128 aggregate rows on the driver; the exact
+    row is one distinct-fold + size-gated semi-join + count."""
+    from bb_ocr_ray.functions.hashing import hll_bucket_rho
+    from bb_ocr_ray.stages.coarse import coarse_agg
+    from bb_ocr_ray.stages.joins import auto_semi
+
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.dropna(subset=["user_id"])
+        b = b[b["event_type"].isin(["click", "view"])]
+        if not len(b):
+            return pd.DataFrame({"part": pd.Series([], dtype="object"),
+                                 "bucket": pd.Series([], dtype="int64"),
+                                 "rho": pd.Series([], dtype="int64")})
+        pairs = [hll_bucket_rho(str(int(x))) for x in b["user_id"]]
+        df = pd.DataFrame(pairs, columns=["bucket", "rho"])
+        df["part"] = np.where(b["event_type"].to_numpy() == "click",
+                              "a", "b")
+        return df.groupby(["part", "bucket"], as_index=False).max()
+
+    regs = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["part", "bucket"])
+            .aggregate(Max("rho", alias_name="val"))
+            .to_pandas())
+    regs["bucket"] = regs["bucket"].astype("int64")
+    regs["val"] = regs["val"].astype("int64")
+
+    # union registers: elementwise max over the two aggregate-sized
+    # states — 128 rows, driver arithmetic by construction
+    u = (regs.groupby("bucket", as_index=False)["val"].max()
+         .assign(part="u"))
+
+    def users_of(kind: str):
+        return coarse_agg(
+            ds.map_batches(
+                lambda b, k=kind: pd.DataFrame(
+                    {"user_id": b.dropna(subset=["user_id"])
+                     .loc[lambda d: d["event_type"] == k, "user_id"]
+                     .astype("int64")}),
+                batch_format="pandas"),
+            ["user_id"], {"n": ("user_id", "size")}
+        ).select_columns(["user_id"]).materialize()
+
+    exact = auto_semi(users_of("click"), users_of("view"),
+                      on="user_id").count()
+
+    out = pd.concat([
+        regs[["part", "bucket", "val"]], u[["part", "bucket", "val"]],
+        pd.DataFrame({"part": ["x"], "bucket": [np.int64(-1)],
+                      "val": [np.int64(exact)]})], ignore_index=True)
+    out["bucket"] = out["bucket"].astype("int64")
+    out["val"] = out["val"].astype("int64")
+    return (out.sort_values(["part", "bucket"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_hll_intersect": q_hll_intersect})
