@@ -28,6 +28,23 @@ def crc32(s: str) -> int:
     return zlib.crc32(s.encode("utf-8"))
 
 
+def batch_md5_hex(strings) -> list:
+    """md5_hex over a batch with a distinct-string memo: each DISTINCT
+    string is hashed once per call (web corpora repeat boilerplate
+    lines/paragraphs heavily, and the bench corpus replicates docs).
+    Elementwise identical to ``[md5_hex(s) for s in strings]`` — the
+    _batch_shingle_hashes precedent applied to whole-line hashing."""
+    md5 = hashlib.md5
+    memo: dict = {}
+    out = []
+    for s in strings:
+        h = memo.get(s)
+        if h is None:
+            h = memo[s] = md5(s.encode("utf-8")).hexdigest()
+        out.append(h)
+    return out
+
+
 def stable_u64(s: str) -> int:
     """64-bit stable hash from md5 (for shingle/minhash input)."""
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")

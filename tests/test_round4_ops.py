@@ -75,6 +75,29 @@ def test_remove_boilerplate_matches_pandas(ray_session, corpus):
     assert all("half " in t for t in ev["clean_text"])
 
 
+def test_remove_boilerplate_broadcast_vs_distributed(ray_session, corpus):
+    """VERDICT r4 item 1: the frequent-set gate.  Default limit takes
+    the zero-shuffle fused broadcast path; broadcast_limit=1 forces the
+    explode + join + doc_id-bucket rebuild path.  Outputs must be
+    row-identical, and the gate must report the forced choice."""
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.boilerplate import remove_boilerplate
+
+    choices = []
+    fast = (remove_boilerplate(rd.from_pandas(corpus),
+                               _on_choice=choices.append)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    slow = (remove_boilerplate(rd.from_pandas(corpus), broadcast_limit=1,
+                               _on_choice=choices.append)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert choices == ["broadcast", "hash"]
+    slow["doc_id"] = slow["doc_id"].astype("int64")
+    fast["doc_id"] = fast["doc_id"].astype("int64")
+    for c in ("doc_id", "n_lines", "n_kept", "clean_text"):
+        assert fast[c].tolist() == slow[c].tolist(), c
+
+
 def test_remove_boilerplate_dup_line_df_counts_docs(ray_session, corpus):
     """'dup line' appears 3x in each %7 doc (18 of 121 docs per the
     corpus, under every source's 60%), so within-doc repetition must
