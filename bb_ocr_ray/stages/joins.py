@@ -336,7 +336,7 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int | None = None,
             right_cols, all_cols, types, both_int, _canon, tag_batch)
     return _bucketed_pandas(
         left_ds, right_ds, keys, num_buckets, how, left_cols, right_cols,
-        all_cols, both_int, _canon, tag_batch)
+        all_cols, both_int, _canon, tag_batch, types)
 
 
 def _bucketed_arrow(left_ds, right_ds, keys, num_buckets, how, left_cols,
@@ -414,6 +414,25 @@ def _bucketed_arrow(left_ds, right_ds, keys, num_buckets, how, left_cols,
                 t = t.append_column(c, pa.nulls(len(t), types[c]))
             return t
 
+        # the sort shuffle also DEGRADES surviving columns (an int64
+        # with any null in the rebuilt pandas block arrives double) —
+        # cast both sides back to the declared union types at the emit
+        # boundary so consumers never see doc_id int64 -> double/object
+        # (VERDICT r4 item 3).  Safe: a declared-int column can only
+        # have gained integral-or-null values.
+        def _recast(t: pa.Table, cols: list) -> pa.Table:
+            tgt = pa.schema([pa.field(c, types[c]) for c in cols])
+            if t.schema == tgt:
+                return t
+            try:
+                return t.cast(tgt)
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError):
+                return t   # runtime surprise: emit undegraded-best
+
+        left = _recast(left, left_cols)
+        right = _recast(right, keys + right_cols)
+
         out_cols = left_cols + right_cols
         if len(right) == 0:
             lt = left if how in ("left", "full") else left.slice(0, 0)
@@ -453,8 +472,39 @@ def _bucketed_arrow(left_ds, right_ds, keys, num_buckets, how, left_cols,
 
 def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
                      right_cols, all_cols, both_int, _canon,
-                     tag_batch=_TAG_BATCH):
+                     tag_batch=_TAG_BATCH, types=None):
     import numpy as np
+
+    # numeric target dtype per column from the unified Arrow schema
+    # (VERDICT r4 item 3: pin dtypes at the emit boundary instead of
+    # each consumer defensively re-casting).  Only int/float columns
+    # are pinned — the degradation modes are None-padding (-> object)
+    # and null upcast (-> object/float64); strings/datetimes survive.
+    num_targets = {}
+    for c, t in (types or {}).items():
+        try:
+            import pyarrow.types as pat
+
+            if pat.is_integer(t) or pat.is_floating(t):
+                num_targets[c] = np.dtype(t.to_pandas_dtype())
+        except Exception:  # noqa: BLE001 — exotic type: don't pin
+            pass
+
+    def _pin(df: pd.DataFrame) -> pd.DataFrame:
+        for c, tgt in num_targets.items():
+            if c not in df.columns or df[c].dtype == tgt:
+                continue
+            col = df[c]
+            try:
+                if tgt.kind in "iu" and col.isna().any():
+                    # pandas convention: nullable int emits float64
+                    if col.dtype != np.float64:
+                        df[c] = col.astype(np.float64)
+                else:
+                    df[c] = col.astype(tgt)
+            except (TypeError, ValueError):
+                pass   # runtime surprise: emit undegraded-best
+        return df
 
     def _bucket_of(df: pd.DataFrame):
         arrs = [df[k].to_numpy() for k in keys]
@@ -489,7 +539,10 @@ def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
             batch = batch.copy()
             for c in all_cols:
                 if c not in batch.columns:
-                    batch[c] = None
+                    # pad numeric columns with float64 NaN, not object
+                    # None — mixed union blocks then stay numeric
+                    # through the sort shuffle's pandas rebuild
+                    batch[c] = (np.nan if c in num_targets else None)
             batch = batch[all_cols]
             batch["__side"] = np.int8(side)
             batch["__bucket"] = _bucket_of(batch)
@@ -510,7 +563,7 @@ def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
         left = g[g["__side"] == 0][left_cols]
         right = g[g["__side"] == 1][keys + right_cols]
         if len(left) <= chunk:
-            return left.merge(right, on=keys, how=pd_how)
+            return _pin(left.merge(right, on=keys, how=pd_how))
         # hot-key/skewed bucket: probe in chunks (see _bucketed_arrow).
         # full outer cannot chunk directly (right unmatched rows would
         # repeat per chunk): chunk as left, append the right-anti
@@ -526,7 +579,7 @@ def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
                 columns=["_merge"])
             ra = ra.reindex(columns=parts[0].columns)
             parts.append(ra)
-        return pd.concat(parts, ignore_index=True)
+        return _pin(pd.concat(parts, ignore_index=True))
 
     return both.groupby("__bucket").map_groups(merge_bucket,
                                                batch_format="pandas")

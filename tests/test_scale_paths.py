@@ -859,3 +859,54 @@ def test_seed_distance_matches_numpy_bfs(ray_session, sf_tiny):
     want = sorted(dist.items())
     assert list(zip(got["node"], got["dist"])) == want
     assert got["dist"].max() >= 2          # real multi-hop propagation
+
+
+def test_bucketed_join_pins_dtypes(ray_session):
+    """VERDICT r4 item 3: int64 keys/payloads survive the bucketed
+    join's emit boundary on BOTH block paths.  Ray's sort shuffle
+    rebuilds group blocks through pandas, so a column that is null on
+    one union side (padding) or in some rows (outer join) degrades to
+    float64/object unless the emit re-casts — the q_boilerplate plan
+    showed `doc_id: int64 -> object` in the driver bench tail."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.joins import hash_join
+
+    n = 2000
+    # pandas block path (object key column)
+    left = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "k": [f"s{i % 7}\x1fh{i % 50}" for i in range(n)],
+    })
+    right = pd.DataFrame({
+        "k": [f"s{i % 7}\x1fh{i}" for i in range(30)],
+        "_bp": np.ones(30, dtype=np.int64),
+    })
+    out = hash_join(rd.from_pandas(left).repartition(8),
+                    rd.from_pandas(right).repartition(2),
+                    on="k", how="left").to_pandas()
+    assert len(out) == n
+    assert out["doc_id"].dtype == np.int64      # was object pre-pin
+    # right-side int col with unmatched rows: pandas float64 convention
+    assert out["_bp"].dtype == np.float64
+    assert out.loc[out["_bp"].notna(), "_bp"].eq(1.0).all()
+
+    # Arrow block path (all-int schemas): even an INNER join degrades
+    # payload cols pre-fix, because the union pads each side's missing
+    # columns with nulls and the shuffle rebuild upcasts them
+    lint = pd.DataFrame({"a": np.arange(n, dtype=np.int64),
+                         "v": np.arange(n, dtype=np.int64) * 2})
+    rint = pd.DataFrame({"a": np.arange(30, dtype=np.int64),
+                         "w": np.arange(30, dtype=np.int64)})
+    ds = hash_join(rd.from_pandas(lint).repartition(8),
+                   rd.from_pandas(rint).repartition(2),
+                   on="a", how="inner")
+    types = dict(zip(ds.schema().names,
+                     [str(t) for t in ds.schema().types]))
+    assert types["v"] == "int64", types
+    assert types["w"] == "int64", types
+    got = ds.to_pandas().sort_values("a").reset_index(drop=True)
+    assert got["a"].tolist() == list(range(30))
+    assert got["w"].tolist() == list(range(30))
