@@ -29,11 +29,19 @@ class EnrichStage:
 
     def __init__(self, backend: str = "fake", model: str = "fake-model",
                  max_attempts: int = 3, backoff_seconds: float = 1.0,
-                 sleep=None):
+                 sleep=None, client_factory=None):
         from bb_ocr_ray.functions.llm_client import (RetryingClient,
                                                      create_llm_client)
 
-        self.client = RetryingClient(create_llm_client(backend),
+        # ``client_factory`` (a zero-arg callable, cloudpickled into
+        # the actor) bypasses the name registry: actor processes
+        # import this module fresh, so a backend registered only on
+        # the driver would not resolve there — a real GPU model class
+        # ships the same way (weights load HERE, once per actor, per
+        # SURVEY §2.3 T5 / reference model_setup.py:19-71)
+        inner = (client_factory() if client_factory is not None
+                 else create_llm_client(backend))
+        self.client = RetryingClient(inner,
                                      max_attempts=max_attempts,
                                      backoff_seconds=backoff_seconds,
                                      sleep=sleep)
@@ -70,14 +78,34 @@ class EnrichStage:
 
 def enrich(ds, backend: str = "fake", model: str = "fake-model",
            concurrency: int = 2, batch_size: int = 256,
-           max_attempts: int = 3, backoff_seconds: float = 1.0):
-    """Actor-pool enrichment over the extracted stream."""
+           max_attempts: int = 3, backoff_seconds: float = 1.0,
+           num_gpus: float | None = None, num_cpus: float | None = None,
+           client_factory=None):
+    """Actor-pool enrichment over the extracted stream.
+
+    GPU-shaped pool spec (SURVEY §2.3 T5, reference
+    ``model_setup.py:19-71`` — real VLM weights on device): pass
+    ``num_gpus=1`` (or a fraction for MPS-style packing) and Ray
+    schedules each pool actor onto a GPU; weights load once per actor
+    in ``__init__`` and every batch amortizes them.  ``batch_size``
+    is the GPU batch — size it to the model's memory, not the CPU
+    default (large binary/image payloads need small batches).  The
+    sandbox has no GPU, so the spec is exercised in tests with a
+    CPU stand-in model via ``client_factory`` and ``num_gpus=0``.
+    """
+    remote_args = {}
+    if num_gpus is not None:
+        remote_args["num_gpus"] = num_gpus
+    if num_cpus is not None:
+        remote_args["num_cpus"] = num_cpus
     return ds.map_batches(
         EnrichStage,
         fn_constructor_kwargs={"backend": backend, "model": model,
                                "max_attempts": max_attempts,
-                               "backoff_seconds": backoff_seconds},
+                               "backoff_seconds": backoff_seconds,
+                               "client_factory": client_factory},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pandas",
+        **remote_args,
     )
