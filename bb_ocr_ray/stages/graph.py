@@ -42,7 +42,9 @@ def _distinct_nodes(edges_ds, coarse_buckets: int):
 def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
              coarse_buckets: int | None = None,
              tol: float | None = None, stats: dict | None = None,
-             check_every: int | None = None):
+             check_every: int | None = None,
+             rank_broadcast_limit: int | None = None,
+             _on_choice=None):
     """Power-iteration PageRank over an edge Dataset (src, dst) —
     int64 node ids, parallel edges allowed (they carry multiplicity).
 
@@ -71,9 +73,25 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
     drift vs the fixed-iteration result is bounded by
     ``tol*damping/(1-damping)``.  The last iteration never probes —
     breaking there saves nothing.
+
+    Per-iteration join shape is SIZE-GATED on the rank vector
+    (VERDICT r4 item 6): the |V|-row rank vector is materialized every
+    round, so its real byte size is known — when it fits
+    ``rank_broadcast_limit`` the edge side NEVER shuffles: each round
+    broadcasts the fresh ranks (``ray.put``) and the rank→edge attach
+    is one zero-copy map over the static, materialized edge list,
+    leaving the per-dst contribution fold as the round's ONLY
+    all-to-all.  The convergence probe then costs one driver-side
+    pandas merge of two driver-sized vectors instead of a join.  A
+    web-scale |V| (10^10 nodes ≈ 160 GB of rank vector) fails the
+    gate and takes the original hash-join path, where both sides
+    shuffle.  ``_on_choice`` (tests) receives "broadcast" or "hash"
+    once.
     """
     from bb_ocr_ray.stages.coarse import coarse_agg
-    from bb_ocr_ray.stages.joins import _auto_num_buckets, hash_join
+    from bb_ocr_ray.stages.joins import (_BROADCAST_LIMIT_BYTES,
+                                         _auto_num_buckets,
+                                         broadcast_join, hash_join)
 
     if coarse_buckets is None:
         coarse_buckets = _auto_num_buckets()
@@ -136,10 +154,24 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
     if check_every is None:
         check_every = 1 if tol is not None else 8
 
+    # the rank vector's size is FIXED across iterations (one row per
+    # node), and `ranks` is materialized — gate once on real bytes
+    limit = (_BROADCAST_LIMIT_BYTES if rank_broadcast_limit is None
+             else rank_broadcast_limit)
+    use_bcast = ranks.size_bytes() <= limit
+    if _on_choice is not None:
+        _on_choice("broadcast" if use_bcast else "hash")
+    ranks_pd = ranks.to_pandas() if use_bcast else None
+
     iters_run, last_delta = 0, float("inf")
     for it in range(iters):
-        joined = hash_join(edges2, ranks, on="src",
-                           num_buckets=iter_buckets)
+        if use_bcast:
+            # static edge side never shuffles: fresh ranks broadcast
+            # once per round, attach in a zero-copy map over edges2
+            joined = broadcast_join(edges2, ranks_pd, on="src")
+        else:
+            joined = hash_join(edges2, ranks, on="src",
+                               num_buckets=iter_buckets)
 
         def contrib(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
@@ -159,7 +191,22 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
         ranks = received.map_batches(
             next_rank, batch_format="pandas").materialize()
         iters_run += 1
-        if (it + 1) % check_every == 0 and it < iters - 1:
+        probe = (it + 1) % check_every == 0 and it < iters - 1
+        if use_bcast:
+            prev_pd, ranks_pd = ranks_pd, ranks.to_pandas()
+            if probe:
+                # both vectors are already driver-sized by the gate:
+                # the probe is one pandas merge, no cluster join
+                m = ranks_pd.merge(prev_pd.rename(columns={"rank": "old"}),
+                                   on="src")
+                max_delta = float(np.abs(m["rank"].to_numpy()
+                                         - m["old"].to_numpy()).max()
+                                  ) if len(m) else 0.0
+                last_delta = max_delta
+                if (max_delta == 0.0
+                        or (tol is not None and max_delta <= tol)):
+                    break
+        elif probe:
             # probe: pair old/new (|V|-row vectors) with one small
             # join, stream per-block |Δ| maxima to the driver
             old_r = prev.map_batches(

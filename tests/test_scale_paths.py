@@ -910,3 +910,33 @@ def test_bucketed_join_pins_dtypes(ray_session):
     got = ds.to_pandas().sort_values("a").reset_index(drop=True)
     assert got["a"].tolist() == list(range(30))
     assert got["w"].tolist() == list(range(30))
+
+
+def test_pagerank_rank_broadcast_gate_paths_agree(ray_session):
+    """VERDICT r4 item 6: the per-iteration join shape is size-gated
+    on the rank vector.  Forced-hash and default-broadcast paths must
+    produce the same ranks (within float summation-order drift far
+    below the 6dp oracle grain) and report their gate choice."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(7)
+    edges = pd.DataFrame({
+        "src": rng.randint(0, 400, 3000).astype("int64"),
+        "dst": rng.randint(0, 450, 3000).astype("int64")})
+
+    choices = []
+    fast = (pagerank(rd.from_pandas(edges).repartition(4), iters=6,
+                     _on_choice=choices.append)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    slow = (pagerank(rd.from_pandas(edges).repartition(4), iters=6,
+                     rank_broadcast_limit=0, _on_choice=choices.append)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert choices == ["broadcast", "hash"]
+    assert fast["node"].tolist() == slow["node"].tolist()
+    np.testing.assert_allclose(fast["rank"].to_numpy(),
+                               slow["rank"].to_numpy(),
+                               rtol=0, atol=1e-12)
