@@ -224,6 +224,14 @@ class _Segmenter(_SegmenterCore, HTMLParser):
         self._init_core(cfg)
 
     def close(self):
+        # HTML5 tokenizer: an unterminated comment / CDATA /
+        # declaration / processing instruction runs to EOF and never
+        # becomes character data; html.parser instead flushes the
+        # incomplete construct as raw data on close.  Drop such a tail
+        # for parity with the spec (and the fast engine, whose token
+        # regex swallows all four to \Z).
+        if self.rawdata.startswith(("<!", "<?")):
+            self.rawdata = ""
         HTMLParser.close(self)
         self._flush()
 
