@@ -70,24 +70,89 @@ def output_digest(urls: list, text_lens: list) -> str:
 
 
 class RunManifest:
-    """Filesystem-backed manifest: one JSON file per completed partition."""
+    """Filesystem-backed manifest: one JSON file per completed partition,
+    periodically COMPACTED into a snapshot (VERDICT r4 item 8).
 
-    def __init__(self, root: str):
+    A 10^5-partition run would otherwise pay 10^5 file opens + JSON
+    parses on every resume.  ``completed()`` loads ``_snapshot.json``
+    (one read holding every folded record) plus only the TAIL of
+    per-partition files written since the last compaction — resume
+    cost is O(new work), not O(total partitions).  When the tail
+    exceeds ``compact_threshold``, ``completed()`` folds it into a
+    fresh snapshot (atomic write-temp-rename, then tail deletion; a
+    crash between the two leaves both, and the merge prefers the tail
+    file, which compaction proved digest-identical).  Per-partition
+    RECORDING is unchanged — still one atomic idempotent file per
+    partition, so concurrent task retries never contend on the
+    snapshot."""
+
+    _SNAPSHOT = "_snapshot.json"
+
+    def __init__(self, root: str, compact_threshold: int = 512):
         self.root = root
         self.manifest_dir = os.path.join(root, "manifest")
+        self.compact_threshold = compact_threshold
         os.makedirs(self.manifest_dir, exist_ok=True)
+        self._snapshot_cache: dict | None = None
 
     def _path(self, pid: int) -> str:
         return os.path.join(self.manifest_dir, f"part-{pid:05d}.json")
 
-    def completed(self) -> dict:
-        out = {}
-        for name in sorted(os.listdir(self.manifest_dir)):
-            if name.startswith("part-") and name.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, name)) as f:
-                    rec = json.load(f)
-                out[rec["partition_id"]] = rec
+    def _snapshot_path(self) -> str:
+        return os.path.join(self.manifest_dir, self._SNAPSHOT)
+
+    def _load_snapshot(self) -> dict:
+        if self._snapshot_cache is None:
+            p = self._snapshot_path()
+            if os.path.exists(p):
+                with open(p) as f:
+                    data = json.load(f)
+                self._snapshot_cache = {
+                    int(k): v for k, v in data["records"].items()}
+            else:
+                self._snapshot_cache = {}
+        return self._snapshot_cache
+
+    def _tail_names(self) -> list:
+        return sorted(
+            n for n in os.listdir(self.manifest_dir)
+            if n.startswith("part-") and n.endswith(".json"))
+
+    def completed(self, auto_compact: bool = True) -> dict:
+        out = dict(self._load_snapshot())
+        tail = self._tail_names()
+        for name in tail:
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                rec = json.load(f)
+            out[rec["partition_id"]] = rec
+        if auto_compact and len(tail) >= self.compact_threshold:
+            self._write_snapshot(out, tail)
         return out
+
+    def compact(self) -> int:
+        """Fold every tail file into the snapshot; returns the number
+        of records folded.  Safe to call any time (including never)."""
+        tail = self._tail_names()
+        self._write_snapshot(self.completed(auto_compact=False), tail)
+        return len(tail)
+
+    def _write_snapshot(self, records: dict, tail_names: list) -> None:
+        tmp = f"{self._snapshot_path()}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"records": {str(k): v for k, v in records.items()}},
+                      f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._snapshot_path())       # atomic
+        self._snapshot_cache = dict(records)
+        # delete the folded tail AFTER the snapshot is durable; a
+        # crash mid-delete leaves extra files whose content the
+        # snapshot already holds (merge is idempotent)
+        for name in tail_names:
+            try:
+                os.remove(os.path.join(self.manifest_dir, name))
+            except FileNotFoundError:
+                pass
 
     def record(self, plan: PartitionPlan, row_count: int, digest: str,
                metrics: dict | None = None) -> dict:
@@ -107,6 +172,11 @@ class RunManifest:
         if os.path.exists(prior_path):          # O(1), not a full manifest scan
             with open(prior_path) as f:
                 prior = json.load(f)
+        if prior is None:
+            # the partition's file may have been folded into the
+            # snapshot (and deleted) by a compaction — the
+            # non-idempotent-rerun guard must survive that
+            prior = self._load_snapshot().get(plan.partition_id)
         if prior is not None and prior["digest"] != digest:
             raise RuntimeError(
                 f"partition {plan.partition_id}: non-idempotent rerun, digest "

@@ -196,3 +196,61 @@ def test_resume_refuses_changed_partition_plan(ray_session, sf_tiny, tmp_path):
     run_resumable_extract(sf_tiny, out, 4)
     with pytest.raises(RuntimeError, match="plan mismatch"):
         run_resumable_extract(sf_tiny, out, 8)
+
+
+def test_manifest_compaction_resume_bounded(tmp_path):
+    """VERDICT r4 item 8: 10^4 completed partitions resume through ONE
+    snapshot read plus the post-compaction tail — O(new work), not
+    O(total partitions) file opens — with every kill/restart invariant
+    (idempotent rerun digest guard, merge-over-snapshot) intact."""
+    import time
+
+    m = RunManifest(str(tmp_path), compact_threshold=100_000)
+    n = 10_000
+    for pid in range(n):
+        m.record(PartitionPlan(pid, (f"frag-{pid}",), None, None),
+                 10, f"d{pid}")
+    assert m.compact() == n
+    assert m._tail_names() == []
+
+    # a restarted driver: fresh manifest object, cold caches
+    m2 = RunManifest(str(tmp_path), compact_threshold=100_000)
+    t0 = time.time()
+    done = m2.completed()
+    dt = time.time() - t0
+    assert len(done) == n
+    assert done[1234]["digest"] == "d1234"
+    assert done[1234]["fragment_ids"] == ["frag-1234"]
+    assert dt < 5.0, f"snapshot resume took {dt:.2f}s"
+
+    # new work after compaction lands in the tail and merges on top
+    m2.record(PartitionPlan(n, ("frag-x",), None, None), 3, "dx")
+    done2 = m2.completed(auto_compact=False)
+    assert len(done2) == n + 1 and done2[n]["digest"] == "dx"
+
+    # the non-idempotent-rerun guard survives compaction: the per-pid
+    # file was folded + deleted, but the snapshot still holds its digest
+    with pytest.raises(RuntimeError, match="non-idempotent"):
+        m2.record(PartitionPlan(1234, ("frag-1234",), None, None),
+                  10, "0" * 16)
+
+    # crash between snapshot write and tail deletion: a leftover tail
+    # file (same content) merges idempotently over the snapshot
+    m2.record(PartitionPlan(77, ("frag-77",), None, None), 10, "d77")
+    done3 = RunManifest(str(tmp_path)).completed(auto_compact=False)
+    assert done3[77]["digest"] == "d77" and len(done3) == n + 1
+
+
+def test_manifest_auto_compacts_past_threshold(tmp_path):
+    """completed() folds the tail into the snapshot once it crosses
+    compact_threshold; records are never lost or duplicated."""
+    m = RunManifest(str(tmp_path), compact_threshold=5)
+    for pid in range(12):
+        m.record(PartitionPlan(pid, (f"f{pid}",), None, None), 1, f"g{pid}")
+    done = m.completed()                  # tail 12 >= 5: compacts
+    assert len(done) == 12
+    assert m._tail_names() == []
+    assert os.path.exists(os.path.join(str(tmp_path), "manifest",
+                                       "_snapshot.json"))
+    # post-compaction reads see the same world
+    assert RunManifest(str(tmp_path)).completed() == done
