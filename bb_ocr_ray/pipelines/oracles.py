@@ -2091,8 +2091,8 @@ ORACLES["q_hybrid_rrf"] = f"""
           WHERE vec_id = 0),
     dn0 AS (SELECT e.vec_id AS doc_id,
                    row_number() OVER (
-                     ORDER BY list_cosine_similarity(
-                       q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                     ORDER BY round(list_cosine_similarity(
+                       q.qv, CAST(e.embedding AS DOUBLE[])), 4) DESC,
                      e.vec_id) AS rd
             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
     dn AS (SELECT doc_id, rd FROM dn0 WHERE rd <= 20)

@@ -5193,11 +5193,8 @@ def q_seed_distance(sf_dir: str, max_hops: int = 8):
     seeds = docs.map_batches(pick_seeds,
                              batch_format="pandas").materialize()
 
-    # the visited table re-materializes each round (O(hops·|V|) object
-    # writes for hops <= 8) — the tested alternative, a LAZY union of
-    # materialized frontiers, defeats auto_anti's size gate (unknown
-    # estimate must mean don't-broadcast) and forced a full visited
-    # shuffle every round: measured 26 s vs 6 s at sf0.1/32 cpus
+    # The visited table re-materializes each round (O(hops·|V|) object
+    # writes for hops <= 8) so auto_anti's size gate reads real bytes.
     # Per round: one bucketed join, one coarse neighbor-dedup fold
     # (which also re-compacts the frontier's block structure — the
     # tested fold-free variant left the frontier as dozens of tiny
@@ -5253,7 +5250,12 @@ def q_hybrid_rrf(sf_dir: str, k_fuse: int = 60):
     fusion itself is driver-side arithmetic BY CONSTRUCTION — the
     distributed work is inside the arms.  RRF contributions
     1/(k_fuse + rank) are integer-ratio doubles, bit-identical across
-    engines; outputs round to 6 dp (the canon grain)."""
+    engines; outputs round to 6 dp (the canon grain).  BOTH arms rank
+    at a fixed 4 dp grain — the BM25 arm rounds its score and the
+    dense arm rounds the cosine (``score_round=4``, mirrored by
+    ``round(list_cosine_similarity(...), 4)`` in the oracle) so a
+    near-tie at the k=20 boundary cannot flip set membership between
+    engines (ADVICE r4)."""
     from bb_ocr_ray.stages.ann import ann_topk
 
     lex = q_bm25(sf_dir).reset_index(drop=True)
@@ -5261,7 +5263,7 @@ def q_hybrid_rrf(sf_dir: str, k_fuse: int = 60):
 
     vecs = _read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    dn = ann_topk(vecs, query_ids=[0], k=20).to_pandas()
+    dn = ann_topk(vecs, query_ids=[0], k=20, score_round=4).to_pandas()
     dn = pd.DataFrame({"doc_id": dn["neighbor_id"].astype("int64"),
                        "r_dense": dn["rank"].astype("int64")})
 
@@ -5429,6 +5431,11 @@ def q_embed_covariance(sf_dir: str, dim: int = 64):
             return pd.DataFrame({"i": pd.array([], dtype="int64"),
                                  "j": pd.array([], dtype="int64"),
                                  "s": pd.array([], dtype="float64")})
+        if X.shape[1] != dim:
+            # triu_indices(dim) silently indexes a sub-block of a
+            # WIDER M — fail loudly on a schema change (ADVICE r4)
+            raise ValueError(
+                f"embedding width {X.shape[1]} != configured dim {dim}")
         M = X.T @ X                       # dim x dim, one BLAS call
         sx = X.sum(axis=0)
         # (i, j) 1-based upper triangle; (i, 0) rows carry the column
@@ -5576,8 +5583,15 @@ def q_crawl_schedule(sf_dir: str):
         batch_format="pandas").to_pandas()
     hist = (hist.groupby("r", as_index=False)["n"].sum()
             .sort_values("r", kind="mergesort"))
-    offsets = dict(zip(hist["r"],
-                       np.cumsum(np.r_[0, hist["n"].to_numpy()[:-1]])))
+    # the offsets table has one row per RANK, and max rank == the
+    # LARGEST domain's doc count — for a skew-dominated crawl corpus
+    # that can approach corpus size, so it ships through the object
+    # store ONCE (ray.put) and each slot task reads it zero-copyish,
+    # never as a per-task closure copy (ADVICE r4)
+    import ray as _ray
+
+    offsets_ref = _ray.put(dict(zip(
+        hist["r"], np.cumsum(np.r_[0, hist["n"].to_numpy()[:-1]]))))
 
     def stamp_r(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -5585,6 +5599,7 @@ def q_crawl_schedule(sf_dir: str):
         return b
 
     def slot_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = _ray.get(offsets_ref)
         parts = []
         for r, sub in g.groupby("r", sort=True):
             sub = sub.sort_values(["source", "doc_id"],

@@ -38,7 +38,8 @@ class BruteForceTopK:
     Emits per-(query, batch) partial top-k rows; a small final groupby
     reduces partials to global top-k (see ann_topk)."""
 
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str,
+                 score_round: int | None = None):
         import ray
 
         qids, qmat = ray.get(queries_ref)
@@ -47,6 +48,13 @@ class BruteForceTopK:
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        # rounding grain applied BEFORE the partial cut: a consumer
+        # that ranks at a fixed grain (q_hybrid_rrf, 4 dp — so a
+        # near-tie at the k boundary cannot flip set membership
+        # between engines) needs the grain inside the partial top-k
+        # too, or a candidate the rounded order keeps could be cut by
+        # the raw order here (ADVICE r4)
+        self.score_round = score_round
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
@@ -56,6 +64,8 @@ class BruteForceTopK:
         ids = batch[self.id_col].to_numpy()
         mat = _normalize(_to_matrix(batch[self.vec_col]))   # (B, d)
         sims = self.qmat @ mat.T                            # (Q, B)
+        if self.score_round is not None:
+            sims = np.round(sims, self.score_round)
         k = min(self.k + 1, sims.shape[1])                  # +1 to survive self-hit
         out = {"query_id": [], "neighbor_id": [], "score": []}
         for qi, qid in enumerate(self.qids):
@@ -81,12 +91,15 @@ class BruteForceTopK:
 
 
 def ann_topk(vectors_ds, query_ids, k: int = 5, id_col: str = "vec_id",
-             vec_col: str = "embedding"):
+             vec_col: str = "embedding", score_round: int | None = None):
     """Exact cosine top-k of each query against the whole dataset.
 
     Returns Dataset (query_id, rank, neighbor_id): integer-only output so
     cross-engine float formatting can't drift; rank is 1-based by
-    (-score, neighbor_id) — a total, deterministic order.
+    (-score, neighbor_id) — a total, deterministic order.  With
+    ``score_round`` the cosine rounds to that many dp before ANY
+    ranking (partial and final), so consumers that compare ranked
+    sets across engines can pin the tie-break grain.
     """
     import ray
 
@@ -105,7 +118,8 @@ def ann_topk(vectors_ds, query_ids, k: int = 5, id_col: str = "vec_id",
     # dataset execution, and without baking the matrix into the task
     # closure (same finding as broadcast_join)
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return BruteForceTopK(queries_ref, k, id_col, vec_col)(batch)
+        return BruteForceTopK(queries_ref, k, id_col, vec_col,
+                              score_round)(batch)
 
     partials = vectors_ds.map_batches(partial_topk, batch_format="pandas")
 
