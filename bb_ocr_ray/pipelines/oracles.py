@@ -2226,3 +2226,22 @@ ORACLES["q_hll_intersect"] = """
     SELECT * FROM ab UNION ALL SELECT * FROM u UNION ALL
     SELECT * FROM x ORDER BY 1, 2
 """
+
+ORACLES["q_heavy_hitters"] = """
+    WITH keyed AS (
+        SELECT CASE
+                 WHEN user_id IS NULL THEN NULL
+                 WHEN user_id % 3 = 0 THEN CAST(user_id % 13 AS VARCHAR)
+                 WHEN user_id % 3 = 1
+                   THEN CAST(100 + user_id % 97 AS VARCHAR)
+                 ELSE CAST(event_id + 1000000000 AS VARCHAR)
+               END AS key
+        FROM events),
+    nn AS (SELECT key FROM keyed WHERE key IS NOT NULL),
+    tot AS (SELECT count(*) AS t FROM nn)
+    SELECT key, CAST(count(*) AS BIGINT) AS n
+    FROM nn CROSS JOIN tot
+    GROUP BY key, tot.t
+    HAVING count(*) * 50 > tot.t
+    ORDER BY key
+"""

@@ -5698,3 +5698,48 @@ def q_hll_intersect(sf_dir: str):
 
 
 QUERIES.update({"q_hll_intersect": q_hll_intersect})
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed heavy hitters (two-pass candidate superset)
+# ---------------------------------------------------------------------------
+def q_heavy_hitters(sf_dir: str, k: int = 50):
+    """Exact keys with count*k > N via :func:`stages.heavy.heavy_hitters`
+    — the two-pass frequent-items pattern (Misra-Gries guarantee with
+    vectorized batch-local counts): candidates from per-batch exact
+    counts (a guaranteed superset by the averaging argument), then an
+    exact recount of candidates only, so the full ~N-cardinality key
+    column never folds through a shuffle.
+
+    The key column is DERIVED deterministically from events so heavy
+    hitters exist by construction: users % 3 == 0 map to 13 hot keys
+    (~1/39 of rows each — above the N/50 bar), % 3 == 1 to 97 warm
+    keys (~1/291 each — candidates in small batches but CUT by the
+    exact global filter, proving the superset is filtered exactly),
+    the rest to singletons; NULL users drop (the repo's NULL-user
+    convention)."""
+    from bb_ocr_ray.stages.heavy import heavy_hitters
+
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "user_id"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["user_id"].notna().to_numpy()
+        u = pd.to_numeric(b["user_id"], errors="coerce").fillna(0)\
+            .to_numpy(np.int64)
+        e = b["event_id"].to_numpy(np.int64)
+        key = np.where(
+            u % 3 == 0, (u % 13).astype(str),
+            np.where(u % 3 == 1, (100 + u % 97).astype(str),
+                     (e + 1_000_000_000).astype(str)))
+        out = pd.DataFrame({"key": key})
+        out.loc[~m, "key"] = None
+        return out
+
+    out = heavy_hitters(ds.map_batches(keyed, batch_format="pandas"),
+                        "key", k=k).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("key").reset_index(drop=True)
+
+
+QUERIES.update({"q_heavy_hitters": q_heavy_hitters})

@@ -1,0 +1,110 @@
+"""Exact distributed heavy hitters — the two-pass candidate-superset
+pattern (Misra & Gries 1982 frequent-items guarantee, re-expressed with
+vectorized batch-local counts; public method).
+
+The web-scale idiom: finding every key with global count > N/k must
+not fold the FULL key cardinality through a shuffle (a url column has
+~N distinct keys; a coarse_agg over all of them moves the whole
+column).  Instead:
+
+  pass 1 (candidates) — each batch counts its own keys exactly
+      (one vectorized value_counts) and emits only keys with
+      batch count * k > batch rows.  By the averaging argument any
+      key with GLOBAL count > N/k must clear that bar in at least one
+      batch (sum c_i > sum n_i / k forces some c_i > n_i / k), so the
+      union of batch survivors is a guaranteed candidate SUPERSET —
+      bounded by < k keys per batch, heavy-hitter-sized on the skewed
+      distributions heavy hitters exist in.
+  pass 2 (exact verify) — the corpus re-streams through a size-gated
+      membership filter on the candidate set (broadcast below the
+      limit, hash semi-join above) and only CANDIDATE keys fold to
+      exact counts; the final filter count * k > N is exact integer
+      arithmetic, so the output is EXACTLY the > N/k key set — no
+      approximation survives to the result.
+
+NULL keys are dropped (SQL COUNT(col)/GROUP BY convention, matching
+the repo's NULL-user rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def heavy_hitters(ds, col: str, k: int = 100,
+                  coarse_buckets: int | None = None,
+                  broadcast_limit: int | None = None,
+                  _on_choice=None):
+    """Exact keys with global ``count(col) * k > N`` (strictly more
+    than N/k occurrences among non-null rows).  Returns a Dataset of
+    (``col``, ``n``) — exact counts, no approximation.
+
+    ``_on_choice`` (tests) receives the pass-2 membership path:
+    "broadcast" or "hash".
+    """
+    from bb_ocr_ray.stages.coarse import coarse_agg
+    from bb_ocr_ray.stages.joins import (_BROADCAST_LIMIT_BYTES,
+                                         _auto_num_buckets, auto_semi,
+                                         estimate_size_bytes)
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+    limit = (_BROADCAST_LIMIT_BYTES if broadcast_limit is None
+             else broadcast_limit)
+
+    # -- pass 1: batch-local survivors (vectorized; < k keys/batch).
+    #    A NULL-key ledger row could NOT carry the N tally through the
+    #    candidate fold — pandas groupby drops NaN keys (the
+    #    q_crawl_schedule finding) — so N folds in its own
+    #    shuffle-free pass: per-block partial counts, block-count rows
+    #    to the driver (the pagerank-probe pattern; one extra scan of
+    #    one pruned column).
+    def local_candidates(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[col].dropna()
+        n = len(s)
+        if not n:
+            return pd.DataFrame({col: pd.Series([], dtype="object")})
+        vc = s.value_counts()
+        surv = vc[vc.to_numpy() * k > n]
+        return pd.DataFrame({col: surv.index.to_numpy()})
+
+    cand = coarse_agg(
+        ds.map_batches(local_candidates, batch_format="pandas")
+        .map_batches(lambda b: b.assign(_one=np.int64(1)),
+                     batch_format="pandas"),
+        [col], {"_one": ("_one", "sum")},
+        coarse_buckets=coarse_buckets).map_batches(
+        lambda b: b[[col]], batch_format="pandas").materialize()
+
+    n_total = int(ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"t": [np.int64(b[col].notna().sum())]}),
+        batch_format="pandas").to_pandas()["t"].sum())
+
+    # -- pass 2: exact recount of candidate keys only (size-gated
+    #    membership), then the exact global threshold
+    if cand.count() == 0:       # empty/all-null input: nothing can win
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {col: pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64")}))
+    est = estimate_size_bytes(cand)
+    if _on_choice is not None:
+        _on_choice("broadcast" if 0 < est <= limit or est == 0 else "hash")
+    matched = auto_semi(
+        ds.map_batches(lambda b: b[b[col].notna()][[col]],
+                       batch_format="pandas"),
+        cand, on=col, broadcast_limit=limit)
+    counts = coarse_agg(
+        matched.map_batches(lambda b: b.assign(n=np.int64(1)),
+                            batch_format="pandas"),
+        [col], {"n": ("n", "sum")}, coarse_buckets=coarse_buckets)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n"].to_numpy(np.int64) * k > n_total]
+        return pd.DataFrame({col: b[col].to_numpy(),
+                             "n": b["n"].astype("int64").to_numpy()})
+
+    return counts.map_batches(final, batch_format="pandas")

@@ -940,3 +940,53 @@ def test_pagerank_rank_broadcast_gate_paths_agree(ray_session):
     np.testing.assert_allclose(fast["rank"].to_numpy(),
                                slow["rank"].to_numpy(),
                                rtol=0, atol=1e-12)
+
+
+def test_heavy_hitters_exact_vs_pandas(ray_session):
+    """Two-pass heavy hitters == the exact pandas answer, on a skewed
+    corpus with warm keys that clear per-batch bars in SOME batches
+    but must be cut by the exact global filter; both membership paths
+    (broadcast / forced hash) agree; NULLs drop."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.heavy import heavy_hitters
+
+    rng = np.random.RandomState(11)
+    n = 30_000
+    r = rng.rand(n)
+    keys = np.where(
+        r < 0.5, rng.choice([f"hot{i}" for i in range(7)], n),
+        np.where(r < 0.75, rng.choice([f"warm{i}" for i in range(80)], n),
+                 np.char.add("cold", np.arange(n).astype(str))))
+    df = pd.DataFrame({"key": keys.astype(object)})
+    df.loc[::997, "key"] = None                      # NULLs drop
+
+    k = 40
+    s = df["key"].dropna()
+    vc = s.value_counts()
+    want = vc[vc.to_numpy() * k > len(s)].sort_index()
+
+    choices = []
+    got = (heavy_hitters(rd.from_pandas(df).repartition(16), "key", k=k,
+                         _on_choice=choices.append)
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    assert got["key"].tolist() == want.index.tolist()
+    assert got["n"].tolist() == want.to_numpy().tolist()
+    # hot keys found, warm/cold keys cut
+    assert all(key.startswith("hot") for key in got["key"])
+
+    got2 = (heavy_hitters(rd.from_pandas(df).repartition(16), "key", k=k,
+                          broadcast_limit=1, _on_choice=choices.append)
+            .to_pandas().sort_values("key").reset_index(drop=True))
+    assert choices == ["broadcast", "hash"]
+    assert got2["key"].tolist() == got["key"].tolist()
+    assert got2["n"].tolist() == got["n"].tolist()
+
+    # empty / all-null inputs yield zero rows, no crash
+    empty = heavy_hitters(
+        rd.from_pandas(pd.DataFrame({"key": pd.Series([None, None],
+                                                      dtype="object")})),
+        "key", k=5).to_pandas()
+    assert len(empty) == 0
