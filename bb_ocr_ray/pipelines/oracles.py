@@ -2245,3 +2245,51 @@ ORACLES["q_heavy_hitters"] = """
     HAVING count(*) * 50 > tot.t
     ORDER BY key
 """
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled HITS sweep — same graph generator as _pagerank_sql,
+    L2 normalization after each half-step, hub update reading the
+    just-normalized authorities (the engine's exact order).  Every
+    CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference, so
+    an unrolled iterative chain with norm subqueries re-evaluates its
+    whole prefix exponentially (observed: fd exhaustion from
+    re-scanning the parquet view ~4^iters times)."""
+    ctes = ["""
+    m AS MATERIALIZED (SELECT max(doc_id) + 1 AS mm FROM documents),
+    edges AS MATERIALIZED (
+        SELECT doc_id AS src,
+               unnest([(doc_id*doc_id+1)%mm, (doc_id//2+7)%mm,
+                       (doc_id*3+11)%mm]) AS dst
+        FROM documents, m),
+    nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                           UNION SELECT dst FROM edges),
+    h0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    a{i}r AS MATERIALIZED (SELECT nd.node, coalesce(s.sm, 0.0) AS v
+        FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, sum(h.v) AS sm
+            FROM edges e JOIN h{i-1} h ON e.src = h.node
+            GROUP BY 1) s ON nd.node = s.node),
+    a{i}n AS MATERIALIZED (SELECT sqrt(sum(v*v)) AS nrm FROM a{i}r),
+    a{i} AS MATERIALIZED (SELECT node,
+        CASE WHEN n.nrm > 0 THEN v / n.nrm ELSE v END AS v
+        FROM a{i}r, a{i}n n),
+    h{i}r AS MATERIALIZED (SELECT nd.node, coalesce(s.sm, 0.0) AS v
+        FROM nodes nd LEFT JOIN (
+            SELECT e.src AS node, sum(a.v) AS sm
+            FROM edges e JOIN a{i} a ON e.dst = a.node
+            GROUP BY 1) s ON nd.node = s.node),
+    h{i}n AS MATERIALIZED (SELECT sqrt(sum(v*v)) AS nrm FROM h{i}r),
+    h{i} AS MATERIALIZED (SELECT node,
+        CASE WHEN n.nrm > 0 THEN v / n.nrm ELSE v END AS v
+        FROM h{i}r, h{i}n n)""")
+    return ("WITH" + ",".join(ctes) + f"""
+    SELECT a{iters}.node, round(a{iters}.v, 6) AS authority,
+           round(h{iters}.v, 6) AS hub
+    FROM a{iters} JOIN h{iters} ON a{iters}.node = h{iters}.node
+    ORDER BY 1""")
+
+
+ORACLES["q_hits"] = _hits_sql()

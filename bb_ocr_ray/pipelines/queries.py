@@ -5743,3 +5743,37 @@ def q_heavy_hitters(sf_dir: str, k: int = 50):
 
 
 QUERIES.update({"q_heavy_hitters": q_heavy_hitters})
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg link analysis)
+# ---------------------------------------------------------------------------
+def q_hits(sf_dir: str, iters: int = 5):
+    """HITS over the q_pagerank link graph (same deterministic
+    3-targets-mod-m generator — skewed in-degrees, dangling ids) via
+    :func:`stages.graph.hits`: per half-round one neighbor-sum fold +
+    one L2 normalization, update order a_i from h_{i-1} then h_i from
+    the JUST-normalized a_i, mirrored exactly by the unrolled SQL
+    oracle.  Scores round to 6 dp (normalization drift is ~1e-13,
+    far under the grain)."""
+    from bb_ocr_ray.stages.graph import hits
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    m = int(docs.max("doc_id")) + 1
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame({"src": np.repeat(d, 3),
+                             "dst": np.stack([(d * d + 1) % m,
+                                              (d // 2 + 7) % m,
+                                              (d * 3 + 11) % m],
+                                             axis=1).reshape(-1)})
+
+    out = hits(docs.map_batches(edges, batch_format="pandas"),
+               iters=iters).to_pandas()
+    out["authority"] = _round_sql(out["authority"], 6)
+    out["hub"] = _round_sql(out["hub"], 6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+QUERIES.update({"q_hits": q_hits})

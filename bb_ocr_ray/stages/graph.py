@@ -546,3 +546,132 @@ def triangle_count(edges_ds, coarse_buckets: int | None = None,
                              "c": arr[:, 2]})
 
     return tri.map_batches(unpack, batch_format="pandas")
+
+
+def hits(edges_ds, iters: int = 5, coarse_buckets: int | None = None,
+         vec_broadcast_limit: int | None = None, _on_choice=None):
+    """HITS hubs & authorities (Kleinberg 1999, public algorithm) over
+    an edge Dataset (src, dst) — int64 node ids, parallel edges carry
+    multiplicity.  Returns a Dataset of (node, authority, hub).
+
+    Update order is the classic sequential sweep, mirrored exactly by
+    the unrolled SQL oracle: a_i = L2-normalize(Σ_{s→n} h_{i-1}(s)),
+    then h_i = L2-normalize(Σ_{n→t} a_i(t)) — the hub update reads the
+    JUST-normalized authorities.  Nodes with no in-edges (out-edges)
+    hold authority (hub) 0 through every round.
+
+    Scale shape (the pagerank posture): the |V|-row score vectors are
+    re-materialized every half-round, so their REAL byte size gates
+    the join shape once — below ``vec_broadcast_limit`` the static
+    edge list never shuffles (fresh vector via ``ray.put``, zero-copy
+    map attach, one coarse fold per half-round; the L2 norm is driver
+    arithmetic on the gate-bounded vector).  Above the gate both
+    sides hash-join and the norm folds from per-block partial sums of
+    squares (block-count rows to the driver).  ``_on_choice`` (tests)
+    receives "broadcast" or "hash" once.
+    """
+    import ray
+
+    from bb_ocr_ray.stages.coarse import coarse_agg
+    from bb_ocr_ray.stages.joins import (_BROADCAST_LIMIT_BYTES,
+                                         _auto_num_buckets,
+                                         broadcast_join, hash_join)
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+    limit = (_BROADCAST_LIMIT_BYTES if vec_broadcast_limit is None
+             else vec_broadcast_limit)
+
+    nodes = _distinct_nodes(edges_ds, coarse_buckets).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.array([], dtype="int64"),
+            "authority": pd.array([], dtype="float64"),
+            "hub": pd.array([], dtype="float64")}))
+    edges2 = edges_ds.map_batches(
+        lambda b: pd.DataFrame({"src": b["src"].astype("int64"),
+                                "dst": b["dst"].astype("int64")}),
+        batch_format="pandas").materialize()
+    n_edges = edges2.count()
+    iter_buckets = max(8, min(coarse_buckets,
+                              (n_nodes + n_edges) // 250_000 + 8))
+    rank_blocks = max(1, -(-n_nodes // 500_000))
+    nodes = nodes.repartition(rank_blocks).materialize()
+
+    hvec = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].astype("int64"),
+                                "v": 1.0}),
+        batch_format="pandas").materialize()
+    use_bcast = hvec.size_bytes() * 2 <= limit
+    if _on_choice is not None:
+        _on_choice("broadcast" if use_bcast else "hash")
+
+    zeros = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].astype("int64"),
+                                "v": 0.0}),
+        batch_format="pandas").materialize()
+
+    def _neighbor_sum(vec, key_from: str, key_to: str):
+        """Σ over edges (key_from → key_to) of vec(key_from), as a
+        normalized |V|-row Dataset (every node present)."""
+        if use_bcast:
+            vpd = vec if isinstance(vec, pd.DataFrame) else vec.to_pandas()
+            joined = broadcast_join(
+                edges2, vpd.rename(columns={"node": key_from}),
+                on=key_from)
+        else:
+            joined = hash_join(
+                edges2,
+                vec.map_batches(
+                    lambda b: pd.DataFrame(
+                        {key_from: b["node"].astype("int64"),
+                         "v": b["v"]}),
+                    batch_format="pandas"),
+                on=key_from, num_buckets=iter_buckets)
+        summed = coarse_agg(
+            joined.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b[key_to].astype("int64"),
+                     "v": b["v"].astype("float64")}),
+                batch_format="pandas").union(zeros),
+            ["node"], {"v": ("v", "sum")}, coarse_buckets=iter_buckets)
+        if use_bcast:
+            spd = summed.to_pandas()
+            spd["node"] = spd["node"].astype("int64")
+            nrm = float(np.sqrt((spd["v"].to_numpy(np.float64) ** 2)
+                                .sum()))
+            if nrm > 0:
+                spd["v"] = spd["v"].to_numpy(np.float64) / nrm
+            return spd
+        mat = summed.materialize()
+        parts = mat.map_batches(
+            lambda b: pd.DataFrame(
+                {"ss": [float((b["v"].to_numpy(np.float64) ** 2).sum())]}),
+            batch_format="pandas").to_pandas()
+        nrm = float(np.sqrt(parts["ss"].sum()))
+        if nrm == 0:
+            return mat
+        return mat.map_batches(
+            lambda b, nrm=nrm: pd.DataFrame(
+                {"node": b["node"].astype("int64"),
+                 "v": b["v"].to_numpy(np.float64) / nrm}),
+            batch_format="pandas").materialize()
+
+    avec = None
+    for _ in range(iters):
+        avec = _neighbor_sum(hvec, "src", "dst")     # authorities
+        hvec = _neighbor_sum(avec, "dst", "src")     # hubs (new a)
+
+    apd = avec if isinstance(avec, pd.DataFrame) else avec.to_pandas()
+    hpd = hvec if isinstance(hvec, pd.DataFrame) else hvec.to_pandas()
+    out = (apd.rename(columns={"v": "authority"})
+           .merge(hpd.rename(columns={"v": "hub"}), on="node"))
+    out["node"] = out["node"].astype("int64")
+    import ray.data as rd
+
+    return rd.from_pandas(
+        out[["node", "authority", "hub"]]
+        .sort_values("node").reset_index(drop=True))

@@ -990,3 +990,57 @@ def test_heavy_hitters_exact_vs_pandas(ray_session):
                                                       dtype="object")})),
         "key", k=5).to_pandas()
     assert len(empty) == 0
+
+
+def test_hits_matches_numpy_and_gate_paths_agree(ray_session):
+    """HITS == dense numpy reference (same sweep order: a from old h,
+    normalize, h from NEW a, normalize); forced-hash path equals the
+    default broadcast path; dangling/source-only nodes hold 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.graph import hits
+
+    rng = np.random.RandomState(5)
+    n = 120
+    edges = pd.DataFrame({
+        "src": rng.randint(0, n, 600).astype("int64"),
+        "dst": rng.randint(0, n + 20, 600).astype("int64")})  # 20 sinks
+
+    nodes = np.unique(np.concatenate([edges["src"], edges["dst"]]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in zip(edges["src"], edges["dst"]):
+        A[idx[s], idx[d]] += 1.0          # parallel edges carry weight
+    h = np.ones(len(nodes))
+    for _ in range(5):
+        a = A.T @ h
+        nrm = np.sqrt((a ** 2).sum())
+        a = a / nrm if nrm > 0 else a
+        h = A @ a
+        nrm = np.sqrt((h ** 2).sum())
+        h = h / nrm if nrm > 0 else h
+
+    choices = []
+    got = (hits(rd.from_pandas(edges).repartition(4), iters=5,
+                _on_choice=choices.append)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got["node"].tolist() == nodes.tolist()
+    np.testing.assert_allclose(got["authority"].to_numpy(), a,
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(got["hub"].to_numpy(), h,
+                               rtol=0, atol=1e-9)
+    # sinks never emit: hub == 0 exactly for ids >= n present as dst
+    sinks = got[got["node"] >= n]
+    assert len(sinks) and (sinks["hub"] == 0.0).all()
+
+    forced = (hits(rd.from_pandas(edges).repartition(4), iters=5,
+                   vec_broadcast_limit=0, _on_choice=choices.append)
+              .to_pandas().sort_values("node").reset_index(drop=True))
+    assert choices == ["broadcast", "hash"]
+    np.testing.assert_allclose(forced["authority"].to_numpy(),
+                               got["authority"].to_numpy(),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(forced["hub"].to_numpy(),
+                               got["hub"].to_numpy(), rtol=0, atol=1e-12)
