@@ -2293,3 +2293,25 @@ def _hits_sql(iters: int = 5) -> str:
 
 
 ORACLES["q_hits"] = _hits_sql()
+
+
+ORACLES["q_inverted_index"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    uni AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(
+                      generate_series(1, len(tk) - 1),
+                      i -> tk[i] || '_' || tk[i + 1])) AS term
+           FROM toks),
+    pc AS (SELECT DISTINCT doc_id, term
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    nd AS (SELECT count(*) AS n FROM documents),
+    g AS (SELECT term, count(*) AS df,
+                 string_agg(CAST(doc_id AS VARCHAR), ','
+                            ORDER BY doc_id) AS postings
+          FROM pc GROUP BY term)
+    SELECT term, CAST(df AS BIGINT) AS df, postings
+    FROM g CROSS JOIN nd
+    WHERE df >= 5 AND df * 5 <= nd.n * 3
+    ORDER BY term
+"""

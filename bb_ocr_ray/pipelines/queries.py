@@ -5777,3 +5777,75 @@ def q_hits(sf_dir: str, iters: int = 5):
 
 
 QUERIES.update({"q_hits": q_hits})
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (term -> ordered posting list)
+# ---------------------------------------------------------------------------
+def q_inverted_index(sf_dir: str, min_df: int = 5):
+    """Build the df-banded inverted index over documents: one row per
+    surviving term with its document frequency and the FULL ordered
+    posting list (comma-joined doc ids — value-hash-checkable).  Terms
+    keep ``df >= min_df`` (typo/hapax floor) and ``df*5 <= 3*n_docs``
+    (stopword ceiling, exact integer arithmetic — the 60% bar also
+    BOUNDS every posting row, so no term can produce a corpus-sized
+    output row; real indexers shard hotter terms instead of inlining
+    them).
+
+    Terms are unigrams AND adjacent bigrams (``a_b``): the synthetic
+    corpus's 31-token unigram vocabulary is all stopword-frequency
+    (the ceiling cuts every one — proving it fires), while the ~900
+    bigrams spread across the band and the hapax floor.
+
+    Scale shape: per-doc DISTINCT terms explode in-task (a doc never
+    splits across batches), ONE coarse shuffle on the term moves
+    (term, doc_id) pairs, and each bucket folds its terms with a
+    sort + boundary scan.  n_docs is a parquet-metadata count."""
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    n_buckets = _auto_num_buckets()
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        terms, ids = [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            tk = ws_tokens(t or "")
+            distinct = set(tk)
+            distinct.update(f"{a}_{b2}" for a, b2 in zip(tk, tk[1:]))
+            for tok in distinct:
+                terms.append(tok)
+                ids.append(d)
+        out = pd.DataFrame({"term": pd.array(terms, dtype="object"),
+                            "doc_id": pd.array(ids, dtype="int64")})
+        out["__coarse"] = _bucket_ids(out, ["term"], n_buckets)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        t = g["term"].to_numpy()
+        d = g["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+        ends = np.r_[starts[1:], len(t)]
+        terms, dfs, posts = [], [], []
+        for s, e in zip(starts, ends):
+            df = int(e - s)
+            if df >= min_df and df * 5 <= 3 * n_docs:
+                terms.append(t[s])
+                dfs.append(df)
+                posts.append(",".join(map(str, d[s:e])))
+        return pd.DataFrame({"term": pd.array(terms, dtype="object"),
+                             "df": pd.array(dfs, dtype="int64"),
+                             "postings": pd.array(posts, dtype="object")})
+
+    out = (docs.map_batches(explode, batch_format="pandas")
+           .groupby("__coarse").map_groups(
+               lambda g: fold(g.drop(columns=["__coarse"])),
+               batch_format="pandas").to_pandas())
+    return out.sort_values("term").reset_index(drop=True)
+
+
+QUERIES.update({"q_inverted_index": q_inverted_index})
