@@ -2315,3 +2315,18 @@ ORACLES["q_inverted_index"] = f"""
     WHERE df >= 5 AND df * 5 <= nd.n * 3
     ORDER BY term
 """
+
+
+ORACLES["q_covisit"] = """
+    WITH e AS (SELECT DISTINCT user_id AS u, event_id % 251 AS item
+               FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT u, item,
+                 row_number() OVER (PARTITION BY u ORDER BY item) AS rn
+          FROM e),
+    k AS (SELECT u, item FROM r WHERE rn <= 12),
+    p AS (SELECT a.item AS i1, b.item AS i2
+          FROM k a JOIN k b ON a.u = b.u AND a.item < b.item)
+    SELECT i1, i2, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY 1, 2
+"""

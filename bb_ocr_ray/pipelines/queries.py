@@ -5849,3 +5849,74 @@ def q_inverted_index(sf_dir: str, min_df: int = 5):
 
 
 QUERIES.update({"q_inverted_index": q_inverted_index})
+
+
+# ---------------------------------------------------------------------------
+# Co-visitation pair counts (item-item collaborative counts)
+# ---------------------------------------------------------------------------
+def q_covisit(sf_dir: str, cap: int = 12, min_count: int = 2):
+    """Item-item co-visitation counts — the collaborative-filtering /
+    related-content primitive: for every pair of items interacted
+    with by the same user, how many users share them.  Items derive
+    deterministically as ``event_id % 251``; NULL users drop (the
+    repo convention).
+
+    Hot-user guard: a user's pair contribution is quadratic in their
+    item count, so each user is CAPPED to their ``cap`` smallest
+    distinct items before pairing (deterministic truncation —
+    ``row_number() OVER (PARTITION BY u ORDER BY item) <= cap`` in
+    the oracle — the degree-capping standard for co-visitation at
+    scale; the triangle-count celebrity argument).  A power user with
+    10^6 events contributes at most C(cap,2) pairs.
+
+    Scale shape: TWO coarse shuffles total — one on user (in-bucket
+    global distinct + cap + vectorized self-merge wedge join; all of
+    a user's rows land in one bucket), one count fold on the pair."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids, coarse_agg
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    n_buckets = _auto_num_buckets()
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "user_id"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"])
+        out = pd.DataFrame({
+            "u": pd.to_numeric(b["user_id"]).astype("int64").to_numpy(),
+            "item": (b["event_id"].to_numpy(np.int64) % 251)})
+        # batch-local pre-dedup shrinks the shuffle (exactness comes
+        # from the in-bucket global dedup)
+        out = out.drop_duplicates()
+        out["__coarse"] = _bucket_ids(out, ["u"], n_buckets)
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["u", "item"])
+             .sort_values(["u", "item"], kind="mergesort"))
+        rn = g.groupby("u", sort=False).cumcount().to_numpy() + 1
+        g = g[rn <= cap]
+        m = g.merge(g, on="u")
+        m = m[m["item_x"] < m["item_y"]]
+        return pd.DataFrame({"i1": m["item_x"].to_numpy(np.int64),
+                             "i2": m["item_y"].to_numpy(np.int64),
+                             "one": np.int64(1)})
+
+    counted = coarse_agg(
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("__coarse").map_groups(
+            lambda g: pairs(g.drop(columns=["__coarse"])),
+            batch_format="pandas"),
+        ["i1", "i2"], {"n": ("one", "sum")})
+
+    out = counted.map_batches(
+        lambda b: b[b["n"].to_numpy(np.int64) >= min_count],
+        batch_format="pandas").to_pandas()
+    if not len(out):        # all-empty loses schema through to_pandas
+        out = pd.DataFrame({"i1": pd.array([], dtype="int64"),
+                            "i2": pd.array([], dtype="int64"),
+                            "n": pd.array([], dtype="int64")})
+    out = out.astype({"i1": "int64", "i2": "int64", "n": "int64"})
+    return out.sort_values(["i1", "i2"]).reset_index(drop=True)
+
+
+QUERIES.update({"q_covisit": q_covisit})

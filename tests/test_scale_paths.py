@@ -1044,3 +1044,58 @@ def test_hits_matches_numpy_and_gate_paths_agree(ray_session):
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(forced["hub"].to_numpy(),
                                got["hub"].to_numpy(), rtol=0, atol=1e-12)
+
+
+def test_covisit_hot_user_capped(ray_session, tmp_path):
+    """The degree cap: a power user touching 100 items contributes
+    pairs only among their 12 smallest; normal users' pairs count
+    exactly.  Differential vs pandas on a synthetic events table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bb_ocr_ray.pipelines.queries import q_covisit
+
+    rows = []
+    eid = 0
+    # hot user 1: events mapping to 100 distinct items (item=eid%251)
+    for i in range(100):
+        rows.append((eid + i, 1))
+    eid += 100
+    # 30 normal users each hitting items {3, 7} (eid%251 == 3 or 7)
+    for u in range(2, 32):
+        rows.append((251 * u + 3, u))
+        rows.append((251 * u + 7, u))
+    # a NULL user with events: must not contribute
+    rows.append((3, None))
+    rows.append((7, None))
+    df = pd.DataFrame(rows, columns=["event_id", "user_id"])
+    pq.write_table(pa.table({
+        "event_id": pa.array(df["event_id"], "int64"),
+        "user_id": pa.array(df["user_id"], "int64")}),
+        f"{tmp_path}/events.parquet")
+
+    got = q_covisit(str(tmp_path), cap=12, min_count=1)
+
+    # pandas reference with the same cap rule
+    e = df.dropna(subset=["user_id"]).copy()
+    e["u"] = e["user_id"].astype("int64")
+    e["item"] = e["event_id"].astype("int64") % 251
+    e = e[["u", "item"]].drop_duplicates().sort_values(["u", "item"])
+    e["rn"] = e.groupby("u").cumcount() + 1
+    k = e[e["rn"] <= 12]
+    m = k.merge(k, on="u")
+    m = m[m["item_x"] < m["item_y"]]
+    want = (m.groupby(["item_x", "item_y"], as_index=False).size()
+            .rename(columns={"item_x": "i1", "item_y": "i2", "size": "n"})
+            .sort_values(["i1", "i2"]).reset_index(drop=True))
+    assert got[["i1", "i2"]].values.tolist() == want[["i1", "i2"]].values.tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    # the hot user contributed exactly C(12,2) = 66 pairs (items
+    # 0..11), not C(100,2); one of them — (3, 7) — merges with the 30
+    # normal users, so 65 pairs sit at count 1 and (3, 7) at 31
+    assert len(got) == 66
+    assert len(got[got["n"] == 1]) == 65
+    assert int(got.loc[(got["i1"] == 3) & (got["i2"] == 7), "n"]) == 31
+    assert got["i1"].max() <= 11 and got["i2"].max() <= 11  # cap bound
