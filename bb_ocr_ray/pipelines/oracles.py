@@ -2330,3 +2330,38 @@ ORACLES["q_covisit"] = """
     FROM p GROUP BY 1, 2 HAVING count(*) >= 2
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_funnel"] = """
+    WITH e AS (SELECT user_id AS u, ts, event_id, event_type
+               FROM events WHERE user_id IS NOT NULL),
+    v1 AS (SELECT u, ts, event_id FROM (
+        SELECT u, ts, event_id,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY ts, event_id) AS rn
+        FROM e WHERE event_type = 'view') WHERE rn = 1),
+    c1 AS (SELECT u, ts, event_id FROM (
+        SELECT e.u, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY e.u
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM e JOIN v1 ON e.u = v1.u
+         AND (e.ts > v1.ts OR (e.ts = v1.ts AND e.event_id > v1.event_id))
+         AND e.ts <= v1.ts + INTERVAL 24 HOUR
+        WHERE e.event_type = 'click') WHERE rn = 1),
+    p1 AS (SELECT DISTINCT e.u
+        FROM e JOIN c1 ON e.u = c1.u
+         AND (e.ts > c1.ts OR (e.ts = c1.ts AND e.event_id > c1.event_id))
+         AND e.ts <= c1.ts + INTERVAL 24 HOUR
+        WHERE e.event_type = 'purchase'),
+    users AS (SELECT DISTINCT u FROM e),
+    staged AS (SELECT users.u,
+        CASE WHEN p1.u IS NOT NULL THEN 'purchase'
+             WHEN c1.u IS NOT NULL THEN 'click'
+             WHEN v1.u IS NOT NULL THEN 'view'
+             ELSE 'none' END AS stage
+        FROM users LEFT JOIN v1 ON users.u = v1.u
+                   LEFT JOIN c1 ON users.u = c1.u
+                   LEFT JOIN p1 ON users.u = p1.u)
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+    FROM staged GROUP BY stage ORDER BY stage
+"""

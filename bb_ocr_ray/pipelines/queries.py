@@ -5920,3 +5920,82 @@ def q_covisit(sf_dir: str, cap: int = 12, min_count: int = 2):
 
 
 QUERIES.update({"q_covisit": q_covisit})
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered view -> click -> purchase progression)
+# ---------------------------------------------------------------------------
+def q_funnel(sf_dir: str, window_hours: int = 24):
+    """Per-user WINDOWED funnel progression — the furthest stage of
+    the ordered sequence view -> click -> purchase each user reaches,
+    where each later stage must occur strictly AFTER the chosen
+    earlier event in (ts, event_id) order AND within
+    ``window_hours`` of it (greedy earliest-event semantics with a
+    conversion window — the standard product-funnel definition; the
+    window is what makes stages discriminating: unwindowed, every
+    long-lived user trivially completes).  NULL users drop.
+    Output: (stage, n_users), stages named none/view/click/purchase.
+
+    Scale shape: one coarse shuffle on user (every user's events land
+    in one bucket; in-bucket sort + per-user boundary scan — the
+    q_transitions bucket pattern), then a 4-row count fold."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids, coarse_agg
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    n_buckets = _auto_num_buckets()
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"])
+        out = pd.DataFrame({
+            "u": pd.to_numeric(b["user_id"]).astype("int64").to_numpy(),
+            "ts": b["ts"].to_numpy(),
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "event_type": b["event_type"].to_numpy()})
+        out["__coarse"] = _bucket_ids(out, ["u"], n_buckets)
+        return out
+
+    STAGES = np.array(["none", "view", "click", "purchase"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts", "event_id"], kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        tsv = g["ts"].to_numpy()
+        W = np.timedelta64(window_hours * 3600 * 1_000_000, "us")
+        counts = np.zeros(4, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            t = et[s:e]
+            ut = tsv[s:e]
+            stage = 0
+            vi = np.flatnonzero(t == "view")
+            if len(vi):
+                stage = 1
+                v0 = vi[0]
+                ci = np.flatnonzero((t[v0 + 1:] == "click")
+                                    & (ut[v0 + 1:] <= ut[v0] + W))
+                if len(ci):
+                    stage = 2
+                    c0 = v0 + 1 + ci[0]
+                    if ((t[c0 + 1:] == "purchase")
+                            & (ut[c0 + 1:] <= ut[c0] + W)).any():
+                        stage = 3
+            counts[stage] += 1
+        m = counts > 0
+        return pd.DataFrame({"stage": STAGES[m],
+                             "n_users": counts[m]})
+
+    out = coarse_agg(
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("__coarse").map_groups(
+            lambda g: fold(g.drop(columns=["__coarse"])),
+            batch_format="pandas"),
+        ["stage"], {"n_users": ("n_users", "sum")}).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("stage").reset_index(drop=True)
+
+
+QUERIES.update({"q_funnel": q_funnel})

@@ -1099,3 +1099,52 @@ def test_covisit_hot_user_capped(ray_session, tmp_path):
     assert len(got[got["n"] == 1]) == 65
     assert int(got.loc[(got["i1"] == 3) & (got["i2"] == 7), "n"]) == 31
     assert got["i1"].max() <= 11 and got["i2"].max() <= 11  # cap bound
+
+
+def test_funnel_window_and_tie_semantics(ray_session, tmp_path):
+    """Hand-computed funnel outcomes: window expiry demotes, ties on
+    ts resolve by event_id, NULL users drop, greedy earliest-view
+    anchoring (a later view cannot re-arm the window)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bb_ocr_ray.pipelines.queries import q_funnel
+
+    T0 = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(3600 * 1_000_000, "us")
+    rows = [
+        # u1: view, click +1h, purchase +2h  -> purchase
+        (1, T0, 1, "view"), (2, T0 + H, 1, "click"),
+        (3, T0 + 2 * H, 1, "purchase"),
+        # u2: view, click +30h (window expired) -> view
+        (4, T0, 2, "view"), (5, T0 + 30 * H, 2, "click"),
+        # u3: click before view, none after -> view
+        (6, T0, 3, "click"), (7, T0 + H, 3, "view"),
+        # u4: no view at all -> none
+        (8, T0, 4, "click"), (9, T0 + H, 4, "purchase"),
+        # u5: tie ts: view(eid=10), click(eid=11) same ts -> click
+        # counts (event_id orders it after), purchase 30h later: expired
+        (10, T0, 5, "view"), (11, T0, 5, "click"),
+        (12, T0 + 30 * H, 5, "purchase"),
+        # u6: GREEDY anchor — first view's 24h window misses the
+        # click, a second view 20h later would catch it, but the
+        # anchor never re-arms -> view
+        (13, T0, 6, "view"), (14, T0 + 20 * H, 6, "view"),
+        (15, T0 + 25 * H, 6, "click"),
+        # null user: dropped entirely
+        (16, T0, None, "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    pq.write_table(pa.table({
+        "event_id": pa.array(df["event_id"], "int64"),
+        "ts": pa.array(df["ts"]),
+        "user_id": pa.array(df["user_id"], "int64"),
+        "event_type": pa.array(df["event_type"], "string")}),
+        f"{tmp_path}/events.parquet")
+
+    got = q_funnel(str(tmp_path))
+    want = {"purchase": 1, "click": 1, "view": 3, "none": 1}
+    assert dict(zip(got["stage"], got["n_users"])) == want
