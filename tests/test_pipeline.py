@@ -654,7 +654,7 @@ def test_lifecycle_enrichment_slot(ray_session, tmp_path):
     back = pq.read_table(out).to_pandas()
     assert {"enriched_title", "enrichment_digest",
             "enrich_error"} <= set(back.columns)
-    assert len(back) == 12                              # no dropped rows
+    assert len(back) == edge_case_pages().num_rows      # no dropped rows
     ok = back[back["status"] == "ok"]
     assert ok["enrichment_digest"].notna().all()
     # determinism: a second run produces identical digests per url
