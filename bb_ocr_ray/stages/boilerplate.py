@@ -8,11 +8,16 @@ tag removal); this is the statistical, corpus-level analog a crawl
 pipeline needs when structure is unavailable.
 
 Scale shape:
-- line document-frequency is ONE coarse fold over a doc-locally
-  distinct (domain, line-md5) explode — per-doc distinct happens
-  inside the explode task (a doc's lines never split across batches
-  there), and 16-byte HASHES travel through the shuffle, never line
-  text (the paragraph_dedup phash precedent);
+- line document-frequency AND docs-per-domain come from ONE coarse
+  fold over a doc-locally distinct (domain, line-md5) explode — the
+  per-doc ledger row (lh="") rides the same shuffle, so the input is
+  read and derived once for the whole statistics pass; 16-byte
+  HASHES travel through the shuffle, never line text (the
+  paragraph_dedup phash precedent).  The fold OUTPUT (the
+  domain-level line vocabulary, hash-sized rows — strictly smaller
+  than the corpus) is materialized once because two consumers read
+  it; re-executing the fold per consumer would double the corpus
+  explode;
 - the domain doc-count table is aggregate-sized (|domains| rows) and
   the frequent-line table is heavy-hitter-sized (only lines clearing
   df >= min_docs AND df/n_docs > ratio survive), so the whole
@@ -72,6 +77,13 @@ def _explode(batch: pd.DataFrame, id_col: str, domain_col: str,
                     ids.append(d)
                     doms.append(s)
                     hashes.append(h(ln))
+            # one LEDGER row per doc (lh="" — never collides with a
+            # 32-hex md5): the per-domain doc count folds from the
+            # SAME pass, saving a whole re-read + re-derive of the
+            # (possibly expensive) upstream lineage
+            ids.append(d)
+            doms.append(s)
+            hashes.append("")
         else:
             for i, ln in enumerate(parts):
                 ids.append(d)
@@ -117,24 +129,26 @@ def remove_boilerplate(docs_ds, id_col: str = "doc_id",
     limit = (_BROADCAST_LIMIT_BYTES if broadcast_limit is None
              else broadcast_limit)
 
-    # -- line document frequency (doc-locally distinct inside the
-    #    explode task: a doc's lines never split across batches here)
+    # -- line document frequency AND docs-per-domain from ONE pass
+    #    (doc-locally distinct inside the explode task: a doc's lines
+    #    never split across batches here; the lh="" ledger row per doc
+    #    carries the domain doc count through the same fold)
     df_rows = docs_ds.map_batches(
         lambda b: _explode(b, id_col, domain_col, text_col, True)
         .assign(one=np.int64(1)),
         batch_format="pandas")
-    df = coarse_agg(df_rows, [domain_col, "lh"], {"df": ("one", "sum")},
-                    coarse_buckets=coarse_buckets)
+    folded = coarse_agg(df_rows, [domain_col, "lh"],
+                        {"df": ("one", "sum")},
+                        coarse_buckets=coarse_buckets).materialize()
 
-    # -- docs per domain (aggregate-sized; materialized so the join
-    #    gate reads real bytes)
-    nd = coarse_agg(
-        docs_ds.map_batches(
-            lambda b: pd.DataFrame({domain_col: b[domain_col],
-                                    "one": np.int64(1)}),
-            batch_format="pandas"),
-        [domain_col], {"n_docs": ("one", "sum")},
-        coarse_buckets=coarse_buckets).materialize()
+    df = folded.map_batches(lambda b: b[b["lh"] != ""],
+                            batch_format="pandas")
+    # aggregate-sized; materialized so the join gate reads real bytes
+    nd = folded.map_batches(
+        lambda b: (b[b["lh"] == ""]
+                   .rename(columns={"df": "n_docs"})[[domain_col,
+                                                     "n_docs"]]),
+        batch_format="pandas").materialize()
 
     joined = auto_join(df, nd, on=domain_col)
 
