@@ -2295,7 +2295,7 @@ def _hits_sql(iters: int = 5) -> str:
 ORACLES["q_hits"] = _hits_sql()
 
 
-ORACLES["q_inverted_index"] = f"""
+ORACLES["q_posting_lists"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
     uni AS (SELECT doc_id, unnest(tk) AS term FROM toks),
     bi AS (SELECT doc_id,
@@ -2332,7 +2332,7 @@ ORACLES["q_covisit"] = """
 """
 
 
-ORACLES["q_funnel"] = """
+ORACLES["q_funnel_windowed"] = """
     WITH e AS (SELECT user_id AS u, ts, event_id, event_type
                FROM events WHERE user_id IS NOT NULL),
     v1 AS (SELECT u, ts, event_id FROM (

@@ -5782,7 +5782,7 @@ QUERIES.update({"q_hits": q_hits})
 # ---------------------------------------------------------------------------
 # Inverted index build (term -> ordered posting list)
 # ---------------------------------------------------------------------------
-def q_inverted_index(sf_dir: str, min_df: int = 5):
+def q_posting_lists(sf_dir: str, min_df: int = 5):
     """Build the df-banded inverted index over documents: one row per
     surviving term with its document frequency and the FULL ordered
     posting list (comma-joined doc ids — value-hash-checkable).  Terms
@@ -5848,7 +5848,7 @@ def q_inverted_index(sf_dir: str, min_df: int = 5):
     return out.sort_values("term").reset_index(drop=True)
 
 
-QUERIES.update({"q_inverted_index": q_inverted_index})
+QUERIES.update({"q_posting_lists": q_posting_lists})
 
 
 # ---------------------------------------------------------------------------
@@ -5925,7 +5925,7 @@ QUERIES.update({"q_covisit": q_covisit})
 # ---------------------------------------------------------------------------
 # Funnel analysis (ordered view -> click -> purchase progression)
 # ---------------------------------------------------------------------------
-def q_funnel(sf_dir: str, window_hours: int = 24):
+def q_funnel_windowed(sf_dir: str, window_hours: int = 24):
     """Per-user WINDOWED funnel progression — the furthest stage of
     the ordered sequence view -> click -> purchase each user reaches,
     where each later stage must occur strictly AFTER the chosen
@@ -5998,4 +5998,4 @@ def q_funnel(sf_dir: str, window_hours: int = 24):
     return out.sort_values("stage").reset_index(drop=True)
 
 
-QUERIES.update({"q_funnel": q_funnel})
+QUERIES.update({"q_funnel_windowed": q_funnel_windowed})

@@ -1110,7 +1110,7 @@ def test_funnel_window_and_tie_semantics(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from bb_ocr_ray.pipelines.queries import q_funnel
+    from bb_ocr_ray.pipelines.queries import q_funnel_windowed
 
     T0 = np.datetime64("2024-01-01T00:00:00", "us")
     H = np.timedelta64(3600 * 1_000_000, "us")
@@ -1145,6 +1145,6 @@ def test_funnel_window_and_tie_semantics(ray_session, tmp_path):
         "event_type": pa.array(df["event_type"], "string")}),
         f"{tmp_path}/events.parquet")
 
-    got = q_funnel(str(tmp_path))
+    got = q_funnel_windowed(str(tmp_path))
     want = {"purchase": 1, "click": 1, "view": 3, "none": 1}
     assert dict(zip(got["stage"], got["n_users"])) == want
