@@ -2365,3 +2365,15 @@ ORACLES["q_funnel_windowed"] = """
     SELECT stage, CAST(count(*) AS BIGINT) AS n_users
     FROM staged GROUP BY stage ORDER BY stage
 """
+
+
+ORACLES["q_exact_kth"] = """
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    med AS (SELECT value AS median FROM v, n
+            ORDER BY value LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM n)),
+    p90 AS (SELECT value AS p90 FROM v
+            ORDER BY value LIMIT 1
+            OFFSET (SELECT (9 * n + 9) // 10 - 1 FROM n))
+    SELECT n.n, med.median, p90.p90 FROM n, med, p90
+"""

@@ -5999,3 +5999,36 @@ def q_funnel_windowed(sf_dir: str, window_hours: int = 24):
 
 
 QUERIES.update({"q_funnel_windowed": q_funnel_windowed})
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed selection (k-th smallest without a global sort)
+# ---------------------------------------------------------------------------
+def q_exact_kth(sf_dir: str):
+    """Exact global median and p90 of events.value via
+    :func:`stages.selection.kth_smallest` — iterative histogram
+    narrowing (log_B(range) streaming passes, driver folds of
+    block-count×(B+2) partial rows, one bounded candidate collect),
+    never a global sort.  Selection returns an EXACT element, so the
+    values are bit-identical to ``ORDER BY value LIMIT 1 OFFSET k-1``
+    and no rounding grain is involved.  k conventions: median =
+    ceil(n/2)-th smallest, p90 = ceil(0.9*n)-th (quantile_disc's
+    element choice).  NULL values excluded on both engines."""
+    from bb_ocr_ray.stages.selection import kth_smallest
+
+    ds = _read_parquet(_t(sf_dir, "events"), columns=["value"])
+
+    n = int(ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"n": [np.int64(pd.to_numeric(b["value"], errors="coerce")
+                            .notna().sum())]}),
+        batch_format="pandas").to_pandas()["n"].sum())
+    k_med = (n + 1) // 2
+    k_p90 = -(-9 * n // 10)
+    med = kth_smallest(ds, "value", k_med)
+    p90 = kth_smallest(ds, "value", k_p90)
+    return pd.DataFrame({"n": pd.array([n], dtype="int64"),
+                         "median": [med], "p90": [p90]})
+
+
+QUERIES.update({"q_exact_kth": q_exact_kth})

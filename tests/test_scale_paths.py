@@ -1148,3 +1148,39 @@ def test_funnel_window_and_tie_semantics(ray_session, tmp_path):
     got = q_funnel_windowed(str(tmp_path))
     want = {"purchase": 1, "click": 1, "view": 3, "none": 1}
     assert dict(zip(got["stage"], got["n_users"])) == want
+
+
+def test_kth_smallest_matches_numpy(ray_session):
+    """Histogram-narrowing selection == numpy partition across k
+    sweep, duplicates, negatives, constant columns, NaNs, a
+    collapsed-width interval (collect_cap=1 forces deep narrowing),
+    and out-of-range k."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.selection import kth_smallest
+
+    rng = np.random.RandomState(3)
+    v = np.concatenate([rng.randn(4000) * 100,
+                        np.repeat(-7.25, 500),          # heavy duplicate
+                        rng.randint(-5, 5, 500).astype(float)])
+    df = pd.DataFrame({"value": v})
+    df.loc[::97, "value"] = np.nan                      # NaNs excluded
+    ds = rd.from_pandas(df).repartition(8)
+    clean = np.sort(df["value"].dropna().to_numpy())
+    for k in (1, 2, 17, len(clean) // 2, len(clean) - 1, len(clean)):
+        got = kth_smallest(ds, "value", k, n_buckets=16)
+        assert got == clean[k - 1], k
+    # tiny collect cap: forces narrowing to float-resolution intervals
+    got = kth_smallest(ds, "value", len(clean) // 3, n_buckets=8,
+                       collect_cap=1)
+    assert got == clean[len(clean) // 3 - 1]
+    # constant column
+    const = rd.from_pandas(pd.DataFrame({"value": np.full(100, 3.5)}))
+    assert kth_smallest(const, "value", 50) == 3.5
+    with pytest.raises(ValueError):
+        kth_smallest(ds, "value", len(clean) + 1)
+    with pytest.raises(ValueError):
+        kth_smallest(ds, "value", 0)
