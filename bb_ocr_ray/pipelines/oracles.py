@@ -2377,3 +2377,14 @@ ORACLES["q_exact_kth"] = """
             OFFSET (SELECT (9 * n + 9) // 10 - 1 FROM n))
     SELECT n.n, med.median, p90.p90 FROM n, med, p90
 """
+
+
+ORACLES["q_cube"] = """
+    SELECT coalesce(CAST(lang AS VARCHAR), 'ALL') AS lang,
+           coalesce(CAST(source AS VARCHAR), 'ALL') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    ORDER BY 1, 2
+"""

@@ -6032,3 +6032,60 @@ def q_exact_kth(sf_dir: str):
 
 
 QUERIES.update({"q_exact_kth": q_exact_kth})
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation (all grouping sets of two dimensions)
+# ---------------------------------------------------------------------------
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) over documents — n_docs and total
+    n_chars for every grouping set: (lang, source), (lang), (source)
+    and the grand total, with 'ALL' marking the rolled-up dimension
+    (q_rollup's lattice completed to the full cube).  All-integer
+    aggregates, so no rounding grain anywhere.  Contract: the dim
+    columns are non-null in this corpus (asserted by the oracle's
+    coalesce semantics); a corpus with NULL dims would need a
+    sentinel distinct from the 'ALL' rollup marker on BOTH engines.
+
+    Scale shape: ONE corpus pass emits per-batch partials for the
+    finest set only; the three coarser sets derive from the
+    materialized (lang, source) table (aggregate-sized folds — never
+    a second corpus pass; the q_lm_quality derive-from-the-table
+    trick applied to grouping sets)."""
+    from bb_ocr_ray.stages.coarse import coarse_agg
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["lang", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.assign(n_docs=np.int64(1))
+             .groupby(["lang", "source"], as_index=False, dropna=False)
+             .agg(n_docs=("n_docs", "sum"), chars=("n_chars", "sum")))
+        g["chars"] = g["chars"].astype("int64")
+        return g
+
+    fine = coarse_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["lang", "source"],
+        {"n_docs": ("n_docs", "sum"), "chars": ("chars", "sum")}
+    ).materialize()
+
+    fine_pd = fine.to_pandas()      # aggregate-sized by construction
+    fine_pd["lang"] = fine_pd["lang"].astype(str)
+    fine_pd["source"] = fine_pd["source"].astype(str)
+
+    by_lang = (fine_pd.groupby("lang", as_index=False)
+               [["n_docs", "chars"]].sum().assign(source="ALL"))
+    by_src = (fine_pd.groupby("source", as_index=False)
+              [["n_docs", "chars"]].sum().assign(lang="ALL"))
+    grand = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
+                          "n_docs": [fine_pd["n_docs"].sum()],
+                          "chars": [fine_pd["chars"].sum()]})
+    out = pd.concat([fine_pd, by_lang, by_src, grand], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["chars"] = out["chars"].astype("int64")
+    return (out[["lang", "source", "n_docs", "chars"]]
+            .sort_values(["lang", "source"]).reset_index(drop=True))
+
+
+QUERIES.update({"q_cube": q_cube})
