@@ -2388,3 +2388,74 @@ ORACLES["q_cube"] = """
     GROUP BY CUBE (lang, source)
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_zorder"] = """
+    SELECT doc_id,
+           CAST((((doc_id % 65536) >> 0) & 1) * 1
+             + (((n_chars % 65536) >> 0) & 1) * 2
+             + (((doc_id % 65536) >> 1) & 1) * 4
+             + (((n_chars % 65536) >> 1) & 1) * 8
+             + (((doc_id % 65536) >> 2) & 1) * 16
+             + (((n_chars % 65536) >> 2) & 1) * 32
+             + (((doc_id % 65536) >> 3) & 1) * 64
+             + (((n_chars % 65536) >> 3) & 1) * 128
+             + (((doc_id % 65536) >> 4) & 1) * 256
+             + (((n_chars % 65536) >> 4) & 1) * 512
+             + (((doc_id % 65536) >> 5) & 1) * 1024
+             + (((n_chars % 65536) >> 5) & 1) * 2048
+             + (((doc_id % 65536) >> 6) & 1) * 4096
+             + (((n_chars % 65536) >> 6) & 1) * 8192
+             + (((doc_id % 65536) >> 7) & 1) * 16384
+             + (((n_chars % 65536) >> 7) & 1) * 32768
+             + (((doc_id % 65536) >> 8) & 1) * 65536
+             + (((n_chars % 65536) >> 8) & 1) * 131072
+             + (((doc_id % 65536) >> 9) & 1) * 262144
+             + (((n_chars % 65536) >> 9) & 1) * 524288
+             + (((doc_id % 65536) >> 10) & 1) * 1048576
+             + (((n_chars % 65536) >> 10) & 1) * 2097152
+             + (((doc_id % 65536) >> 11) & 1) * 4194304
+             + (((n_chars % 65536) >> 11) & 1) * 8388608
+             + (((doc_id % 65536) >> 12) & 1) * 16777216
+             + (((n_chars % 65536) >> 12) & 1) * 33554432
+             + (((doc_id % 65536) >> 13) & 1) * 67108864
+             + (((n_chars % 65536) >> 13) & 1) * 134217728
+             + (((doc_id % 65536) >> 14) & 1) * 268435456
+             + (((n_chars % 65536) >> 14) & 1) * 536870912
+             + (((doc_id % 65536) >> 15) & 1) * 1073741824
+             + (((n_chars % 65536) >> 15) & 1) * 2147483648 AS BIGINT) AS zkey,
+           CAST(((((doc_id % 65536) >> 0) & 1) * 1
+             + (((n_chars % 65536) >> 0) & 1) * 2
+             + (((doc_id % 65536) >> 1) & 1) * 4
+             + (((n_chars % 65536) >> 1) & 1) * 8
+             + (((doc_id % 65536) >> 2) & 1) * 16
+             + (((n_chars % 65536) >> 2) & 1) * 32
+             + (((doc_id % 65536) >> 3) & 1) * 64
+             + (((n_chars % 65536) >> 3) & 1) * 128
+             + (((doc_id % 65536) >> 4) & 1) * 256
+             + (((n_chars % 65536) >> 4) & 1) * 512
+             + (((doc_id % 65536) >> 5) & 1) * 1024
+             + (((n_chars % 65536) >> 5) & 1) * 2048
+             + (((doc_id % 65536) >> 6) & 1) * 4096
+             + (((n_chars % 65536) >> 6) & 1) * 8192
+             + (((doc_id % 65536) >> 7) & 1) * 16384
+             + (((n_chars % 65536) >> 7) & 1) * 32768
+             + (((doc_id % 65536) >> 8) & 1) * 65536
+             + (((n_chars % 65536) >> 8) & 1) * 131072
+             + (((doc_id % 65536) >> 9) & 1) * 262144
+             + (((n_chars % 65536) >> 9) & 1) * 524288
+             + (((doc_id % 65536) >> 10) & 1) * 1048576
+             + (((n_chars % 65536) >> 10) & 1) * 2097152
+             + (((doc_id % 65536) >> 11) & 1) * 4194304
+             + (((n_chars % 65536) >> 11) & 1) * 8388608
+             + (((doc_id % 65536) >> 12) & 1) * 16777216
+             + (((n_chars % 65536) >> 12) & 1) * 33554432
+             + (((doc_id % 65536) >> 13) & 1) * 67108864
+             + (((n_chars % 65536) >> 13) & 1) * 134217728
+             + (((doc_id % 65536) >> 14) & 1) * 268435456
+             + (((n_chars % 65536) >> 14) & 1) * 536870912
+             + (((doc_id % 65536) >> 15) & 1) * 1073741824
+             + (((n_chars % 65536) >> 15) & 1) * 2147483648) // 67108864 AS BIGINT) AS zbucket
+    FROM documents WHERE n_chars IS NOT NULL
+    ORDER BY doc_id
+"""

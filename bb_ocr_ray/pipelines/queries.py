@@ -6089,3 +6089,51 @@ def q_cube(sf_dir: str):
 
 
 QUERIES.update({"q_cube": q_cube})
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering keys — multi-column locality layout
+# ---------------------------------------------------------------------------
+def _part1by1_u16(x: np.ndarray) -> np.ndarray:
+    """Spread each of 16 bits to the even positions of a 32-bit word
+    (classic Morton magic-number twiddling, fully vectorized)."""
+    x = x.astype(np.uint32) & np.uint32(0xFFFF)
+    x = (x | (x << np.uint32(8))) & np.uint32(0x00FF00FF)
+    x = (x | (x << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    x = (x | (x << np.uint32(2))) & np.uint32(0x33333333)
+    x = (x | (x << np.uint32(1))) & np.uint32(0x55555555)
+    return x
+
+
+def q_zorder(sf_dir: str, bucket_bits: int = 6):
+    """Z-order (Morton) clustering key per document over the two
+    dimensions (doc_id % 2^16, n_chars % 2^16) — the lakehouse
+    data-layout primitive: rows whose keys share a zkey prefix are
+    close in BOTH dimensions, so range predicates on either column
+    prune contiguous key ranges.  Emits (doc_id, zkey, zbucket) with
+    zbucket = the top ``bucket_bits`` bits — the partition a
+    z-ordered writer would send the row to.  Pure per-row integer
+    arithmetic (magic-number bit spreading, vectorized); the oracle
+    re-derives the interleave as an explicit 32-term bit sum, a
+    genuinely independent implementation.  NULL n_chars rows drop
+    (no meaningful position on the axis)."""
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def zmap(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["n_chars"])
+        a = b["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        c = pd.to_numeric(b["n_chars"]).to_numpy(np.int64).astype(np.uint64)
+        z = (_part1by1_u16(a & np.uint64(0xFFFF)).astype(np.uint64)
+             | (_part1by1_u16(c & np.uint64(0xFFFF)).astype(np.uint64)
+                << np.uint64(1)))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "zkey": z.astype("int64"),
+            "zbucket": (z >> np.uint64(32 - bucket_bits)).astype("int64")})
+
+    out = docs.map_batches(zmap, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES.update({"q_zorder": q_zorder})

@@ -1184,3 +1184,36 @@ def test_kth_smallest_matches_numpy(ray_session):
         kth_smallest(ds, "value", len(clean) + 1)
     with pytest.raises(ValueError):
         kth_smallest(ds, "value", 0)
+
+
+def test_zorder_locality_property():
+    """Morton keys interleave correctly (hand-checked values) and
+    deliver the locality they promise: points in a small 2-D box span
+    a far smaller zkey range than the same count of random points."""
+    import numpy as np
+
+    from bb_ocr_ray.pipelines.queries import _part1by1_u16
+
+    # hand-checked spreads
+    assert _part1by1_u16(np.array([0b1011]))[0] == 0b1000101
+    assert _part1by1_u16(np.array([0xFFFF]))[0] == 0x55555555
+
+    def zkey(a, c):
+        return (_part1by1_u16(a).astype(np.uint64)
+                | (_part1by1_u16(c).astype(np.uint64) << np.uint64(1)))
+
+    # interleave identity: zkey(a, c) bits alternate a/c
+    z = int(zkey(np.array([0b101]), np.array([0b011]))[0])
+    # a=101, c=011 -> bits (lsb first) a0=1 c0=1 a1=0 c1=1 a2=1 c2=0
+    assert z == 0b011011
+
+    rng = np.random.RandomState(0)
+    box_a = rng.randint(1000, 1032, 200).astype(np.uint32)
+    box_c = rng.randint(2000, 2032, 200).astype(np.uint32)
+    rand_a = rng.randint(0, 65536, 200).astype(np.uint32)
+    rand_c = rng.randint(0, 65536, 200).astype(np.uint32)
+    zbox = zkey(box_a, box_c)
+    zrand = zkey(rand_a, rand_c)
+    spread_box = int(zbox.max() - zbox.min())
+    spread_rand = int(zrand.max() - zrand.min())
+    assert spread_box * 100 < spread_rand    # locality: >100x tighter
