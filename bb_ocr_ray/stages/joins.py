@@ -534,6 +534,16 @@ def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
              % num_buckets for row in zip(*arrs)),
             dtype=np.int64, count=len(df))
 
+    # numeric columns present on only ONE side are float64-NaN-padded
+    # on the other; pre-cast them to float64 on the side that HAS them
+    # too, so the union's blocks carry one uniform dtype (no
+    # int64-vs-float64 mixed-schema warnings, no per-block surprises
+    # through the sort shuffle) — the emit _pin restores int64 when
+    # the merged output has no nulls
+    right_all = set(keys) | set(right_cols)
+    one_sided = {c for c in num_targets
+                 if (c not in left_cols) != (c not in right_all)}
+
     def tag(side: int):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
@@ -543,6 +553,8 @@ def _bucketed_pandas(left_ds, right_ds, keys, num_buckets, how, left_cols,
                     # None — mixed union blocks then stay numeric
                     # through the sort shuffle's pandas rebuild
                     batch[c] = (np.nan if c in num_targets else None)
+                elif c in one_sided and num_targets[c].kind in "iu":
+                    batch[c] = batch[c].astype(np.float64)
             batch = batch[all_cols]
             batch["__side"] = np.int8(side)
             batch["__bucket"] = _bucket_of(batch)

@@ -219,6 +219,11 @@ def run_plain() -> dict:
         "q_lm_quality": bench_query(Q.q_lm_quality, SF_DIR),
         "q_transitions": bench_query(Q.q_transitions, SF_DIR),
         "q_boilerplate": bench_query(Q.q_boilerplate, SF_DIR),
+        # round-5 showcase ops: two-pass exact heavy hitters, HITS
+        # link analysis, sort-free exact selection
+        "q_heavy_hitters": bench_query(Q.q_heavy_hitters, SF_DIR),
+        "q_hits": bench_query(Q.q_hits, SF_DIR),
+        "q_exact_kth": bench_query(Q.q_exact_kth, SF_DIR),
     }
     out = {
         "metric": "headline extraction wall time (docs->text)",
