@@ -5141,7 +5141,9 @@ QUERIES.update({"q_pmi_pairs": q_pmi_pairs})
 # ---------------------------------------------------------------------------
 # BFS seed distance over the link DAG (crawl-frontier depth metric)
 # ---------------------------------------------------------------------------
-def q_seed_distance(sf_dir: str, max_hops: int = 8):
+def q_seed_distance(sf_dir: str, max_hops: int = 8,
+                    visited_broadcast_limit: int | None = None,
+                    _on_choice=None):
     """Minimum hop distance from a seed set over a directed link graph
     — the crawl-frontier depth / influence-radius metric (BFS from
     seeds, the seed-distance feature of crawl schedulers and
@@ -5193,22 +5195,84 @@ def q_seed_distance(sf_dir: str, max_hops: int = 8):
     seeds = docs.map_batches(pick_seeds,
                              batch_format="pandas").materialize()
 
-    # The visited table re-materializes each round (O(hops·|V|) object
-    # writes for hops <= 8) so auto_anti's size gate reads real bytes.
-    # Per round: one bucketed join, one coarse neighbor-dedup fold
-    # (which also re-compacts the frontier's block structure — the
-    # tested fold-free variant left the frontier as dozens of tiny
-    # join-output blocks and measured SLOWER), one shuffle-free
-    # broadcast anti-join.  Two rejected shapes, both measured at
-    # sf0.1/32 cpus: a LAZY visited union defeats auto_anti's size
-    # gate (unknown estimate must mean don't-broadcast) and forced a
-    # full visited shuffle every round (26 s); in-batch-only dedup
-    # with one final min-fold traded 8 Sorts for frontier block
-    # explosion (16 s).  This shape: ~11 s, all fixed per-round
-    # overhead that amortizes with graph size (the q_pagerank story).
-    dist = seeds
-    frontier = seeds
-    for hop in range(1, max_hops + 1):
+    # Loop shape is SIZE-GATED on the visited table (the pagerank /
+    # HITS driver-fold posture): while visited fits the broadcast
+    # limit, a hop is ONE shuffle-free map over the static edge list
+    # (frontier set via ray.put, per-batch distinct dst partials,
+    # driver setdiff) — no all-to-all at all.  If visited outgrows
+    # the gate MID-RUN, the state spills into Datasets and the
+    # distributed loop below finishes the remaining hops: per round
+    # one bucketed join, one coarse neighbor-dedup fold (which also
+    # re-compacts frontier blocks — the fold-free variant measured
+    # SLOWER), one size-gated anti-join against the re-materialized
+    # visited table (a LAZY visited union defeats auto_anti's gate
+    # and forced a full visited shuffle per round: 26 s vs 11 s at
+    # sf0.1/32 cpus before the driver path existed).
+    import ray as _ray
+
+    from bb_ocr_ray.stages.joins import _BROADCAST_LIMIT_BYTES
+    limit = (_BROADCAST_LIMIT_BYTES if visited_broadcast_limit is None
+             else visited_broadcast_limit)
+
+    dist = None          # Dataset state (distributed path)
+    frontier = None
+    start_hop = 1
+    # both gate checks use the same LOGICAL measure (16 B per
+    # (node, dist) row) so entry and spill thresholds are consistent
+    seeds_pd = (seeds.to_pandas()
+                if seeds.count() * 16 <= limit else None)
+    if seeds_pd is not None:
+        if _on_choice is not None:
+            _on_choice("driver")
+        visited = np.unique(seeds_pd["node"].to_numpy(np.int64))
+        frames = [pd.DataFrame({"node": visited,
+                                "dist": np.int64(0)})]
+        frontier_arr = visited
+        for hop in range(1, max_hops + 1):
+            if len(frontier_arr) == 0:
+                break
+            ref = _ray.put(frontier_arr)
+
+            def expand(b: pd.DataFrame, ref=ref) -> pd.DataFrame:
+                f = _ray.get(ref)
+                m = np.isin(b["node"].to_numpy(np.int64), f)
+                return pd.DataFrame({"node": np.unique(
+                    b["dst"].to_numpy(np.int64)[m])})
+
+            nbrs = np.unique(edges.map_batches(
+                expand, batch_format="pandas")
+                .to_pandas()["node"].to_numpy(np.int64))
+            new_arr = np.setdiff1d(nbrs, visited, assume_unique=True)
+            if len(new_arr) == 0:
+                frontier_arr = new_arr
+                break
+            visited = np.union1d(visited, new_arr)
+            frames.append(pd.DataFrame({"node": new_arr,
+                                        "dist": np.int64(hop)}))
+            frontier_arr = new_arr
+            if len(visited) * 16 > limit and hop < max_hops:
+                # visited outgrew the gate: spill state to Datasets
+                # and let the distributed loop finish
+                import ray.data as _rd
+                dist = _rd.from_pandas(
+                    pd.concat(frames, ignore_index=True)).materialize()
+                frontier = _rd.from_pandas(
+                    pd.DataFrame({"node": new_arr,
+                                  "dist": np.int64(hop)})).materialize()
+                start_hop = hop + 1
+                break
+        if dist is None:
+            out = pd.concat(frames, ignore_index=True)
+            out["node"] = out["node"].astype("int64")
+            out["dist"] = out["dist"].astype("int64")
+            return out.sort_values("node").reset_index(drop=True)
+    else:
+        dist = seeds
+        frontier = seeds
+    if _on_choice is not None:
+        _on_choice("distributed")
+
+    for hop in range(start_hop, max_hops + 1):
         nbrs = coarse_agg(
             hash_join(frontier.select_columns(["node"]), edges,
                       on="node").map_batches(

@@ -1217,3 +1217,30 @@ def test_zorder_locality_property():
     spread_box = int(zbox.max() - zbox.min())
     spread_rand = int(zrand.max() - zrand.min())
     assert spread_box * 100 < spread_rand    # locality: >100x tighter
+
+
+def test_seed_distance_gate_paths_agree(ray_session, sf_tiny):
+    """q_seed_distance's three loop shapes — pure driver-resident,
+    mid-run spill to the distributed loop, and pure distributed —
+    produce identical (node, dist) labelings, and the gate reports
+    each path taken."""
+    from bb_ocr_ray.pipelines.queries import q_seed_distance
+
+    choices = []
+    driver = q_seed_distance(sf_tiny, _on_choice=choices.append)
+    assert choices == ["driver"]
+
+    choices.clear()
+    spill = q_seed_distance(sf_tiny, visited_broadcast_limit=500,
+                            _on_choice=choices.append)
+    assert choices == ["driver", "distributed"]
+
+    choices.clear()
+    dist = q_seed_distance(sf_tiny, visited_broadcast_limit=0,
+                           _on_choice=choices.append)
+    assert choices == ["distributed"]
+
+    for other in (spill, dist):
+        assert driver["node"].tolist() == other["node"].tolist()
+        assert driver["dist"].tolist() == other["dist"].tolist()
+    assert len(driver) > 10 and driver["dist"].max() >= 2
