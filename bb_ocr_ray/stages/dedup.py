@@ -686,13 +686,25 @@ def verify_candidates_hash(pairs_ds, docs_ds, id_col: str = "doc_id",
 
 
 def connected_components_ds(pairs_ds, coarse_buckets: int | None = None,
-                            max_rounds: int = 30):
+                            max_rounds: int = 30,
+                            edge_broadcast_limit: int | None = None,
+                            _on_choice=None):
     """Distributed connected components: alternating large-star /
     small-star rounds (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC 2014) run as Ray coarse-bucket groupby
-    passes.  The edge set NEVER lands on the driver — each round is
-    one shuffle of the current (monotonically shrinking) edge list,
-    and converges in O(log^2 n) rounds even on long chains.
+    passes.  Each round is one shuffle of the current (monotonically
+    shrinking) edge list, and converges in O(log^2 n) rounds even on
+    long chains.
+
+    SIZE-GATED on the materialized edge list (the pagerank/HITS
+    driver-fold posture): a verified near-dup pair graph is tiny
+    relative to the corpus, so when its real bytes fit
+    ``edge_broadcast_limit`` the whole computation runs as the
+    driver-side min-label loop (:func:`connected_components`) —
+    zero shuffles instead of O(log² n) star rounds.  Above the gate
+    the star rounds run unchanged; the edge set never lands on the
+    driver there.  ``_on_choice`` (tests) receives "driver" or
+    "distributed".
 
     Returns a Dataset of (doc_id, component) with component = the
     minimum doc_id of the node's component, identical to the
@@ -774,6 +786,16 @@ def connected_components_ds(pairs_ds, coarse_buckets: int | None = None,
         return rd.from_pandas(pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
              "component": pd.Series([], dtype="int64")}))
+
+    from bb_ocr_ray.stages.joins import _BROADCAST_LIMIT_BYTES
+    limit = (_BROADCAST_LIMIT_BYTES if edge_broadcast_limit is None
+             else edge_broadcast_limit)
+    if edges.size_bytes() <= limit:      # materialized: real bytes
+        if _on_choice is not None:
+            _on_choice("driver")
+        return rd.from_pandas(connected_components(edges.to_pandas()))
+    if _on_choice is not None:
+        _on_choice("distributed")
     # block count proportional to DATA, not to upstream lineage: the
     # candidate pipeline can hand over hundreds of near-empty blocks,
     # and every round's sort+map_groups pays per-block task overhead

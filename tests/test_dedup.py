@@ -533,3 +533,33 @@ def test_triangle_count_matches_numpy(ray_session, sf_tiny):
     assert got["bucket"].tolist() == want["bucket"].tolist()
     assert got["n_triangles"].tolist() == want["n_triangles"].tolist()
     assert got["n_triangles"].sum() > 50      # graph is not degenerate
+
+
+def test_connected_components_ds_gate_paths_agree(ray_session):
+    """The edge-list size gate: driver min-label loop and distributed
+    star rounds label identically (long chain + cliques + isolated
+    pair), and the gate reports each path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.dedup import connected_components_ds
+
+    pairs = pd.DataFrame({
+        "id_a": list(range(0, 40)) + [100, 101, 102] + [500],
+        "id_b": list(range(1, 41)) + [101, 102, 100] + [501]})
+    ds = rd.from_pandas(pairs).repartition(4)
+
+    choices = []
+    fast = (connected_components_ds(ds, _on_choice=choices.append)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    slow = (connected_components_ds(rd.from_pandas(pairs).repartition(4),
+                                    edge_broadcast_limit=0,
+                                    _on_choice=choices.append)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert choices == ["driver", "distributed"]
+    assert fast["doc_id"].tolist() == slow["doc_id"].tolist()
+    assert fast["component"].tolist() == slow["component"].tolist()
+    # chain collapses to min label 0; clique to 100; pair to 500
+    comp = dict(zip(fast["doc_id"], fast["component"]))
+    assert comp[40] == 0 and comp[102] == 100 and comp[501] == 500
