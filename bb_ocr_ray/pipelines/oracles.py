@@ -2379,7 +2379,7 @@ ORACLES["q_exact_kth"] = """
 """
 
 
-ORACLES["q_cube"] = """
+ORACLES["q_cube_docs"] = """
     SELECT coalesce(CAST(lang AS VARCHAR), 'ALL') AS lang,
            coalesce(CAST(source AS VARCHAR), 'ALL') AS source,
            CAST(count(*) AS BIGINT) AS n_docs,

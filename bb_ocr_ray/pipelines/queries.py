@@ -6101,7 +6101,7 @@ QUERIES.update({"q_exact_kth": q_exact_kth})
 # ---------------------------------------------------------------------------
 # CUBE aggregation (all grouping sets of two dimensions)
 # ---------------------------------------------------------------------------
-def q_cube(sf_dir: str):
+def q_cube_docs(sf_dir: str):
     """GROUP BY CUBE(lang, source) over documents — n_docs and total
     n_chars for every grouping set: (lang, source), (lang), (source)
     and the grand total, with 'ALL' marking the rolled-up dimension
@@ -6152,7 +6152,7 @@ def q_cube(sf_dir: str):
             .sort_values(["lang", "source"]).reset_index(drop=True))
 
 
-QUERIES.update({"q_cube": q_cube})
+QUERIES.update({"q_cube_docs": q_cube_docs})
 
 
 # ---------------------------------------------------------------------------
