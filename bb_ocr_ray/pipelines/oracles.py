@@ -2459,3 +2459,32 @@ ORACLES["q_zorder"] = """
     FROM documents WHERE n_chars IS NOT NULL
     ORDER BY doc_id
 """
+
+
+ORACLES["q_upsert"] = """
+    WITH base AS (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+               0 AS rev, 'I' AS op, md5(coalesce(text, '')) AS content_hash
+        FROM documents),
+    chg AS (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+               1 AS rev, 'U' AS op,
+               md5(coalesce(text, '') || '@1') AS content_hash
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT 'u' || CAST(doc_id AS VARCHAR), 2, 'U',
+               md5(coalesce(text, '') || '@2')
+        FROM documents WHERE doc_id % 9 = 0
+        UNION ALL
+        SELECT 'u' || CAST(doc_id AS VARCHAR), 3, 'D', NULL
+        FROM documents WHERE doc_id % 7 = 0),
+    log AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+    ranked AS (
+        SELECT url, rev, op, content_hash,
+               CAST(count(*) OVER (PARTITION BY url) AS BIGINT) AS n_versions,
+               row_number() OVER (PARTITION BY url ORDER BY rev DESC) AS rn
+        FROM log)
+    SELECT url, CAST(rev AS BIGINT) AS last_rev, content_hash, n_versions
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY url
+"""

@@ -6201,3 +6201,59 @@ def q_zorder(sf_dir: str, bucket_bits: int = 6):
 
 
 QUERIES.update({"q_zorder": q_zorder})
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog merge (MERGE INTO / latest-crawl-wins upsert)
+# ---------------------------------------------------------------------------
+def q_upsert(sf_dir: str):
+    """Apply an insert/update/delete changelog to a base snapshot,
+    latest revision wins — the recrawl-bookkeeping MERGE that turns a
+    WARC change stream back into a current-state table
+    (:func:`stages.cdc.merge_changelog`).  Log derivation is
+    deterministic from documents: every doc is a rev-0 insert; docs
+    with ``doc_id % 3 == 0`` get a rev-1 update (content re-hashed
+    with '@1'), ``% 9 == 0`` additionally a rev-2 update ('@2'), and
+    ``% 7 == 0`` a rev-3 delete tombstone — so some keys carry 1–4
+    log rows, deletes sometimes shadow updates, and the winner is
+    never order-of-arrival dependent.  Output: surviving urls with
+    the winning revision, its content hash, and how many log rows
+    folded (tombstones included).
+
+    Scale shape: the changelog never groups per-url in Ray — a
+    per-block combiner keeps one candidate per key, ONE coarse
+    shuffle folds candidates (stages/cdc.py)."""
+    from bb_ocr_ray.stages.cdc import merge_changelog
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _rows(sub: pd.DataFrame, rev: int, op: str, salt: str | None):
+        return pd.DataFrame({
+            "url": [f"u{int(d)}" for d in sub["doc_id"]],
+            "rev": np.full(len(sub), rev, dtype=np.int64),
+            "op": np.full(len(sub), op, dtype=object),
+            "content_hash": [None] * len(sub) if salt is None else
+            [md5_hex((t or "") + salt) for t in sub["text"]]})
+
+    def base(b: pd.DataFrame) -> pd.DataFrame:
+        return _rows(b, 0, "I", "")
+
+    def delta(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([
+            _rows(b[b["doc_id"] % 3 == 0], 1, "U", "@1"),
+            _rows(b[b["doc_id"] % 9 == 0], 2, "U", "@2"),
+            _rows(b[b["doc_id"] % 7 == 0], 3, "D", None),
+        ], ignore_index=True)
+
+    log = (docs.map_batches(base, batch_format="pandas")
+           .union(docs.map_batches(delta, batch_format="pandas")))
+    merged = merge_changelog(log, key="url", order_col="rev")
+
+    out = merged.to_pandas()
+    out = out.rename(columns={"rev": "last_rev"})
+    out["last_rev"] = out["last_rev"].astype("int64")
+    return (out[["url", "last_rev", "content_hash", "n_versions"]]
+            .sort_values("url").reset_index(drop=True))
+
+
+QUERIES.update({"q_upsert": q_upsert})
