@@ -2488,3 +2488,69 @@ ORACLES["q_upsert"] = """
     FROM ranked WHERE rn = 1 AND op <> 'D'
     ORDER BY url
 """
+
+
+ORACLES["q_scd2"] = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+        FROM events WHERE user_id IS NOT NULL),
+    m AS (
+        SELECT *, CASE WHEN lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY t_us, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        FROM e),
+    g AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                 ORDER BY t_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM m),
+    r AS (
+        SELECT user_id, grp,
+               min(event_type) AS event_type,
+               min(t_us) AS valid_from_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, grp)
+    SELECT user_id, event_type,
+           CAST(valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(lead(valid_from_us) OVER (
+                PARTITION BY user_id ORDER BY grp) AS DOUBLE) AS valid_to_us,
+           n_events
+    FROM r
+"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled synchronous k-core peel — same edge generator as
+    q_kcore (three offset conditions + existence join).  MATERIALIZED
+    CTEs for the _hits_sql reason (plain CTEs re-evaluate the whole
+    peel prefix exponentially)."""
+    ctes = ["""
+    e0 AS MATERIALIZED (
+        SELECT d.doc_id AS src, d.doc_id + o.off AS dst
+        FROM documents d
+        JOIN (VALUES (1), (2), (5)) o(off) ON TRUE
+        JOIN documents t ON t.doc_id = d.doc_id + o.off
+        WHERE (o.off = 1 AND (d.doc_id * d.doc_id + 3 * d.doc_id) % 11 >= 3)
+           OR (o.off = 2 AND (d.doc_id * 7 + 1) % 5 >= 2)
+           OR (o.off = 5 AND (d.doc_id * 3 + 2) % 7 >= 3))"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+    d{i} AS MATERIALIZED (
+        SELECT node, count(*) AS deg FROM (
+            SELECT src AS node FROM e{i-1}
+            UNION ALL SELECT dst FROM e{i-1}) GROUP BY node),
+    s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e{i-1} e
+        JOIN s{i} a ON e.src = a.node
+        JOIN s{i} b ON e.dst = b.node)""")
+    return ("WITH" + ",".join(ctes) + f"""
+    SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+        SELECT node, count(*) AS deg FROM (
+            SELECT src AS node FROM e{rounds}
+            UNION ALL SELECT dst FROM e{rounds}) GROUP BY node)
+    WHERE deg >= {k} ORDER BY node
+""")
+
+
+ORACLES["q_kcore"] = _kcore_sql()

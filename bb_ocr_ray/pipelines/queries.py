@@ -6257,3 +6257,117 @@ def q_upsert(sf_dir: str):
 
 
 QUERIES.update({"q_upsert": q_upsert})
+
+
+# ---------------------------------------------------------------------------
+# SCD2 intervalization (dimension history from an event stream)
+# ---------------------------------------------------------------------------
+def q_scd2(sf_dir: str):
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event stream (ordered by ts, event_id) into validity intervals —
+    one row per RUN of consecutive equal event_type, with
+    valid_from_us = the run's first event time, valid_to_us = the next
+    run's start (NaN/NULL for the open current interval) and the run's
+    event count.  The warehouse-side history table a CDC feed
+    (q_upsert's sibling) is normally loaded into.
+
+    Scale shape: ONE user-bucket coarse shuffle; the fold is
+    vectorized across ALL users in the bucket (shift-based run
+    detection + one grouped agg — no per-user Python).  NULL user_id
+    drops (repo convention); this corpus has no NULL ts/event_type
+    (a corpus with them would need IS-DISTINCT-FROM run semantics
+    aligned on both engines).  Times compare as integer microseconds
+    (datetime64 vs DuckDB timestamp hash differently); valid_to_us is
+    float64 because the open interval is NaN/NULL."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    nb = _auto_num_buckets()
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_id", "event_type"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"]).copy()
+        b["user_id"] = b["user_id"].astype("int64")
+        b["t_us"] = b["ts"].astype("datetime64[us]").astype("int64")
+        b = b.drop(columns=["ts"])
+        b["__coarse"] = _bucket_ids(b, ["user_id"], nb)
+        return b
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t_us", "event_id"],
+                          kind="mergesort")
+        chg = (g["user_id"].ne(g["user_id"].shift())
+               | g["event_type"].ne(g["event_type"].shift()))
+        runs = (g.assign(__rid=chg.cumsum())
+                .groupby("__rid", sort=True)
+                .agg(user_id=("user_id", "first"),
+                     event_type=("event_type", "first"),
+                     valid_from_us=("t_us", "first"),
+                     n_events=("t_us", "size"))
+                .reset_index(drop=True))
+        same_user = runs["user_id"].eq(runs["user_id"].shift(-1))
+        runs["valid_to_us"] = np.where(
+            same_user, runs["valid_from_us"].shift(-1), np.nan)
+        runs["n_events"] = runs["n_events"].astype("int64")
+        return runs[["user_id", "event_type", "valid_from_us",
+                     "valid_to_us", "n_events"]]
+
+    out = (ds.map_batches(stamp, batch_format="pandas")
+           .groupby("__coarse")
+           .map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    out["valid_from_us"] = out["valid_from_us"].astype("int64")
+    out["valid_to_us"] = out["valid_to_us"].astype("float64")
+    return (out.sort_values(["user_id", "valid_from_us"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_scd2": q_scd2})
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round synchronous peel)
+# ---------------------------------------------------------------------------
+def q_kcore(sf_dir: str):
+    """3-core of a deterministic doc graph via 10 synchronous peel
+    rounds (:func:`stages.graph.kcore`) — the link-farm/spam density
+    filter of web-graph cleaning.  Graph: doc d links to d+o for
+    offsets o in {1, 2, 5} under three independent mod conditions,
+    targets existence-checked by a distributed semi-join (id gaps
+    prune edges on both engines).  10 rounds IS the fixpoint at every
+    test corpus (measured: 6/6/10 rounds to convergence at
+    sf0.001/0.01/0.1) and the fixed count is what makes the oracle
+    SQL-unrollable (the q_hits MATERIALIZED-CTE precedent); production
+    callers pass rounds=None to peel to the fixpoint directly.
+    Output: surviving nodes with their degree in the final subgraph."""
+    from bb_ocr_ray.stages.graph import kcore
+    from bb_ocr_ray.stages.joins import auto_semi
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def cand(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        parts = [
+            pd.DataFrame({"src": s, "dst": s + o}) for o, s in (
+                (1, d[(d * d + 3 * d) % 11 >= 3]),
+                (2, d[(d * 7 + 1) % 5 >= 2]),
+                (5, d[(d * 3 + 2) % 7 >= 3]),
+            )]
+        return pd.concat(parts, ignore_index=True)
+
+    edges = auto_semi(
+        docs.map_batches(cand, batch_format="pandas")
+        .map_batches(lambda b: b.rename(columns={"dst": "doc_id"}),
+                     batch_format="pandas"),
+        docs, on="doc_id",
+    ).map_batches(lambda b: b.rename(columns={"doc_id": "dst"}),
+                  batch_format="pandas")
+
+    out = kcore(edges, k=3, rounds=10).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["deg"] = out["deg"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+QUERIES.update({"q_kcore": q_kcore})
