@@ -724,3 +724,86 @@ def hits(edges_ds, iters: int = 5, coarse_buckets: int | None = None,
     return rd.from_pandas(
         out[["node", "authority", "hub"]]
         .sort_values("node").reset_index(drop=True))
+
+
+def kcore(edges_ds, k: int = 3, rounds: int | None = None,
+          coarse_buckets: int | None = None,
+          broadcast_limit: int | None = None):
+    """k-core peel over an undirected edge Dataset (src, dst) — the
+    spam/link-farm density filter of web-graph cleaning (Seidman 1983;
+    synchronous peeling a la Montresor et al.).  Each round computes
+    every node's degree in the surviving subgraph and deletes nodes
+    with degree < k together with their edges.  ``rounds=None``
+    iterates to the fixpoint (detected by the surviving edge count —
+    a metadata read on the materialized round result, never a
+    collect); a fixed ``rounds`` runs exactly that many synchronous
+    peels, which is the SQL-unrollable contract q_kcore couples to.
+
+    Returns (node, deg): nodes still meeting the bar after the final
+    round, with their degree in the final surviving subgraph.
+
+    Scale shape per round: ONE coarse degree fold (endpoint explode →
+    bounded-bucket sum) plus two size-gated semi-joins (auto_semi —
+    survivor set broadcast when |V|-bounded-small, hash-partitioned
+    above); edges materialize once per round so round N+1 never
+    re-executes 1..N through lazy lineage (the connected-components
+    argument).  Edges must be canonical single-direction rows; parallel
+    edges would double-count degree (callers dedup first).
+    """
+    from bb_ocr_ray.stages.coarse import coarse_agg
+    from bb_ocr_ray.stages.joins import _auto_num_buckets, auto_semi
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.concat(
+            [b["src"], b["dst"]], ignore_index=True).astype("int64")})
+
+    def degrees(e):
+        return coarse_agg(
+            e.map_batches(endpoints, batch_format="pandas"),
+            ["node"], {"deg": ("node", "size")},
+            coarse_buckets=coarse_buckets)
+
+    def meets_bar(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["deg"] >= k]
+
+    def _empty():
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "deg": pd.Series(dtype="int64")}))
+
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    r = 0
+    while n_edges and (rounds is None or r < rounds):
+        surv = degrees(edges).map_batches(
+            meets_bar, batch_format="pandas").materialize()
+        if surv.count() == 0:
+            # the whole graph peeled away: an empty Dataset carries no
+            # schema, which the joins below can't consume
+            return _empty()
+        e = auto_semi(
+            edges.map_batches(lambda b: b.rename(columns={"src": "node"}),
+                              batch_format="pandas"),
+            surv, on="node", broadcast_limit=broadcast_limit,
+        ).map_batches(lambda b: b.rename(columns={"node": "src"}),
+                      batch_format="pandas")
+        e = auto_semi(
+            e.map_batches(lambda b: b.rename(columns={"dst": "node"}),
+                          batch_format="pandas"),
+            surv, on="node", broadcast_limit=broadcast_limit,
+        ).map_batches(lambda b: b.rename(columns={"node": "dst"}),
+                      batch_format="pandas")
+        edges = e.materialize()
+        n_now = edges.count()
+        r += 1
+        if rounds is None and n_now == n_edges:
+            break
+        n_edges = n_now
+
+    if edges.count() == 0:
+        return _empty()
+    return degrees(edges).map_batches(meets_bar, batch_format="pandas")
