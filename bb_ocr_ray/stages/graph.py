@@ -119,6 +119,10 @@ def pagerank(edges_ds, iters: int = 10, damping: float = 0.85,
     edges2 = hash_join(edges_ds, deg, on="src",
                        num_buckets=setup_buckets).materialize()
     n_edges = edges2.count()
+    # (no edge-list coalesce here: hash_join already sized its output
+    # by setup_buckets, which scales with the graph — re-blocking was
+    # measured a wash at sf0.1, unlike `hits` whose edge list inherits
+    # the 64-fragment read layout)
     # per-iteration shuffle width scales with the GRAPH, not the
     # cluster ceiling: 10 iterations x 64-bucket sorts on a 5k-row
     # rank vector is pure scheduling overhead (measured 7-16 s at
@@ -628,6 +632,15 @@ def hits(edges_ds, iters: int = 5, coarse_buckets: int | None = None,
                                 "dst": b["dst"].astype("int64")}),
         batch_format="pandas").materialize()
     n_edges = edges2.count()
+    # the static edge list inherits the INPUT's block count (64 read
+    # fragments at test scale for 15k edges), and every half-round maps
+    # over it — coalesce to a size-appropriate count once so the
+    # per-round task fan matches the data, not the read layout
+    # (measured 0.46 s/half-round at 64 blocks vs ~0.1 s coalesced; at
+    # web scale n_edges//250_000 dominates and this is a no-op)
+    edge_blocks = max(1, min(edges2.num_blocks(), n_edges // 250_000 + 1))
+    if edges2.num_blocks() > edge_blocks * 2:
+        edges2 = edges2.repartition(edge_blocks).materialize()
     iter_buckets = max(8, min(coarse_buckets,
                               (n_nodes + n_edges) // 250_000 + 8))
     rank_blocks = max(1, -(-n_nodes // 500_000))
