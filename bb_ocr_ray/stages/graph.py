@@ -741,7 +741,7 @@ def hits(edges_ds, iters: int = 5, coarse_buckets: int | None = None,
 
 def kcore(edges_ds, k: int = 3, rounds: int | None = None,
           coarse_buckets: int | None = None,
-          broadcast_limit: int | None = None):
+          broadcast_limit: int | None = None, _on_choice=None):
     """k-core peel over an undirected edge Dataset (src, dst) — the
     spam/link-farm density filter of web-graph cleaning (Seidman 1983;
     synchronous peeling a la Montresor et al.).  Each round computes
@@ -751,20 +751,33 @@ def kcore(edges_ds, k: int = 3, rounds: int | None = None,
     a metadata read on the materialized round result, never a
     collect); a fixed ``rounds`` runs exactly that many synchronous
     peels, which is the SQL-unrollable contract q_kcore couples to.
+    (Peeling is monotone — once no node falls below the bar the
+    subgraph is a fixpoint — so early-exit under a fixed ``rounds``
+    returns the identical answer.)
 
     Returns (node, deg): nodes still meeting the bar after the final
     round, with their degree in the final surviving subgraph.
 
-    Scale shape per round: ONE coarse degree fold (endpoint explode →
-    bounded-bucket sum) plus two size-gated semi-joins (auto_semi —
-    survivor set broadcast when |V|-bounded-small, hash-partitioned
-    above); edges materialize once per round so round N+1 never
-    re-executes 1..N through lazy lineage (the connected-components
-    argument).  Edges must be canonical single-direction rows; parallel
-    edges would double-count degree (callers dedup first).
+    Size gate (the pagerank/HITS round posture): round 1's degree
+    table is |V|-bounded and materialized anyway, so its REAL byte
+    size gates the loop shape.  Below ``broadcast_limit`` every later
+    round is ONE map over the STATIC edge list — the survivor set
+    ships via ray.put, each batch emits a partial (node, deg) count
+    of edges whose endpoints both survive, and the driver folds the
+    gate-bounded partials (traffic ≤ blocks × |surviving V|, and the
+    vector was driver-sized by the gate anyway).  No per-round
+    shuffle, no per-round edge materialization.  Above the gate the
+    distributed shape survives: per round ONE coarse degree fold plus
+    two size-gated semi-joins (auto_semi), edges re-materialized each
+    round so round N+1 never re-executes 1..N through lazy lineage
+    (the connected-components argument).  Edges must be canonical
+    single-direction rows; parallel edges would double-count degree
+    (callers dedup first).  ``_on_choice`` (tests) receives
+    "broadcast" or "hash" at gate time.
     """
     from bb_ocr_ray.stages.coarse import coarse_agg
-    from bb_ocr_ray.stages.joins import _auto_num_buckets, auto_semi
+    from bb_ocr_ray.stages.joins import (_BROADCAST_LIMIT_BYTES,
+                                         _auto_num_buckets, auto_semi)
 
     if coarse_buckets is None:
         coarse_buckets = _auto_num_buckets()
@@ -790,6 +803,67 @@ def kcore(edges_ds, k: int = 3, rounds: int | None = None,
 
     edges = edges_ds.materialize()
     n_edges = edges.count()
+    if n_edges == 0:
+        return _empty()
+
+    # peel 1's degree fold runs distributed either way; its |V|-row
+    # output gates the loop shape on real bytes
+    deg1 = degrees(edges).materialize()
+    limit = (_BROADCAST_LIMIT_BYTES if broadcast_limit is None
+             else broadcast_limit)
+    use_bcast = deg1.size_bytes() <= limit
+    if _on_choice is not None:
+        _on_choice("broadcast" if use_bcast else "hash")
+
+    if use_bcast:
+        import ray
+
+        def fold(surv_sorted: np.ndarray) -> pd.DataFrame:
+            """Degree table of the subgraph induced by surv_sorted:
+            one map over the static edges, partials driver-folded."""
+            ref = ray.put(surv_sorted)
+
+            def part(b: pd.DataFrame) -> pd.DataFrame:
+                s = ray.get(ref)
+                src = b["src"].to_numpy(np.int64)
+                dst = b["dst"].to_numpy(np.int64)
+                m = np.isin(src, s) & np.isin(dst, s)
+                ends = np.concatenate([src[m], dst[m]])
+                u, c = np.unique(ends, return_counts=True)
+                return pd.DataFrame({"node": u, "deg": c})
+
+            parts = edges.map_batches(
+                part, batch_format="pandas").to_pandas()
+            return parts.groupby("node", as_index=False)["deg"].sum()
+
+        cur = deg1.to_pandas()          # deg over induced(S_{r-1})
+        cur["node"] = cur["node"].astype("int64")
+        r = 1
+        while True:
+            surv = cur[cur["deg"] >= k]
+            if len(surv) == 0:
+                return _empty()
+            if len(surv) == len(cur):
+                # every node in the current subgraph meets the bar:
+                # fixpoint — cur IS the final degree table
+                import ray.data as rd
+                return rd.from_pandas(
+                    surv.reset_index(drop=True).astype(
+                        {"node": "int64", "deg": "int64"}))
+            surv_nodes = np.sort(surv["node"].to_numpy(np.int64))
+            if rounds is not None and r >= rounds:
+                # rounds exhausted: one output fold over induced(S_R)
+                final = fold(surv_nodes)
+                final = final[final["deg"] >= k]
+                import ray.data as rd
+                return rd.from_pandas(
+                    final.reset_index(drop=True).astype(
+                        {"node": "int64", "deg": "int64"}))
+            cur = fold(surv_nodes)      # peel r+1's degree table
+            if len(cur) == 0:
+                return _empty()
+            r += 1
+
     r = 0
     while n_edges and (rounds is None or r < rounds):
         surv = degrees(edges).map_batches(

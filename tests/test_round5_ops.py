@@ -152,10 +152,13 @@ def test_kcore_forced_hash_path_equal(ray_session, random_graph):
     from bb_ocr_ray.stages.graph import kcore
 
     ds = rd.from_pandas(random_graph).repartition(8)
-    bcast = (kcore(ds, k=3, rounds=4)
+    choices = []
+    bcast = (kcore(ds, k=3, rounds=4, _on_choice=choices.append)
              .to_pandas().sort_values("node").reset_index(drop=True))
-    hashp = (kcore(ds, k=3, rounds=4, broadcast_limit=0)
+    hashp = (kcore(ds, k=3, rounds=4, broadcast_limit=0,
+                   _on_choice=choices.append)
              .to_pandas().sort_values("node").reset_index(drop=True))
+    assert choices == ["broadcast", "hash"]
     pd.testing.assert_frame_equal(bcast.astype("int64"),
                                   hashp.astype("int64"))
 
