@@ -2554,3 +2554,75 @@ def _kcore_sql(k: int = 3, rounds: int = 10) -> str:
 
 
 ORACLES["q_kcore"] = _kcore_sql()
+
+
+ORACLES["q_skyline"] = """
+    WITH pts AS (
+        SELECT doc_id, n_chars AS x, (doc_id * 37 + 11) % 1000 AS y
+        FROM documents WHERE n_chars IS NOT NULL),
+    w AS (
+        SELECT doc_id, x, y,
+               max(y) OVER (ORDER BY x DESC
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS mgt,
+               max(y) OVER (PARTITION BY x) AS meq
+        FROM pts)
+    SELECT doc_id, x, y FROM w
+    WHERE (mgt IS NULL OR y > mgt) AND y = meq
+    ORDER BY doc_id
+"""
+
+
+ORACLES["q_interval_coverage"] = """
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + ((event_id * 7919) % 3600 + 60) * 1000000 AS e
+        FROM events WHERE user_id IS NOT NULL),
+    m AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+        FROM iv),
+    g AS (
+        SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+        FROM m),
+    gi AS (
+        SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS isl
+        FROM g),
+    isl AS (
+        SELECT user_id, isl, min(s) AS s0, max(e) AS e1
+        FROM gi GROUP BY 1, 2)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
+           count(*) AS n_islands
+    FROM isl GROUP BY user_id ORDER BY user_id
+"""
+
+
+ORACLES["q_assortativity"] = """
+    WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    e AS (
+        SELECT doc_id AS src, (doc_id * doc_id + 1) % m AS dst
+        FROM documents, mx
+        UNION ALL SELECT doc_id, (doc_id * 3 + 7) % m FROM documents, mx
+        UNION ALL SELECT doc_id, (doc_id // 2 + 13) % m FROM documents, mx),
+    ends AS (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e),
+    deg AS (SELECT node, count(*) AS d FROM ends GROUP BY node),
+    pairs AS (
+        SELECT ds.d AS x, dd.d AS y
+        FROM e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+        UNION ALL
+        SELECT dd.d, ds.d
+        FROM e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_ends,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS assortativity
+    FROM s
+"""

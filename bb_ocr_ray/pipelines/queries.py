@@ -6371,3 +6371,111 @@ def q_kcore(sf_dir: str):
 
 
 QUERIES.update({"q_kcore": q_kcore})
+
+
+# ---------------------------------------------------------------------------
+# Skyline: 2-D Pareto frontier (local-prune + merge)
+# ---------------------------------------------------------------------------
+def q_skyline(sf_dir: str):
+    """2-D Pareto skyline over documents — maximize length (n_chars)
+    and an independent hash-derived quality axis ((doc_id*37+11)%1000,
+    deterministic stand-in for a model score; independence keeps the
+    frontier non-trivial where two correlated axes would collapse it
+    to one point).  Local-prune + merge (:mod:`stages.skyline`):
+    dominance is transitive so per-batch pruning is exact, and only
+    local-skyline survivors reach the single merge task.  The oracle
+    is the O(n log n) gaps-free window form (strictly-greater-x max
+    via a RANGE frame), not NOT EXISTS — quadratic SQL would not
+    finish at sf0.1."""
+    from bb_ocr_ray.stages.skyline import skyline
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "n_chars"])
+
+    def pts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["n_chars"])
+        d = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame({"doc_id": d,
+                             "x": b["n_chars"].to_numpy("int64"),
+                             "y": (d * 37 + 11) % 1000})
+
+    out = skyline(ds.map_batches(pts, batch_format="pandas"),
+                  x="x", y="y").to_pandas()
+    return (out.astype({"doc_id": "int64", "x": "int64", "y": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+QUERIES.update({"q_skyline": q_skyline})
+
+
+# ---------------------------------------------------------------------------
+# Interval coverage: per-user union of overlapping spans
+# ---------------------------------------------------------------------------
+def q_interval_coverage(sf_dir: str):
+    """Total covered time + merged-island count per user over
+    overlapping event intervals [ts, ts + dur): dur is a deterministic
+    function of event_id (((event_id*7919)%3600 + 60) seconds — 1 min
+    to 1 h, pseudo-random across the stream), so overlaps and genuine
+    gaps both occur at every corpus.  ONE coarse shuffle then a
+    vectorized gaps-and-islands merge (:func:`stages.streaming
+    .interval_coverage`); NULL users dropped (repo convention).
+    Integer-µs arithmetic end to end — exact, hash-stable."""
+    from bb_ocr_ray.stages.streaming import interval_coverage
+
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_id"])
+
+    def iv(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"])
+        s = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = b["event_id"].to_numpy("int64")
+        dur = ((eid * 7919) % 3600 + 60) * 1_000_000
+        return pd.DataFrame({"user_id": b["user_id"].astype("int64")
+                             .to_numpy(),
+                             "s": s, "e": s + dur})
+
+    out = interval_coverage(ds.map_batches(iv, batch_format="pandas"),
+                            key="user_id", start="s", end="e").to_pandas()
+    out = out.rename(columns={"covered": "covered_us"})
+    return (out.astype({"user_id": "int64", "covered_us": "int64",
+                        "n_islands": "int64"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
+QUERIES.update({"q_interval_coverage": q_interval_coverage})
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity: global web-graph structure statistic
+# ---------------------------------------------------------------------------
+def q_assortativity(sf_dir: str):
+    """Newman degree assortativity of a deterministic synthetic link
+    graph (3 arithmetic link rules per doc, mod max_id+1 — quadratic +
+    affine + halving so degrees are skewed, same generator family as
+    q_pagerank with different constants).  The operator
+    (:func:`stages.graph.assortativity`) folds each edge batch to ONE
+    exact-integer moment row; the correlation is computed from
+    Python-int sums so engine and oracle agree bit-for-bit before the
+    6 dp rounding."""
+    from bb_ocr_ray.stages.graph import assortativity
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    m = int(docs.max("doc_id")) + 1
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame({"src": np.repeat(d, 3),
+                             "dst": np.stack([(d * d + 1) % m,
+                                              (d * 3 + 7) % m,
+                                              (d // 2 + 13) % m],
+                                             axis=1).reshape(-1)})
+
+    res = assortativity(docs.map_batches(edges, batch_format="pandas"))
+    return pd.DataFrame(
+        {"n_ends": pd.Series([res["n_ends"]], dtype="int64"),
+         "assortativity": pd.Series(
+             [float(_round_sql(res["assortativity"], 6))],
+             dtype="float64")})
+
+
+QUERIES.update({"q_assortativity": q_assortativity})

@@ -16,6 +16,8 @@ ranking, simpler to mirror exactly in SQL.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -894,3 +896,116 @@ def kcore(edges_ds, k: int = 3, rounds: int | None = None,
     if edges.count() == 0:
         return _empty()
     return degrees(edges).map_batches(meets_bar, batch_format="pandas")
+
+
+def assortativity(edges_ds, coarse_buckets: int | None = None,
+                  deg_broadcast_limit: int | None = None,
+                  _on_choice=None):
+    """Newman degree assortativity of an edge Dataset (src, dst):
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    ends — the celebrity-vs-mesh structure probe of web-graph QA
+    (Newman 2002, "Assortative mixing in networks").  Parallel edges
+    and self-loops count with multiplicity, matching plain degree
+    counting on the raw edge rows.
+
+    Shape: one coarse degree fold (|V|-bounded), then the |V|-row
+    degree table gates on REAL bytes — below the limit it broadcasts
+    via ray.put and each edge batch attaches both endpoint degrees by
+    searchsorted lookup; above, two bucketed hash joins attach them.
+    Either way every batch collapses to ONE partial-moment row
+    (n, Sx, Sy, Sxy, Sxx, Syy — int64-exact within a batch, Python-int
+    exact in the driver fold, so the correlation is bit-stable against
+    an exact-integer SQL oracle at any sum magnitude).  Driver traffic
+    = 6 integers per block.  Returns (n_ends, assortativity) —
+    UNROUNDED; callers round to their grain.
+    """
+    from bb_ocr_ray.stages.coarse import coarse_agg
+    from bb_ocr_ray.stages.joins import (_BROADCAST_LIMIT_BYTES,
+                                         _auto_num_buckets, hash_join)
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.concat(
+            [b["src"], b["dst"]], ignore_index=True).astype("int64")})
+
+    edges = edges_ds.materialize()
+    deg = coarse_agg(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        ["node"], {"d": ("node", "size")},
+        coarse_buckets=coarse_buckets).materialize()
+
+    limit = (_BROADCAST_LIMIT_BYTES if deg_broadcast_limit is None
+             else deg_broadcast_limit)
+    use_bcast = deg.size_bytes() <= limit
+    if _on_choice is not None:
+        _on_choice("broadcast" if use_bcast else "hash")
+
+    def moments(x: np.ndarray, y: np.ndarray) -> pd.DataFrame:
+        # symmetrize: every edge contributes (x,y) AND (y,x).  In-batch
+        # sums stay int64-exact while deg^2 x batch_rows < 2^63 (deg up
+        # to ~1e6 at 64k-row batches) — beyond that, shrink batches.
+        sall = int(x.sum()) + int(y.sum())
+        sq = int((x * x).sum()) + int((y * y).sum())
+        return pd.DataFrame({
+            "n": pd.Series([2 * len(x)], dtype="int64"),
+            "sx": pd.Series([sall], dtype="int64"),
+            "sy": pd.Series([sall], dtype="int64"),
+            "sxy": pd.Series([2 * int((x * y).sum())], dtype="int64"),
+            "sxx": pd.Series([sq], dtype="int64"),
+            "syy": pd.Series([sq], dtype="int64")})
+
+    if use_bcast:
+        import ray
+        dpd = deg.to_pandas()
+        order = np.argsort(dpd["node"].to_numpy(np.int64), kind="stable")
+        ref = ray.put((dpd["node"].to_numpy(np.int64)[order],
+                       dpd["d"].to_numpy(np.int64)[order]))
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+            nodes, dvals = _ray.get(ref)
+            src = b["src"].to_numpy(np.int64)
+            dst = b["dst"].to_numpy(np.int64)
+            x = dvals[np.searchsorted(nodes, src)]
+            y = dvals[np.searchsorted(nodes, dst)]
+            return moments(x, y)
+
+        parts = edges.map_batches(
+            partial, batch_format="pandas").to_pandas()
+    else:
+        j = hash_join(
+            edges.map_batches(lambda b: b.rename(columns={"src": "node"}),
+                              batch_format="pandas"),
+            deg.map_batches(lambda b: b.rename(columns={"d": "dx"}),
+                            batch_format="pandas"),
+            on="node", num_buckets=coarse_buckets,
+        ).map_batches(lambda b: b.rename(columns={"node": "src",
+                                                  "dst": "node"}),
+                      batch_format="pandas")
+        j = hash_join(
+            j, deg.map_batches(lambda b: b.rename(columns={"d": "dy"}),
+                               batch_format="pandas"),
+            on="node", num_buckets=coarse_buckets)
+
+        def partial2(b: pd.DataFrame) -> pd.DataFrame:
+            return moments(b["dx"].to_numpy(np.int64),
+                           b["dy"].to_numpy(np.int64))
+
+        parts = j.map_batches(partial2, batch_format="pandas").to_pandas()
+
+    # exact integer fold (Python ints: no overflow at any scale)
+    n = int(parts["n"].sum())
+    if n == 0:
+        return {"n_ends": 0, "assortativity": float("nan")}
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    syy = sum(int(v) for v in parts["syy"])
+    num = n * sxy - sx * sy
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+        float(n * syy - sy * sy))
+    return {"n_ends": n,
+            "assortativity": float(num) / den if den else float("nan")}

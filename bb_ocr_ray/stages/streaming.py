@@ -284,3 +284,50 @@ def sessionize_watermark(events_ds, gap_seconds: float = 1800.0,
     out = pd.concat([p[["user_id", "n_sessions", "n_events"]] for p in parts],
                     ignore_index=True)
     return out.sort_values("user_id").reset_index(drop=True), n_late
+
+
+def interval_coverage(ds, key: str = "user_id", start: str = "s",
+                      end: str = "e", coarse_buckets: int | None = None):
+    """Per-key union of possibly-overlapping half-open intervals
+    [start, end): total covered time and merged-island count — the
+    crawl-window / session-coverage analog of the reference's per-book
+    timing rollups (pipeline_demo aggregate family), generalized to
+    overlapping spans.
+
+    ONE coarse shuffle on hash(key), then a fully VECTORIZED in-task
+    island merge across every key of the bucket (no per-key Python):
+    sort by (key, start, end); an interval starts a new island iff its
+    start exceeds the running per-key max of end seen so far (island
+    detection a la the SQL gaps-and-islands idiom); per-island span =
+    max(end) - min(start); per-key output folds islands.  Keys are
+    row-cardinality so the shuffle key is the coarse bucket, never the
+    raw key (the per-group-overhead finding).  Output: (key,
+    covered, n_islands), one row per key.
+    """
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    if coarse_buckets is None:
+        coarse_buckets = _auto_num_buckets()
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__coarse"] = _bucket_ids(b, [key], coarse_buckets)
+        return b
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, start, end], kind="mergesort")
+        cm = g.groupby(key, sort=False)[end].cummax()
+        prev = cm.groupby(g[key], sort=False).shift(1)
+        new_island = prev.isna() | (g[start] > prev)
+        isl = new_island.cumsum()  # keys are contiguous after the sort
+        islands = (g.assign(__isl=isl)
+                   .groupby([key, "__isl"], as_index=False, sort=False)
+                   .agg(s0=(start, "min"), e1=(end, "max")))
+        out = (islands.assign(span=islands["e1"] - islands["s0"])
+               .groupby(key, as_index=False, sort=False)
+               .agg(covered=("span", "sum"), n_islands=("span", "size")))
+        return out
+
+    return (ds.map_batches(stamp, batch_format="pandas")
+            .groupby("__coarse").map_groups(fold, batch_format="pandas"))

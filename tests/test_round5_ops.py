@@ -173,3 +173,140 @@ def test_kcore_empty_core(ray_session):
                           "dst": np.arange(1, 21, dtype="int64")})
     got = kcore(rd.from_pandas(chain), k=3, rounds=None).to_pandas()
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# skyline
+# ---------------------------------------------------------------------------
+def _skyline_bruteforce(df: pd.DataFrame) -> pd.DataFrame:
+    keep = []
+    for i, (xi, yi) in enumerate(zip(df["x"], df["y"])):
+        dominated = ((df["x"] >= xi) & (df["y"] >= yi)
+                     & ((df["x"] > xi) | (df["y"] > yi))).any()
+        if not dominated:
+            keep.append(i)
+    return df.iloc[keep]
+
+
+def test_skyline_mask_matches_bruteforce():
+    from bb_ocr_ray.stages.skyline import skyline_mask
+
+    rng = np.random.RandomState(11)
+    for n in (1, 2, 17, 300):
+        # small value range: forces duplicate points and x/y ties
+        df = pd.DataFrame({"x": rng.randint(0, 12, n).astype("int64"),
+                           "y": rng.randint(0, 12, n).astype("int64")})
+        got = df[skyline_mask(df["x"].to_numpy(), df["y"].to_numpy())]
+        want = _skyline_bruteforce(df)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_skyline_distributed_equals_local(ray_session):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.skyline import skyline, skyline_mask
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"id": np.arange(5000, dtype="int64"),
+                       "x": rng.randint(0, 4000, 5000).astype("int64"),
+                       "y": rng.randint(0, 4000, 5000).astype("int64")})
+    got = (skyline(rd.from_pandas(df).repartition(16), x="x", y="y")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = (df[skyline_mask(df["x"].to_numpy(), df["y"].to_numpy())]
+            .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # duplicates of a frontier point all survive
+    assert got.duplicated(["x", "y"]).any() or len(got) >= 1
+
+
+def test_skyline_all_duplicates(ray_session):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.skyline import skyline
+
+    df = pd.DataFrame({"id": np.arange(6, dtype="int64"),
+                       "x": np.int64(3), "y": np.int64(7)})
+    got = skyline(rd.from_pandas(df).repartition(3), x="x", y="y").to_pandas()
+    assert len(got) == 6  # no strict dominance among equals
+
+
+# ---------------------------------------------------------------------------
+# interval coverage
+# ---------------------------------------------------------------------------
+def _coverage_bruteforce(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for u, g in df.groupby("user_id"):
+        ivs = sorted(zip(g["s"], g["e"]))
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        rows.append({"user_id": u,
+                     "covered": sum(e - s for s, e in islands),
+                     "n_islands": len(islands)})
+    return pd.DataFrame(rows).astype("int64")
+
+
+def test_interval_coverage_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.streaming import interval_coverage
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    s = rng.randint(0, 100_000, n).astype("int64")
+    df = pd.DataFrame({"user_id": rng.randint(0, 37, n).astype("int64"),
+                       "s": s,
+                       "e": s + rng.randint(1, 5000, n)})
+    got = (interval_coverage(rd.from_pandas(df).repartition(8))
+           .to_pandas().sort_values("user_id").reset_index(drop=True)
+           .astype("int64"))
+    want = (_coverage_bruteforce(df)
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["user_id", "covered", "n_islands"]],
+                                  want)
+
+
+def test_interval_coverage_touching_intervals(ray_session):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.streaming import interval_coverage
+
+    # [0,10) and [10,20) touch: merged (closed-boundary convention
+    # s <= prev_max), one island of span 20
+    df = pd.DataFrame({"user_id": [1, 1], "s": [0, 10], "e": [10, 20]})
+    got = interval_coverage(rd.from_pandas(df.astype("int64"))).to_pandas()
+    assert int(got["covered"].iloc[0]) == 20
+    assert int(got["n_islands"].iloc[0]) == 1
+
+
+# ---------------------------------------------------------------------------
+# assortativity
+# ---------------------------------------------------------------------------
+def test_assortativity_paths_agree_and_match_numpy(ray_session):
+    import ray.data as rd
+
+    from bb_ocr_ray.stages.graph import assortativity
+
+    rng = np.random.RandomState(9)
+    e = pd.DataFrame({"src": rng.randint(0, 80, 500).astype("int64"),
+                      "dst": rng.randint(0, 80, 500).astype("int64")})
+    ds = rd.from_pandas(e).repartition(8)
+    choices = []
+    b = assortativity(ds, _on_choice=choices.append)
+    h = assortativity(ds, deg_broadcast_limit=0,
+                      _on_choice=choices.append)
+    assert choices == ["broadcast", "hash"]
+    assert b["n_ends"] == h["n_ends"] == 1000
+    assert abs(b["assortativity"] - h["assortativity"]) < 1e-12
+
+    # numpy reference: Pearson corr over symmetrized endpoint degrees
+    deg = pd.concat([e["src"], e["dst"]]).value_counts()
+    x = np.concatenate([deg[e["src"]].to_numpy(np.float64),
+                        deg[e["dst"]].to_numpy(np.float64)])
+    y = np.concatenate([deg[e["dst"]].to_numpy(np.float64),
+                        deg[e["src"]].to_numpy(np.float64)])
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(b["assortativity"] - want) < 1e-9
