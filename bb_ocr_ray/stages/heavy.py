@@ -53,6 +53,16 @@ def heavy_hitters(ds, col: str, k: int = 100,
     limit = (_BROADCAST_LIMIT_BYTES if broadcast_limit is None
              else broadcast_limit)
 
+    # The operator scans its input three times (candidates, N tally,
+    # exact recount).  The input is usually a LAZY read+derive chain,
+    # so scanning it thrice re-executes the derivation thrice —
+    # project to the ONE needed column and materialize once instead
+    # (measured 5.0 -> 3.2 s at sf0.1).  The spilled footprint is a
+    # single key column — no more than one shuffle's worth of the
+    # same data, and Ray's object store spills it to disk at scale.
+    ds = ds.map_batches(lambda b: b[[col]],
+                        batch_format="pandas").materialize()
+
     # -- pass 1: batch-local survivors (vectorized; < k keys/batch).
     #    A NULL-key ledger row could NOT carry the N tally through the
     #    candidate fold — pandas groupby drops NaN keys (the
