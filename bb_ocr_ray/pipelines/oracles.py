@@ -2626,3 +2626,27 @@ ORACLES["q_assortativity"] = """
                AS assortativity
     FROM s
 """
+
+
+ORACLES["q_profile"] = """
+    SELECT count(*) AS n_rows,
+           count(*) - count(lang) AS null_lang,
+           count(DISTINCT lang) AS distinct_lang,
+           count(DISTINCT source) AS distinct_source,
+           min(n_chars) AS min_n_chars,
+           max(n_chars) AS max_n_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS empty_text
+    FROM documents
+"""
+
+
+ORACLES["q_table_checksum"] = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(concat('0x', substr(md5(
+                        concat(CAST(doc_id AS VARCHAR), '|', text)
+                    ), 1, 15)) AS BIGINT))
+                % 9223372036854775807 AS BIGINT) AS checksum
+    FROM documents
+"""

@@ -6479,3 +6479,55 @@ def q_assortativity(sf_dir: str):
 
 
 QUERIES.update({"q_assortativity": q_assortativity})
+
+
+# ---------------------------------------------------------------------------
+# Table profiling + order-independent checksum (data QA / migration)
+# ---------------------------------------------------------------------------
+def q_profile(sf_dir: str):
+    """Single-scan column profile of the documents table
+    (:func:`stages.profile.profile_table`): row/null counts, n_chars
+    min/max/sum, exact distinct counts of the low-cardinality lang and
+    source columns (distincts travel as bounded per-batch sets — the
+    declared-cardinality contract; unbounded distincts belong to
+    q_count_distinct), and empty-text count.  One row out; partial
+    traffic is one row per block."""
+    from bb_ocr_ray.stages.profile import profile_table
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "text", "lang", "source",
+                                "n_chars"])
+    p = profile_table(ds, numeric=["n_chars"],
+                      categorical=["lang", "source"], text=["text"])
+    return pd.DataFrame(
+        {"n_rows": pd.Series([p["n_rows"]], dtype="int64"),
+         "null_lang": pd.Series([p["null_lang"]], dtype="int64"),
+         "distinct_lang": pd.Series([p["distinct_lang"]], dtype="int64"),
+         "distinct_source": pd.Series([p["distinct_source"]],
+                                      dtype="int64"),
+         "min_n_chars": pd.Series([p["min_n_chars"]], dtype="int64"),
+         "max_n_chars": pd.Series([p["max_n_chars"]], dtype="int64"),
+         "sum_n_chars": pd.Series([p["sum_n_chars"]], dtype="int64"),
+         "empty_text": pd.Series([p["empty_text"]], dtype="int64")})
+
+
+QUERIES.update({"q_profile": q_profile})
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-independent content checksum of (doc_id, text)
+    (:func:`stages.profile.table_checksum`): md5 per row, top 60 bits
+    summed mod 2^63-1 — commutative, so block layout and parallelism
+    cannot change the digest.  The migration validator: run on both
+    sides of a copy, compare two integers instead of 100 TB."""
+    from bb_ocr_ray.stages.profile import table_checksum
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "text"])
+    c = table_checksum(ds, cols=["doc_id", "text"])
+    return pd.DataFrame(
+        {"n_rows": pd.Series([c["n_rows"]], dtype="int64"),
+         "checksum": pd.Series([c["checksum"]], dtype="int64")})
+
+
+QUERIES.update({"q_table_checksum": q_table_checksum})
