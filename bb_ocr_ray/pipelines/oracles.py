@@ -2650,3 +2650,105 @@ ORACLES["q_table_checksum"] = """
                 % 9223372036854775807 AS BIGINT) AS checksum
     FROM documents
 """
+
+
+ORACLES["q_url_canonical"] = """
+    -- inverts q_url_canonical's deterministic mangling template: all
+    -- five messy variants of a doc's URL canonicalize to this string
+    SELECT 'https://site' || CAST(doc_id % 3 AS VARCHAR) ||
+           '.com/p/' || CAST(doc_id // 16 AS VARCHAR) || '?a=1&b=2'
+               AS canonical,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_link_predict"] = """
+    WITH e AS (SELECT DISTINCT user_id AS u, event_id % 251 AS item
+               FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT u, item,
+                 row_number() OVER (PARTITION BY u ORDER BY item) AS rn
+          FROM e),
+    k AS (SELECT u, item FROM r WHERE rn <= 12),
+    d AS (SELECT u, count(*) AS deg FROM k GROUP BY u),
+    p AS (SELECT a.item AS i1, b.item AS i2, 27720 // d.deg AS w
+          FROM k a JOIN k b ON a.u = b.u AND a.item < b.item
+          JOIN d ON d.u = a.u)
+    SELECT i1, i2, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(w) AS BIGINT) AS ra_scaled
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY 1, 2
+"""
+
+
+ORACLES["q_corr_grouped"] = """
+    -- same closed form from the same exact integers as the engine:
+    -- HUGEINT sums, double conversion only at the final expression
+    WITH s AS (SELECT l_returnflag AS flag,
+                      CAST(count(*) AS HUGEINT) AS n,
+                      sum(CAST(CAST(round(l_quantity) AS BIGINT)
+                               AS HUGEINT)) AS sx,
+                      sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               AS HUGEINT)) AS sy,
+                      sum(CAST(CAST(round(l_quantity) AS BIGINT)
+                               AS HUGEINT) *
+                          CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS sxy,
+                      sum(CAST(CAST(round(l_quantity) AS BIGINT)
+                               AS HUGEINT) *
+                          CAST(round(l_quantity) AS BIGINT)) AS sxx,
+                      sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               AS HUGEINT) *
+                          CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS syy
+               FROM lineitem GROUP BY 1)
+    SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS corr_qty_price
+    FROM s ORDER BY 1
+"""
+
+
+ORACLES["q_ewma"] = """
+    -- last-8-event EWMA, alpha = 1/4, as an exact scaled-integer pair:
+    -- S_n = 4^(n-1) E_n = sum c_i x_i, c_1 = 3^(n-1),
+    -- c_i = 3^(n-i) * 4^(i-2); powers <= 3^7*4^6 are exact doubles so
+    -- the BIGINT casts are lossless
+    WITH e AS (SELECT user_id AS u, value, ts, event_id FROM events
+               WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    r AS (SELECT u, CAST(round(value * 100) AS BIGINT) AS x,
+                 row_number() OVER (PARTITION BY u
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM e),
+    w AS (SELECT u, x, rd FROM r WHERE rd <= 8),
+    s AS (SELECT u, x,
+                 count(*) OVER (PARTITION BY u) AS n,
+                 count(*) OVER (PARTITION BY u) - rd + 1 AS i
+          FROM w)
+    SELECT u AS user_id,
+           CAST(sum(x * CASE WHEN i = 1
+                             THEN CAST(power(3, n - 1) AS BIGINT)
+                             ELSE CAST(power(3, n - i) AS BIGINT) *
+                                  CAST(power(4, i - 2) AS BIGINT)
+                        END) AS BIGINT) AS ewma_num,
+           CAST(power(4, max(n) - 1) AS BIGINT) AS ewma_den
+    FROM s GROUP BY u ORDER BY user_id
+"""
+
+
+ORACLES["q_trimmed_mean"] = """
+    WITH r AS (SELECT l_returnflag AS f,
+                      CAST(round(l_quantity) AS BIGINT) AS q,
+                      row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_quantity) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS n
+               FROM lineitem)
+    SELECT f AS l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(q) AS BIGINT) AS trimmed_sum,
+           round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS trimmed_mean
+    FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY f ORDER BY f
+"""

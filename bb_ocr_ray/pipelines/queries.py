@@ -6537,3 +6537,307 @@ def q_table_checksum(sf_dir: str):
 
 
 QUERIES.update({"q_table_checksum": q_table_checksum})
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (crawl front-door identity)
+# ---------------------------------------------------------------------------
+def q_url_canonical(sf_dir: str):
+    """Canonical-URL grouping over deterministically mangled URL
+    spellings: each doc synthesizes one of five messy variants of its
+    canonical URL (case-shifted scheme/host, shuffled param order,
+    default port + fragment, utm_*/gclid tracking params, dot-segment
+    path) and :func:`functions.urls.canonicalize_url` must reduce all
+    five back to ``https://site{doc_id%3}.com/p/{doc_id//16}?a=1&b=2``.
+    The oracle inverts the template arithmetically (the q_link_graph /
+    q_registrable_domain philosophy), so every canonicalization rule is
+    value-checked, not just smoke-tested.  One coarse shuffle; at web
+    scale this is the seen-set key normalizer in front of
+    state/hash_index (reference keys its seen-set on the raw location
+    string — aggregator.py:61-69 — which double-crawls every
+    tracking-param spelling)."""
+    from bb_ocr_ray.functions.urls import canonicalize_url
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def mangled(b: pd.DataFrame) -> pd.DataFrame:
+        urls = []
+        for x in b["doc_id"].to_numpy("int64"):
+            k, pid, v = int(x) % 3, int(x) // 16, int(x) % 5
+            if v == 0:
+                u = f"https://site{k}.com/p/{pid}?a=1&b=2"
+            elif v == 1:
+                u = f"HTTPS://SITE{k}.COM/p/{pid}?b=2&a=1"
+            elif v == 2:
+                u = f"https://site{k}.com:443/p/{pid}?a=1&b=2#frag"
+            elif v == 3:
+                u = (f"https://site{k}.com/p/{pid}"
+                     f"?utm_source=feed&a=1&gclid=xyz&b=2")
+            else:
+                u = f"https://site{k}.com/p/../p/{pid}?a=1&b=2"
+            urls.append(canonicalize_url(u))
+        return pd.DataFrame({"canonical": pd.array(urls, dtype="object")})
+
+    out = coarse_agg(
+        ds.map_batches(mangled, batch_format="pandas"),
+        ["canonical"], {"n_docs": ("canonical", "size")},
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("canonical").reset_index(drop=True)
+
+
+QUERIES.update({"q_url_canonical": q_url_canonical})
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (resource-allocation index over co-visitation)
+# ---------------------------------------------------------------------------
+def q_link_predict(sf_dir: str, cap: int = 12, min_users: int = 2):
+    """Resource-Allocation link prediction (Zhou, Lu & Zhang, EPJ B
+    2009): score(i1,i2) = sum over shared users u of 1/deg(u) — the
+    co-visitation count of q_covisit, degree-discounted so hub users
+    stop dominating the candidate ranking.  Same deterministic item
+    derivation (event_id % 251) and hot-user cap (12 smallest distinct
+    items) as q_covisit, so deg(u) in [2, cap] for every contributing
+    user and the score is EXACT in integers: emitted scaled by
+    lcm(1..12) = 27720 (27720/deg is integral for every reachable
+    degree), hash-stable at any scale with zero float folds.
+
+    Scale shape: identical to q_covisit — one coarse shuffle on user
+    (in-bucket global distinct + cap + wedge self-merge, weight column
+    attached from the capped group size), one count/score fold on the
+    pair."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids, coarse_agg
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    n_buckets = _auto_num_buckets()
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "user_id"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"])
+        out = pd.DataFrame({
+            "u": pd.to_numeric(b["user_id"]).astype("int64").to_numpy(),
+            "item": (b["event_id"].to_numpy(np.int64) % 251)})
+        out = out.drop_duplicates()
+        out["__coarse"] = _bucket_ids(out, ["u"], n_buckets)
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["u", "item"])
+             .sort_values(["u", "item"], kind="mergesort"))
+        rn = g.groupby("u", sort=False).cumcount().to_numpy() + 1
+        g = g[rn <= cap]
+        # capped degree per user -> exact integer RA weight
+        deg = g.groupby("u", sort=False)["item"].transform("size")
+        g = g.assign(w=(27720 // deg.to_numpy(np.int64)))
+        m = g.merge(g[["u", "item"]], on="u")
+        m = m[m["item_x"] < m["item_y"]]
+        return pd.DataFrame({"i1": m["item_x"].to_numpy(np.int64),
+                             "i2": m["item_y"].to_numpy(np.int64),
+                             "one": np.int64(1),
+                             "w": m["w"].to_numpy(np.int64)})
+
+    scored = coarse_agg(
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("__coarse").map_groups(
+            lambda g: pairs(g.drop(columns=["__coarse"])),
+            batch_format="pandas"),
+        ["i1", "i2"], {"n_users": ("one", "sum"), "ra_scaled": ("w", "sum")})
+
+    out = scored.map_batches(
+        lambda b: b[b["n_users"].to_numpy(np.int64) >= min_users],
+        batch_format="pandas").to_pandas()
+    if not len(out):
+        out = pd.DataFrame({c: pd.array([], dtype="int64")
+                            for c in ("i1", "i2", "n_users", "ra_scaled")})
+    out = out.astype({c: "int64" for c in ("i1", "i2", "n_users",
+                                           "ra_scaled")})
+    return out.sort_values(["i1", "i2"]).reset_index(drop=True)
+
+
+QUERIES.update({"q_link_predict": q_link_predict})
+
+
+# ---------------------------------------------------------------------------
+# Grouped Pearson correlation (exact sufficient-statistics partials)
+# ---------------------------------------------------------------------------
+def q_corr_grouped(sf_dir: str):
+    """Per-returnflag Pearson correlation of (quantity, extendedprice)
+    through EXACT integer sufficient statistics: each batch folds to
+    <= |flags| partial rows of (n, Sx, Sy, Sxy, Sxx, Syy) with x =
+    quantity (integral) and y = price in CENTS, carried as DECIMAL
+    STRINGS so the driver fold is Python-int exact at any magnitude
+    (Syy alone is ~1e14 per row — an int64 partial column would
+    overflow near 10^5-row batches; the string/py-int posture is the
+    q_assortativity driver-fold precedent with unbounded headroom).
+    Engine and oracle both evaluate the same closed form from the same
+    exact integers, so the 6 dp rounding sees identical doubles.
+    Driver traffic: 6 short strings per (flag, block)."""
+    import math
+
+    ds = _read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b["l_quantity"].to_numpy("float64")).astype("int64")
+        y = np.rint(b["l_extendedprice"].to_numpy("float64") * 100
+                    ).astype("int64")
+        rows = []
+        flags = b["l_returnflag"].to_numpy()
+        for f in np.unique(flags):
+            m = flags == f
+            xv, yv = x[m], y[m]
+            # per-batch python-int sums: object arrays avoid the int64
+            # ceiling on sum(y*y) for large batches
+            rows.append({
+                "flag": f, "n": str(int(m.sum())),
+                "sx": str(int(xv.sum())), "sy": str(int(yv.sum())),
+                "sxy": str(int(np.dot(xv.astype("object"),
+                                      yv.astype("object")))),
+                "sxx": str(int(np.dot(xv, xv))),
+                "syy": str(int(np.dot(yv.astype("object"),
+                                      yv.astype("object"))))})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    recs = []
+    for f, g in parts.groupby("flag", sort=True):
+        n = sum(int(v) for v in g["n"])
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        syy = sum(int(v) for v in g["syy"])
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        recs.append({"l_returnflag": f, "n": n,
+                     "corr_qty_price": float(_round_sql(corr, 6))})
+    out = pd.DataFrame(recs)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES.update({"q_corr_grouped": q_corr_grouped})
+
+
+# ---------------------------------------------------------------------------
+# Per-entity exponential smoothing (recency-weighted engagement score)
+# ---------------------------------------------------------------------------
+def q_ewma(sf_dir: str, window: int = 8):
+    """Per-user EWMA of event value over the LAST ``window`` events in
+    (ts, event_id) order — the recency-weighted engagement score that
+    feeds crawl scheduling / ranking freshness.  alpha = 1/4, seeded at
+    the window's oldest value: E_1 = x_1, E_i = (x_i + 3 E_{i-1}) / 4.
+    Emitted EXACTLY as an integer (numerator, denominator) pair per the
+    repo's ratio convention: S_n = 4^(n-1) E_n = sum c_i x_i with
+    integer coefficients c_1 = 3^(n-1), c_i = 3^(n-i) 4^(i-2), x in
+    cents — no float fold anywhere, so hash-stable at any scale (the
+    bounded window also bounds the coefficients: max 3^7*4^6 ~ 9e6,
+    int64-safe against any cent value).  One coarse shuffle on user;
+    in-bucket work is one vectorized mergesort + coefficient lookup,
+    no per-user Python."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    n_buckets = _auto_num_buckets()
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "user_id", "ts", "value"])
+
+    pow3 = np.power(3, np.arange(window), dtype="int64")
+    pow4 = np.power(4, np.arange(window), dtype="int64")
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["user_id"].notna() & b["value"].notna()]
+        out = pd.DataFrame({
+            "u": pd.to_numeric(b["user_id"]).astype("int64").to_numpy(),
+            "t": b["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
+            "eid": b["event_id"].to_numpy(np.int64),
+            "x": np.rint(b["value"].to_numpy("float64") * 100
+                         ).astype("int64")})
+        out["__coarse"] = _bucket_ids(out, ["u"], n_buckets)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "t", "eid"], kind="mergesort")
+        # keep each user's last `window` rows, oldest-first
+        rn_from_end = (g.iloc[::-1].groupby("u", sort=False).cumcount()
+                       .to_numpy()[::-1])
+        g = g[rn_from_end < window]
+        i = g.groupby("u", sort=False).cumcount().to_numpy()        # 0-based
+        n = g.groupby("u", sort=False)["x"].transform("size").to_numpy(
+            np.int64)
+        c = np.where(i == 0, pow3[n - 1], pow3[n - 1 - i] * pow4[
+            np.maximum(i - 1, 0)])
+        s = g.assign(term=c * g["x"].to_numpy(np.int64),
+                     den=pow4[n - 1])
+        agg = (s.groupby("u", sort=False)
+               .agg(ewma_num=("term", "sum"), ewma_den=("den", "first"))
+               .reset_index())
+        return agg.rename(columns={"u": "user_id"})
+
+    out = (ds.map_batches(keyed, batch_format="pandas")
+           .groupby("__coarse").map_groups(
+               lambda g: fold(g.drop(columns=["__coarse"])),
+               batch_format="pandas")
+           .to_pandas())
+    out = out.astype({"user_id": "int64", "ewma_num": "int64",
+                      "ewma_den": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES.update({"q_ewma": q_ewma})
+
+
+# ---------------------------------------------------------------------------
+# Robust grouped stats: exact trimmed mean from a value histogram
+# ---------------------------------------------------------------------------
+def q_trimmed_mean(sf_dir: str):
+    """Per-returnflag 10%-trimmed mean of quantity, EXACT without any
+    global sort: quantity is declared low-cardinality (integral 1..50),
+    so each group's full order statistics are recoverable from a
+    (flag, qty) -> count histogram — one coarse fold over <= 150 cells,
+    then the driver trims floor(n/10) ranks off each end by cumulative
+    count arithmetic (pure ints).  The same histogram trick backs exact
+    grouped medians/percentiles at any corpus size; contrast
+    q_exact_kth, which handles UNBOUNDED value domains with
+    multi-pass selection.  Output keeps the (sum, count) integer pair
+    next to the rounded mean per the repo convention."""
+    ds = _read_parquet(_t(sf_dir, "lineitem"),
+                       columns=["l_returnflag", "l_quantity"])
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "flag": b["l_returnflag"].to_numpy(),
+            "q": np.rint(b["l_quantity"].to_numpy("float64")
+                         ).astype("int64")})
+
+    hist = coarse_agg(
+        ds.map_batches(cells, batch_format="pandas"),
+        ["flag", "q"], {"cnt": ("q", "size")},
+    ).to_pandas()
+
+    recs = []
+    for f, g in hist.groupby("flag", sort=True):
+        g = g.sort_values("q")
+        q = g["q"].to_numpy("int64")
+        c = g["cnt"].to_numpy("int64")
+        n = int(c.sum())
+        lo, hi = n // 10, n - n // 10          # keep ranks (lo, hi]
+        cum = np.concatenate([[0], np.cumsum(c)])
+        kept = np.minimum(cum[1:], hi) - np.maximum(cum[:-1], lo)
+        kept = np.maximum(kept, 0)
+        s = int(np.dot(q, kept))
+        k = int(kept.sum())
+        recs.append({"l_returnflag": f, "n_kept": k, "trimmed_sum": s,
+                     "trimmed_mean": float(_round_sql(
+                         float(s) / float(k), 6))})
+    out = pd.DataFrame(recs)
+    out = out.astype({"n_kept": "int64", "trimmed_sum": "int64"})
+    return out.reset_index(drop=True)
+
+
+QUERIES.update({"q_trimmed_mean": q_trimmed_mean})
