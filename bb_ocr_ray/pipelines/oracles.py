@@ -2752,3 +2752,45 @@ ORACLES["q_trimmed_mean"] = """
     FROM r WHERE rn > n // 10 AND rn <= n - n // 10
     GROUP BY f ORDER BY f
 """
+
+
+ORACLES["q_anchor_terms"] = """
+    -- inverts the synthetic chrome template: fixed anchors per page
+    -- ('/' carries Home + Synthetic Corpus; share-widget anchors are
+    -- fragment-only and must be absent), one page per document
+    WITH n AS (SELECT count(*) AS pages FROM documents),
+    t(path, term, mult) AS (VALUES
+        ('/', 'home', 1), ('/', 'synthetic', 1), ('/', 'corpus', 1),
+        ('/archive', 'archive', 1), ('/tags', 'tags', 1),
+        ('/about', 'about', 1), ('/about', 'us', 1),
+        ('/privacy', 'privacy', 1), ('/privacy', 'policy', 1),
+        ('/terms', 'terms', 1), ('/contact', 'contact', 1))
+    SELECT path, term, CAST(pages * mult AS BIGINT) AS n
+    FROM t CROSS JOIN n ORDER BY path, term
+"""
+
+
+ORACLES["q_source_overlap"] = """
+    WITH st AS (SELECT DISTINCT source,
+                       unnest(list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                           x -> x <> '')) AS tok
+                FROM documents),
+    vocab AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    p AS (SELECT a.source AS sa, b.source AS sb
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+    inter AS (SELECT x.source AS sa, y.source AS sb, count(*) AS n
+              FROM st x JOIN st y
+                ON x.tok = y.tok AND x.source < y.source
+              GROUP BY 1, 2)
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST(coalesce(i.n, 0) AS BIGINT) AS n_common,
+           CAST(va.nv + vb.nv - coalesce(i.n, 0) AS BIGINT) AS n_union,
+           round(CAST(coalesce(i.n, 0) AS DOUBLE) /
+                 (va.nv + vb.nv - coalesce(i.n, 0)), 6) AS jaccard
+    FROM p LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    JOIN vocab va ON va.source = p.sa
+    JOIN vocab vb ON vb.source = p.sb
+    ORDER BY 1, 2
+"""

@@ -6841,3 +6841,118 @@ def q_trimmed_mean(sf_dir: str):
 
 
 QUERIES.update({"q_trimmed_mean": q_trimmed_mean})
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text index (what OTHER pages call a URL — the ranking signal)
+# ---------------------------------------------------------------------------
+def q_anchor_terms(sf_dir: str):
+    """Per-(target path, anchor term) counts from REAL (href, anchor
+    text) pairing over the raw html bytes
+    (:func:`kernel.links.extract_anchor_texts`: inner markup up to the
+    first </a>, tags stripped, whitespace collapsed; fragment-only and
+    non-http(s) anchors dropped — so the 3 share-widget anchors must
+    NOT appear).  Terms are ASCII-lowercased whitespace tokens.  The
+    synthetic chrome emits a fixed (path, term) multiset per page, so
+    the oracle inverts the template arithmetically (the q_link_graph
+    philosophy) and every pairing/strip/tokenize rule is value-checked.
+    ONE coarse fold on the compound key; at web scale this is the
+    anchor-text index build — the out-of-page labeling signal."""
+    from urllib.parse import urlsplit
+
+    from bb_ocr_ray.functions.textstats import _ASCII_LOWER
+    from bb_ocr_ray.kernel.links import extract_anchor_texts
+    from bb_ocr_ray.sources.pages import read_pages
+
+    pages = read_pages(sf_dir)
+
+    def terms(b: pd.DataFrame) -> pd.DataFrame:
+        paths, toks = [], []
+        for url, html in zip(b["url"], b["html"]):
+            txt = bytes(html).decode("utf-8", errors="replace")
+            for link, text in extract_anchor_texts(txt, url):
+                p = urlsplit(link).path
+                for w in text.translate(_ASCII_LOWER).split():
+                    paths.append(p)
+                    toks.append(w)
+        return pd.DataFrame({"path": pd.array(paths, dtype="object"),
+                             "term": pd.array(toks, dtype="object")})
+
+    out = coarse_agg(
+        pages.map_batches(terms, batch_format="pandas"),
+        ["path", "term"], {"n": ("term", "size")},
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["path", "term"]).reset_index(drop=True)
+
+
+QUERIES.update({"q_anchor_terms": q_anchor_terms})
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level vocabulary overlap (corpus similarity / snapshot QA)
+# ---------------------------------------------------------------------------
+def q_source_overlap(sf_dir: str):
+    """Exact vocabulary Jaccard between every SOURCE pair — the
+    dataset-similarity probe (how much do two crawls / snapshots share
+    a vocabulary?), computed without ever joining corpus-sized sets:
+    distinct (source, token) pairs fold through ONE coarse shuffle on
+    token; each bucket emits per-token source-SET membership collapsed
+    to a '|'-joined mask, and masks have at most 2^|sources| values
+    (sources are the declared low-cardinality column, q_profile
+    contract), so the driver sees a bounded histogram and recovers
+    every pairwise intersection/union by inclusion arithmetic — exact
+    integers, zero float folds until the final ratio."""
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    n_buckets = _auto_num_buckets()
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        seen = set()
+        for s, t in zip(b["source"], b["text"]):
+            for w in set(ws_tokens(t or "")):
+                seen.add((s, w))
+        out = pd.DataFrame(list(seen) or None, columns=["source", "tok"])
+        out["__coarse"] = _bucket_ids(out, ["tok"], n_buckets)
+        return out
+
+    def masks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "tok"])
+        m = (g.sort_values("source", kind="mergesort")
+             .groupby("tok", sort=False)["source"]
+             .agg(lambda s: "|".join(s)))
+        c = m.value_counts()
+        return pd.DataFrame({"mask": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy("int64")})
+
+    hist = (ds.map_batches(pairs, batch_format="pandas")
+            .groupby("__coarse").map_groups(
+                lambda g: masks(g.drop(columns=["__coarse"])),
+                batch_format="pandas")
+            .to_pandas())
+    hist = hist.groupby("mask", as_index=False)["n"].sum()
+
+    sources = sorted({s for m in hist["mask"] for s in m.split("|")})
+    sets = [frozenset(m.split("|")) for m in hist["mask"]]
+    ns = hist["n"].to_numpy("int64")
+    recs = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            inter = int(sum(n for st, n in zip(sets, ns)
+                            if a in st and b in st))
+            union = int(sum(n for st, n in zip(sets, ns)
+                            if a in st or b in st))
+            recs.append({
+                "source_a": a, "source_b": b,
+                "n_common": inter, "n_union": union,
+                "jaccard": float(_round_sql(
+                    float(inter) / float(union), 6)) if union else 0.0})
+    out = pd.DataFrame(recs)
+    out = out.astype({"n_common": "int64", "n_union": "int64"})
+    return out.reset_index(drop=True)
+
+
+QUERIES.update({"q_source_overlap": q_source_overlap})

@@ -168,3 +168,51 @@ def test_trimmed_mean_matches_explicit_sort(ray_session, tmp_path):
         assert int(row["trimmed_sum"].iloc[0]) == int(kept.sum())
         assert abs(float(row["trimmed_mean"].iloc[0])
                    - kept.mean()) < 1e-6
+
+
+# ---------------------------------------------------------- anchor text
+def test_extract_anchor_texts_rules():
+    from bb_ocr_ray.kernel.links import extract_anchor_texts
+
+    html = ('<a href="/x"><b>Bold</b>\n  link</a>'
+            '<a href="#share">Share</a>'          # fragment-only: drop
+            '<a href="mailto:a@b">mail</a>'        # scheme: drop
+            '<a class=c href=/y>plain</a>'
+            '<a href="/img"><img src="i.png"></a>'  # empty text kept
+            '<a href="/z?q=1#frag">frag stripped</a>'
+            '<a href="/open">never closed')         # unterminated: drop
+    got = extract_anchor_texts(html, "https://e.com/base")
+    assert got == [
+        ("https://e.com/x", "Bold link"),
+        ("https://e.com/y", "plain"),
+        ("https://e.com/img", ""),
+        ("https://e.com/z?q=1", "frag stripped"),
+    ]
+
+
+def test_source_overlap_matches_pandas(ray_session, tmp_path):
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(400):
+        src = f"s{rng.randint(0, 4)}"
+        text = " ".join(rng.choice(vocab, rng.randint(1, 12)))
+        rows.append((d, text, "en", src, len(text)))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                       "source", "n_chars"])
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+
+    from bb_ocr_ray.pipelines.queries import q_source_overlap
+    got = q_source_overlap(str(sf))
+
+    vocabs = {s: set(" ".join(g["text"]).split())
+              for s, g in docs.groupby("source")}
+    srcs = sorted(vocabs)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for _, r in got.iterrows():
+        a, b = vocabs[r["source_a"]], vocabs[r["source_b"]]
+        assert int(r["n_common"]) == len(a & b)
+        assert int(r["n_union"]) == len(a | b)
+        assert abs(float(r["jaccard"]) - len(a & b) / len(a | b)) < 1e-6
