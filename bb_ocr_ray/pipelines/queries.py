@@ -6921,12 +6921,26 @@ def q_source_overlap(sf_dir: str):
 
     def masks(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["source", "tok"])
-        m = (g.sort_values("source", kind="mergesort")
-             .groupby("tok", sort=False)["source"]
-             .agg(lambda s: "|".join(s)))
-        c = m.value_counts()
-        return pd.DataFrame({"mask": c.index.to_numpy(dtype=object),
-                             "n": c.to_numpy("int64")})
+        if not len(g):
+            return pd.DataFrame({"mask": pd.array([], dtype="object"),
+                                 "n": pd.array([], dtype="int64")})
+        # vectorized membership fold: sorted-source bit codes OR-reduced
+        # per token run (no per-token Python); bit order == sorted order
+        # so the decoded mask string is identical across buckets
+        srcs = np.sort(g["source"].unique())
+        assert len(srcs) <= 63, "source is the declared low-cardinality column"
+        bit = {s: np.int64(1) << i for i, s in enumerate(srcs)}
+        gv = g.sort_values("tok", kind="mergesort")
+        codes = gv["source"].map(bit).to_numpy("int64")
+        toks = gv["tok"].to_numpy(dtype=object)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(toks[1:] != toks[:-1]) + 1])
+        m = np.bitwise_or.reduceat(codes, starts)
+        vals, counts = np.unique(m, return_counts=True)
+        names = ["|".join(srcs[j] for j in range(len(srcs))
+                          if int(v) >> j & 1) for v in vals]
+        return pd.DataFrame({"mask": pd.array(names, dtype="object"),
+                             "n": counts.astype("int64")})
 
     hist = (ds.map_batches(pairs, batch_format="pandas")
             .groupby("__coarse").map_groups(

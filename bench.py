@@ -224,6 +224,10 @@ def run_plain() -> dict:
         "q_heavy_hitters": bench_query(Q.q_heavy_hitters, SF_DIR),
         "q_hits": bench_query(Q.q_hits, SF_DIR),
         "q_exact_kth": bench_query(Q.q_exact_kth, SF_DIR),
+        # fourth-session showcase ops: corpus-wide distinct-(source,
+        # token) vocabulary overlap, URL canonicalization fold
+        "q_source_overlap": bench_query(Q.q_source_overlap, SF_DIR),
+        "q_url_canonical": bench_query(Q.q_url_canonical, SF_DIR),
     }
     out = {
         "metric": "headline extraction wall time (docs->text)",
