@@ -2794,3 +2794,43 @@ ORACLES["q_source_overlap"] = """
     JOIN vocab vb ON vb.source = p.sb
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_degree_dist"] = """
+    WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    gen AS (SELECT doc_id AS src, (doc_id * doc_id + 5) % m AS dst
+            FROM documents, mm
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 3) % m FROM documents, mm
+            UNION ALL
+            SELECT doc_id, (doc_id // 3 + 11) % m FROM documents, mm),
+    ends AS (SELECT 'out' AS direction, src AS node FROM gen
+             UNION ALL
+             SELECT 'in', dst FROM gen),
+    deg AS (SELECT direction, node, count(*) AS d
+            FROM ends GROUP BY 1, 2)
+    SELECT direction, CAST(floor(log2(CAST(d AS DOUBLE))) AS BIGINT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLES["q_reciprocity"] = """
+    WITH mm AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    gen AS (SELECT doc_id AS src, (doc_id * doc_id + 5) % m AS dst
+            FROM documents, mm
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 3) % m FROM documents, mm
+            UNION ALL
+            SELECT doc_id, (doc_id // 3 + 11) % m FROM documents, mm),
+    e AS (SELECT DISTINCT src, dst FROM gen),
+    mu AS (SELECT count(*) AS n_mutual
+           FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+    tot AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(mu.n_mutual AS BIGINT) AS n_mutual,
+           CAST(tot.n_edges AS BIGINT) AS n_edges,
+           round(CAST(mu.n_mutual AS DOUBLE) / tot.n_edges, 6)
+               AS reciprocity
+    FROM mu, tot
+"""

@@ -6970,3 +6970,114 @@ def q_source_overlap(sf_dir: str):
 
 
 QUERIES.update({"q_source_overlap": q_source_overlap})
+
+
+# ---------------------------------------------------------------------------
+# Web-graph QA statistics: degree distribution + reciprocity
+# ---------------------------------------------------------------------------
+def q_degree_dist(sf_dir: str):
+    """Log2-bucketed in/out-degree distribution of a deterministic
+    synthetic link graph (the q_assortativity generator family with
+    fresh constants) — THE first-look sanity statistic of any crawl
+    graph (is it power-law-ish, did the frontier collapse onto a hub?).
+    Two bounded folds: degrees by ONE coarse endpoint fold (|V|-row),
+    then the log2 histogram (≤64 cells per direction) via a second
+    tiny fold — per-node degrees never reach the driver.  Bucket =
+    floor(log2(deg)): log2 of an exact power of two is exact in IEEE,
+    and every other integer's log2 is irrational (margin ≫ 1 ulp), so
+    engine and oracle floor identically."""
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    m = int(docs.max("doc_id")) + 1
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        return pd.DataFrame({"src": np.repeat(d, 3),
+                             "dst": np.stack([(d * d + 5) % m,
+                                              (d * 7 + 3) % m,
+                                              (d // 3 + 11) % m],
+                                             axis=1).reshape(-1)})
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "direction": np.repeat(np.array(["out", "in"], dtype=object),
+                                   len(b)),
+            "node": np.concatenate([b["src"].to_numpy("int64"),
+                                    b["dst"].to_numpy("int64")])})
+
+    deg = coarse_agg(
+        docs.map_batches(edges, batch_format="pandas")
+        .map_batches(endpoints, batch_format="pandas"),
+        ["direction", "node"], {"deg": ("node", "size")})
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "direction": b["direction"].to_numpy(dtype=object),
+            "bucket": np.floor(np.log2(
+                b["deg"].to_numpy("float64"))).astype("int64")})
+
+    out = coarse_agg(
+        deg.map_batches(bucketed, batch_format="pandas"),
+        ["direction", "bucket"], {"n_nodes": ("bucket", "size")},
+    ).to_pandas()
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return (out.sort_values(["direction", "bucket"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_degree_dist": q_degree_dist})
+
+
+def q_reciprocity(sf_dir: str):
+    """Edge reciprocity of the directed synthetic graph — the share of
+    DISTINCT edges whose reverse edge also exists (mutual-link rate, a
+    core web-graph statistic: high reciprocity = social/nav structure,
+    low = hierarchy).  The whole check is ONE coarse shuffle on the
+    UNORDERED pair key {u,v} (min,max) — both directions of a pair and
+    all duplicates land in the same bucket, so in-bucket logic is a
+    vectorized distinct + pair-size fold; no self-join, no edge table
+    on the driver.  Self-loops are their own reverse.  Exact integer
+    (n_mutual, n_edges) + the 6 dp ratio."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    n_buckets = _auto_num_buckets()
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    m = int(docs.max("doc_id")) + 1
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        src = np.repeat(d, 3)
+        dst = np.stack([(d * d + 5) % m, (d * 7 + 3) % m,
+                        (d // 3 + 11) % m], axis=1).reshape(-1)
+        out = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        out["lo"] = np.minimum(out["src"], out["dst"])
+        out["hi"] = np.maximum(out["src"], out["dst"])
+        out["__coarse"] = _bucket_ids(out, ["lo", "hi"], n_buckets)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src", "dst"])
+        sizes = g.groupby(["lo", "hi"], sort=False)["src"].transform("size")
+        self_loop = (g["src"] == g["dst"]).to_numpy()
+        # a 2-edge unordered group is a mutual pair (directions are
+        # distinct rows); a self-loop is its own reverse
+        mutual = int((sizes.to_numpy() == 2).sum()) + int(self_loop.sum())
+        return pd.DataFrame({"n_mutual": pd.Series([mutual], dtype="int64"),
+                             "n_edges": pd.Series([len(g)], dtype="int64")})
+
+    parts = (docs.map_batches(edges, batch_format="pandas")
+             .groupby("__coarse").map_groups(
+                 lambda g: fold(g.drop(columns=["__coarse"])),
+                 batch_format="pandas")
+             .to_pandas())
+    n_mutual = int(parts["n_mutual"].sum())
+    n_edges = int(parts["n_edges"].sum())
+    return pd.DataFrame(
+        {"n_mutual": pd.Series([n_mutual], dtype="int64"),
+         "n_edges": pd.Series([n_edges], dtype="int64"),
+         "reciprocity": pd.Series(
+             [float(_round_sql(float(n_mutual) / float(n_edges), 6))],
+             dtype="float64")})
+
+
+QUERIES.update({"q_reciprocity": q_reciprocity})
