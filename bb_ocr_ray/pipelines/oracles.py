@@ -2834,3 +2834,71 @@ ORACLES["q_reciprocity"] = """
                AS reciprocity
     FROM mu, tot
 """
+
+
+ORACLES["q_ks_test"] = """
+    WITH h AS (SELECT source, n_chars AS x, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    xs AS (SELECT DISTINCT n_chars AS x FROM documents),
+    srcs AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT count(*) AS gn FROM documents),
+    grid AS (SELECT s.source, xs.x FROM srcs s CROSS JOIN xs),
+    cum AS (SELECT g.source, g.x,
+                   CAST(sum(coalesce(h.c, 0)) OVER
+                        (PARTITION BY g.source ORDER BY g.x) AS HUGEINT)
+                       AS cs
+            FROM grid g LEFT JOIN h ON h.source = g.source AND h.x = g.x),
+    ca AS (SELECT x, CAST(sum(cx) OVER (ORDER BY x) AS HUGEINT) AS call
+           FROM (SELECT x, sum(c) AS cx FROM h GROUP BY 1)),
+    d AS (SELECT cum.source,
+                 max(abs(cum.cs * (tot.gn - s.n)
+                         - (ca.call - cum.cs) * s.n)) AS dnum
+          FROM cum JOIN ca USING (x)
+          JOIN srcs s ON s.source = cum.source CROSS JOIN tot
+          GROUP BY cum.source)
+    SELECT d.source, CAST(s.n AS BIGINT) AS n_source,
+           round(CAST(d.dnum AS DOUBLE)
+                 / (CAST(s.n AS DOUBLE) * (tot.gn - s.n)), 6) AS ks_d
+    FROM d JOIN srcs s ON s.source = d.source CROSS JOIN tot
+    ORDER BY 1
+"""
+
+
+ORACLES["q_ab_test"] = """
+    WITH e AS (SELECT event_type, CAST(user_id AS BIGINT) % 2 AS arm,
+                      CAST(round(value * 100) AS HUGEINT) AS x
+               FROM events
+               WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    s AS (SELECT event_type, arm, count(*) AS n,
+                 sum(x) AS sx, sum(x * x) AS sxx
+          FROM e GROUP BY 1, 2),
+    j AS (SELECT a.event_type,
+                 a.n AS na, a.sx AS sa, a.sxx AS ssa,
+                 b.n AS nb, b.sx AS sb, b.sxx AS ssb
+          FROM s a JOIN s b ON a.event_type = b.event_type
+          WHERE a.arm = 0 AND b.arm = 1)
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(sa AS DOUBLE) / na, 6) AS mean_a_cents,
+           round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b_cents,
+           round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                 / sqrt(((CAST(ssa AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+                         / (na - 1)) / na
+                        + ((CAST(ssb AS DOUBLE)
+                            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+                           / (nb - 1)) / nb),
+                 6) AS t_welch
+    FROM j ORDER BY 1
+"""
+
+
+ORACLES["q_feature_hash"] = f"""
+    WITH probe AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 41 = 0),
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM probe),
+    pc AS (SELECT doc_id, unnest(tk) AS tok FROM toks)
+    SELECT doc_id, CAST(md5_number_upper(tok) % 256 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pc GROUP BY 1, 2 ORDER BY 1, 2
+"""

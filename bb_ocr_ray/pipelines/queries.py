@@ -7081,3 +7081,170 @@ def q_reciprocity(sf_dir: str):
 
 
 QUERIES.update({"q_reciprocity": q_reciprocity})
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift QA: Kolmogorov–Smirnov per source vs the rest
+# ---------------------------------------------------------------------------
+def q_ks_test(sf_dir: str):
+    """Per-source two-sample Kolmogorov–Smirnov statistic of the
+    n_chars length distribution against the REST of the corpus — the
+    standard drift detector for "did this crawl source's content shape
+    change?" (run-over-run data QA).  One corpus pass folds the
+    (source, n_chars) histogram through coarse_agg; the histogram is
+    VALUE-bounded (≤ |sources| × max_doc_len rows — aggregate-sized at
+    any corpus scale, never row-cardinality), so the cumulative fold
+    runs on the driver like q_trimmed_mean's order-statistic
+    arithmetic.  D is EXACT: with per-source totals (n_s, n_r) constant,
+    max_x |F_s − F_r| = max_x |cs·n_r − cr·n_s| / (n_s·n_r), so the max
+    is taken over INTEGER cross-products (python ints — no overflow at
+    any corpus size) and divided once, rounded 6 dp."""
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "n_chars"])
+    hist = coarse_agg(docs, ["source", "n_chars"],
+                      {"c": ("n_chars", "size")}).to_pandas()
+    hist["c"] = hist["c"].astype("int64")
+    pv = (hist.pivot_table(index="n_chars", columns="source", values="c",
+                           aggfunc="sum", fill_value=0)
+          .sort_index())
+    cum = pv.cumsum(axis=0)
+    n_s = pv.sum(axis=0)
+    gn = int(n_s.sum())
+    cum_all = cum.sum(axis=1)
+    recs = []
+    for s in sorted(pv.columns):
+        ns = int(n_s[s])
+        nr = gn - ns
+        cs = cum[s].to_numpy("int64").astype(object)
+        cr = cum_all.to_numpy("int64").astype(object) - cs
+        d_num = max(abs(int(a) * nr - int(b) * ns)
+                    for a, b in zip(cs, cr))
+        ks = float(d_num) / (float(ns) * float(nr))
+        recs.append({"source": s, "n_source": ns,
+                     "ks_d": float(_round_sql(ks, 6))})
+    out = pd.DataFrame(recs).sort_values("source").reset_index(drop=True)
+    out["n_source"] = out["n_source"].astype("int64")
+    return out
+
+
+QUERIES.update({"q_ks_test": q_ks_test})
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: Welch's t per event type from exact moments
+# ---------------------------------------------------------------------------
+def q_ab_test(sf_dir: str):
+    """Welch's t-test per event_type between two deterministic
+    experiment arms (arm = user_id % 2) over event value — the A/B
+    readout every event pipeline ships.  Sufficient statistics
+    (n, Σx, Σx²) fold per batch into ≤ |types|×2 partial rows carried
+    as DECIMAL STRINGS (the q_corr_grouped posture: the driver fold is
+    python-int exact at any magnitude — Σx² in cents² overflows int64
+    near 10^7 rows).  Engine and oracle evaluate the identical closed
+    form from the identical exact integers, so the 6 dp rounding sees
+    the same doubles.  Value is fixed to cents (rint(value·100)) before
+    any summation; driver traffic is 3 short strings per
+    (type, arm, block)."""
+    import math
+
+    ds = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["user_id"].notna() & b["value"].notna()]
+        arm = (b["user_id"].to_numpy("int64") % 2).astype("int64")
+        x = np.rint(b["value"].to_numpy("float64") * 100).astype("int64")
+        types = b["event_type"].to_numpy()
+        rows = []
+        for t in np.unique(types):
+            for a in (0, 1):
+                m = (types == t) & (arm == a)
+                if not m.any():
+                    continue
+                xv = x[m]
+                rows.append({
+                    "event_type": t, "arm": str(a),
+                    "n": str(int(m.sum())),
+                    "sx": str(int(xv.sum())),
+                    "sxx": str(int(np.dot(xv.astype("object"),
+                                          xv.astype("object"))))})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    stats: dict = {}
+    for (t, a), g in parts.groupby(["event_type", "arm"], sort=True):
+        stats[(t, int(a))] = (sum(int(v) for v in g["n"]),
+                              sum(int(v) for v in g["sx"]),
+                              sum(int(v) for v in g["sxx"]))
+    recs = []
+    for t in sorted({k[0] for k in stats}):
+        na, sa, ssa = stats.get((t, 0), (0, 0, 0))
+        nb, sb, ssb = stats.get((t, 1), (0, 0, 0))
+        ma = float(sa) / na
+        mb = float(sb) / nb
+        # sample variance via the same expression shape as the oracle:
+        # (Σx² − (Σx)²/n) / (n−1), everything double before dividing
+        va = (float(ssa) - float(sa) * float(sa) / na) / (na - 1)
+        vb = (float(ssb) - float(sb) * float(sb) / nb) / (nb - 1)
+        tt = (ma - mb) / math.sqrt(va / na + vb / nb)
+        recs.append({"event_type": t,
+                     "n_a": na, "n_b": nb,
+                     "mean_a_cents": float(_round_sql(ma, 6)),
+                     "mean_b_cents": float(_round_sql(mb, 6)),
+                     "t_welch": float(_round_sql(tt, 6))})
+    out = pd.DataFrame(recs)
+    out["n_a"] = out["n_a"].astype("int64")
+    out["n_b"] = out["n_b"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES.update({"q_ab_test": q_ab_test})
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick vectorizer (fixed-width sparse features, doc-local)
+# ---------------------------------------------------------------------------
+def q_feature_hash(sf_dir: str, n_buckets: int = 256, probe_mod: int = 41):
+    """Feature-hashing vectorizer (the 'hashing trick': Weinberger et
+    al., ICML'09 — public method) over a deterministic doc sample:
+    token OCCURRENCE counts folded into a fixed 256-bucket space via
+    stable_u64(token) % 256 (md5_number_upper in the oracle), the
+    vocabulary-free featurizer that feeds linear quality classifiers at
+    corpus scale.  Entirely doc-local — each row's features are
+    computed inside its own map task with a per-batch distinct-token
+    memo, ZERO shuffles; output bounded by |sample| × n_buckets.  The
+    probe gate (doc_id % 41) bounds the demo output; production drops
+    the gate and writes per-shard parquet."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import stable_u64, ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"),
+                       columns=["doc_id", "text"])
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % probe_mod == 0]
+        memo: dict = {}
+        ids, buckets, counts = [], [], []
+        for did, tx in zip(b["doc_id"], b["text"]):
+            acc: Counter = Counter()
+            for tok, c in Counter(ws_tokens(tx or "")).items():
+                bk = memo.get(tok)
+                if bk is None:
+                    bk = memo[tok] = stable_u64(tok) % n_buckets
+                acc[bk] += c
+            for bk in sorted(acc):
+                ids.append(did)
+                buckets.append(bk)
+                counts.append(acc[bk])
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "bucket": pd.array(buckets, dtype="int64"),
+            "n": pd.array(counts, dtype="int64")})
+
+    out = ds.map_batches(feats, batch_format="pandas").to_pandas()
+    return (out.sort_values(["doc_id", "bucket"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_feature_hash": q_feature_hash})
