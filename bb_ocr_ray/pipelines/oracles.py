@@ -2902,3 +2902,170 @@ ORACLES["q_feature_hash"] = f"""
            CAST(count(*) AS BIGINT) AS n
     FROM pc GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+ORACLES["q_benford"] = """
+    WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                      AS BIGINT) AS digit
+               FROM orders
+               WHERE round(o_totalprice * 100) > 0),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / t.tot, 6) AS pct,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS benford_pct
+    FROM c CROSS JOIN t ORDER BY 1
+"""
+
+
+ORACLES["q_lang_entropy"] = """
+    WITH c AS (SELECT source, lang, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                 count(*) AS n_langs
+          FROM c GROUP BY 1)
+    SELECT c.source, n.n AS n_docs,
+           CAST(n.n_langs AS BIGINT) AS n_langs,
+           round(sum(-(CAST(c.c AS DOUBLE) / n.n)
+                     * ln(CAST(c.c AS DOUBLE) / n.n)), 6) AS entropy_nats
+    FROM c JOIN n USING (source)
+    GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+ORACLES["q_user_concentration"] = """
+    WITH c AS (SELECT user_id, count(*) AS c FROM events
+               WHERE user_id IS NOT NULL GROUP BY 1),
+    s AS (SELECT count(*) AS n_users,
+                 CAST(sum(c) AS HUGEINT) AS n,
+                 CAST(sum(c * c) AS HUGEINT) AS s2
+          FROM c)
+    SELECT CAST(n AS BIGINT) AS n_events,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(s2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS simpson,
+           round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 / CAST(s2 AS DOUBLE), 6) AS eff_users
+    FROM s
+"""
+
+
+ORACLES["q_chi2_cells"] = """
+    WITH c AS (SELECT lang, source, count(*) AS o
+               FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+    k AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    g AS (SELECT r.lang, k.source, r.rt, k.ct FROM r CROSS JOIN k)
+    SELECT g.lang, g.source,
+           CAST(coalesce(c.o, 0) AS BIGINT) AS n_obs,
+           round(CAST(g.rt AS DOUBLE) * g.ct / t.n, 6) AS expected,
+           round(pow(coalesce(c.o, 0)
+                     - CAST(g.rt AS DOUBLE) * g.ct / t.n, 2)
+                 / (CAST(g.rt AS DOUBLE) * g.ct / t.n), 6) AS chi2_term
+    FROM g LEFT JOIN c USING (lang, source) CROSS JOIN t
+    ORDER BY 1, 2
+"""
+
+
+ORACLES["q_mad"] = """
+    WITH c AS (SELECT l_returnflag,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           round(median(cents) / 100.0, 6) AS median_price,
+           round(mad(cents) / 100.0, 6) AS mad_price
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_mannwhitney"] = """
+    WITH e AS (SELECT event_type, CAST(user_id AS BIGINT) % 2 AS arm,
+                      CAST(round(value * 100) AS BIGINT) AS x
+               FROM events
+               WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    h AS (SELECT event_type, x,
+                 count(*) FILTER (WHERE arm = 0) AS ca,
+                 count(*) FILTER (WHERE arm = 1) AS cb
+          FROM e GROUP BY 1, 2),
+    w AS (SELECT event_type, x, ca, cb,
+                 CAST(coalesce(sum(cb) OVER
+                          (PARTITION BY event_type ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS HUGEINT)
+                     AS cb_below
+          FROM h),
+    u AS (SELECT event_type,
+                 CAST(sum(ca) AS HUGEINT) AS na,
+                 CAST(sum(cb) AS HUGEINT) AS nb,
+                 CAST(sum(ca * (2 * cb_below + cb)) AS HUGEINT) AS u2
+          FROM w GROUP BY 1)
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(u2 AS DOUBLE) / 2 AS u_a,
+           round(CAST(u2 AS DOUBLE)
+                 / (2 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS auc
+    FROM u ORDER BY 1
+"""
+
+
+ORACLES["q_robots_filter"] = """
+    WITH d AS (SELECT 'site' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS host,
+                      '/p/' || CAST(doc_id // 16 AS VARCHAR) AS path
+               FROM documents),
+    f AS (SELECT host,
+                 CASE WHEN host = 'site0.com' AND path LIKE '/p/1%' THEN 1
+                      WHEN host = 'site1.com' AND path LIKE '/p/7%' THEN 1
+                      WHEN host = 'site2.com' AND path LIKE '/p/3%' THEN 1
+                      ELSE 0 END AS blocked
+          FROM d)
+    SELECT host,
+           CAST(count(*) FILTER (WHERE blocked = 0) AS BIGINT) AS n_allowed,
+           CAST(count(*) FILTER (WHERE blocked = 1) AS BIGINT) AS n_blocked
+    FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_market_basket"] = """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 97 AS i
+                FROM lineitem),
+    n AS (SELECT count(DISTINCT o) AS n_orders FROM bi),
+    ic AS (SELECT i, count(*) AS c FROM bi GROUP BY 1),
+    p AS (SELECT a.i AS i1, b.i AS i2, count(*) AS sup
+          FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i
+          GROUP BY 1, 2 HAVING count(*) >= 25),
+    r AS (SELECT i1 AS ante, i2 AS cons, sup FROM p
+          UNION ALL SELECT i2, i1, sup FROM p)
+    SELECT r.ante, r.cons, CAST(r.sup AS BIGINT) AS support,
+           round(CAST(r.sup AS DOUBLE) / ca.c, 6) AS confidence,
+           round(CAST(r.sup AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6)
+               AS lift
+    FROM r JOIN ic ca ON ca.i = r.ante
+           JOIN ic cb ON cb.i = r.cons CROSS JOIN n
+    ORDER BY 1, 2
+"""
+
+
+ORACLES["q_clustering_coeff"] = """
+    WITH nd AS (SELECT doc_id AS d FROM documents),
+    e1 AS (SELECT a.d AS u, b.d AS v FROM nd a JOIN nd b ON b.d = a.d + 1
+           WHERE ((a.d * a.d + 3 * a.d) % 11) >= 3),
+    e2 AS (SELECT a.d AS u, b.d AS v FROM nd a JOIN nd b ON b.d = a.d + 2
+           WHERE ((7 * a.d + 5) % 13) >= 4),
+    e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+          FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+          WHERE u <> v),
+    sym AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+    deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS dg
+            FROM sym GROUP BY 1),
+    w AS (SELECT CAST(sum(dg * (dg - 1)) AS HUGEINT) // 2 AS wedges
+          FROM deg),
+    tri AS (SELECT count(*) AS t
+            FROM e x JOIN e y ON y.u = x.v
+                     JOIN e z ON z.u = x.u AND z.v = y.v)
+    SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(w.wedges AS BIGINT) AS n_wedges,
+           round(3.0 * tri.t / w.wedges, 6) AS global_cc
+    FROM tri CROSS JOIN w
+"""

@@ -7248,3 +7248,502 @@ def q_feature_hash(sf_dir: str, n_buckets: int = 256, probe_mod: int = 41):
 
 
 QUERIES.update({"q_feature_hash": q_feature_hash})
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit distribution (ingest QA / anomaly screen)
+# ---------------------------------------------------------------------------
+def q_benford(sf_dir: str):
+    """Benford's-law first-significant-digit distribution of order
+    totals — the classic ingest-QA screen for fabricated or truncated
+    numeric feeds (Benford 1938; Nigrini's audit use is public
+    method).  Prices quantize to integer cents first (rint(x*100)),
+    and the leading digit of the cents integer IS the leading
+    significant digit of the dollar amount (scaling by a power of ten
+    never changes it), so both engines read digit 1-9 off exact
+    integers — no float log in the digit path.  Per-batch bincount
+    partials (≤9 rows each) fold on the driver: traffic is 9 ints per
+    block regardless of corpus size.  Output: observed count + share
+    vs the Benford expectation log10(1+1/d), both 6 dp."""
+    import math
+
+    ds = _read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["o_totalprice"].to_numpy("float64") * 100)
+        cents = cents[np.isfinite(cents)].astype("int64")
+        cents = cents[cents > 0]
+        # leading digit: integer divide by 10 until < 10 (vectorized
+        # loop over at most ~12 decades; no float log edge cases)
+        while (cents >= 10).any():
+            big = cents >= 10
+            cents[big] //= 10
+        cnt = np.bincount(cents, minlength=10)[1:10]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype="int64"),
+                             "n": cnt.astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("digit", as_index=False)["n"].sum()
+    total = int(agg["n"].sum())
+    agg = agg[agg["n"] > 0].copy()
+    agg["pct"] = [float(_round_sql(int(n) / total, 6)) for n in agg["n"]]
+    agg["benford_pct"] = [float(_round_sql(math.log10(1.0 + 1.0 / int(d)), 6))
+                          for d in agg["digit"]]
+    agg["digit"] = agg["digit"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values("digit").reset_index(drop=True)
+
+
+QUERIES.update({"q_benford": q_benford})
+
+
+# ---------------------------------------------------------------------------
+# Per-source language-mix entropy (corpus composition QA)
+# ---------------------------------------------------------------------------
+def q_lang_entropy(sf_dir: str):
+    """Per-source Shannon entropy (nats) of the language mix — the
+    corpus-composition monitor a multilingual crawl ships next to
+    q_ks_test's shape drift: a source whose lang entropy collapses
+    started emitting one language (or lost its langid).  One corpus
+    pass folds (source, lang) counts through coarse_agg — the table is
+    |sources|x|langs|, aggregate-sized at any corpus scale — and the
+    driver evaluates -sum(p ln p) per source over langs in ascending
+    order from exact integer counts.  Cross-term float order differs
+    from the oracle's unordered sum by <=1 ulp; 6 dp rounding absorbs
+    it (the registry-wide convention for bounded float folds)."""
+    import math
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "lang"])
+    cnt = coarse_agg(docs, ["source", "lang"],
+                     {"c": ("lang", "size")}).to_pandas()
+    cnt["c"] = cnt["c"].astype("int64")
+    recs = []
+    for s, g in cnt.groupby("source", sort=True):
+        g = g.sort_values("lang")
+        n = int(g["c"].sum())
+        h = sum(-(int(c) / n) * math.log(int(c) / n)
+                for c in g["c"])
+        recs.append({"source": s, "n_docs": n, "n_langs": len(g),
+                     "entropy_nats": float(_round_sql(h, 6))})
+    out = pd.DataFrame(recs)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_langs"] = out["n_langs"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+QUERIES.update({"q_lang_entropy": q_lang_entropy})
+
+
+# ---------------------------------------------------------------------------
+# Traffic concentration (Simpson index / effective-user count)
+# ---------------------------------------------------------------------------
+def q_user_concentration(sf_dir: str):
+    """Simpson concentration of event traffic across users — the
+    "is one bot eating the crawl budget?" QA scalar: sum p_u^2 (the
+    collision probability of the user distribution) and its inverse,
+    the effective user count.  Per-user totals need exactness, so ONE
+    coarse fold produces the (user, count) table (row-bounded by
+    |users|, never on the driver); a second map folds each batch to
+    sufficient statistics (n_users, sum c, sum c^2) carried as DECIMAL
+    STRINGS (the q_corr_grouped posture — sum c^2 outgrows int64 near
+    10^9 events from one hot key), and the driver folds python ints.
+    Both engines evaluate the identical closed forms from identical
+    exact integers."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    per_user = coarse_agg(
+        ev.map_batches(
+            lambda b: b[b["user_id"].notna()].astype({"user_id": "int64"}),
+            batch_format="pandas"),
+        ["user_id"], {"c": ("user_id", "size")})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy("int64").astype(object)
+        return pd.DataFrame({"n_users": [str(len(c))],
+                             "sc": [str(int((c).sum()))],
+                             "sc2": [str(int((c * c).sum()))]})
+
+    parts = per_user.map_batches(partial, batch_format="pandas").to_pandas()
+    n_users = sum(int(v) for v in parts["n_users"])
+    n = sum(int(v) for v in parts["sc"])
+    s2 = sum(int(v) for v in parts["sc2"])
+    simpson = float(s2) / (float(n) * float(n))
+    eff = float(n) * float(n) / float(s2)
+    return pd.DataFrame({
+        "n_events": pd.array([n], dtype="int64"),
+        "n_users": pd.array([n_users], dtype="int64"),
+        "simpson": [float(_round_sql(simpson, 6))],
+        "eff_users": [float(_round_sql(eff, 6))]})
+
+
+QUERIES.update({"q_user_concentration": q_user_concentration})
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared contingency cells (lang x source independence audit)
+# ---------------------------------------------------------------------------
+def q_chi2_cells(sf_dir: str):
+    """Chi-squared independence audit of the lang x source contingency
+    table, emitted PER CELL (observed, expected, chi2 term) rather than
+    as one scalar — per-cell rows keep every double a pure function of
+    exact integer marginals (no cross-cell float summation whose order
+    could differ between engines) and tell the operator WHICH cell
+    drives the dependence.  One coarse fold produces the observed
+    counts (|langs|x|sources| — aggregate-sized); the driver completes
+    the grid with zero cells (a missing combination still contributes
+    its full expectation) and evaluates e = rt*ct/n and (o-e)^2/e with
+    the same association order as the SQL."""
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["lang", "source"])
+    obs = coarse_agg(docs, ["lang", "source"],
+                     {"o": ("lang", "size")}).to_pandas()
+    obs["o"] = obs["o"].astype("int64")
+    rt = obs.groupby("lang")["o"].sum()
+    ct = obs.groupby("source")["o"].sum()
+    n = float(int(obs["o"].sum()))
+    seen = {(l, s): int(o) for l, s, o in
+            zip(obs["lang"], obs["source"], obs["o"])}
+    recs = []
+    for l in sorted(rt.index):
+        for s in sorted(ct.index):
+            o = seen.get((l, s), 0)
+            e = float(int(rt[l])) * int(ct[s]) / n
+            recs.append({"lang": l, "source": s,
+                         "n_obs": o,
+                         "expected": float(_round_sql(e, 6)),
+                         "chi2_term": float(_round_sql((o - e) ** 2 / e, 6))})
+    out = pd.DataFrame(recs)
+    out["n_obs"] = out["n_obs"].astype("int64")
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+QUERIES.update({"q_chi2_cells": q_chi2_cells})
+
+
+# ---------------------------------------------------------------------------
+# Grouped median absolute deviation (robust scale, no global sort)
+# ---------------------------------------------------------------------------
+def q_mad(sf_dir: str):
+    """Grouped median-absolute-deviation of line-item price — the
+    outlier-robust scale statistic (Hampel 1974, public method) for
+    price-feed QA, computed EXACTLY with no global sort: prices live on
+    a fixed cents grid, so one coarse fold builds the (flag, cents)
+    value histogram (VALUE-bounded — the price grid, not row
+    cardinality) and the driver extracts both nested medians by
+    cumulative-count arithmetic, the q_trimmed_mean posture.  All
+    order statistics stay in integer domain: the median is carried
+    DOUBLED (med2 = lo+hi cents, exact even when interpolated), each
+    deviation |2c - med2| is an exact integer, and the deviation
+    median doubles again (mad4), so mad = mad4/4 is exact to the
+    quarter-cent — bit-identical to DuckDB's interpolating
+    median()/mad() at any corpus size."""
+    li = _read_parquet(_t(sf_dir, "lineitem"),
+                       columns=["l_returnflag", "l_extendedprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "flag": b["l_returnflag"],
+            "cents": np.rint(b["l_extendedprice"].to_numpy("float64")
+                             * 100).astype("int64")})
+
+    hist = coarse_agg(li.map_batches(to_cents, batch_format="pandas"),
+                      ["flag", "cents"],
+                      {"c": ("cents", "size")}).to_pandas()
+    hist["c"] = hist["c"].astype("int64")
+
+    def med2_of(vals: np.ndarray, cnts: np.ndarray) -> int:
+        # doubled interpolated median from a sorted value histogram
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        k1, k2 = (n + 1) // 2, (n + 2) // 2      # 1-indexed ranks
+        lo = int(vals[np.searchsorted(cum, k1)])
+        hi = int(vals[np.searchsorted(cum, k2)])
+        return lo + hi
+
+    recs = []
+    for f, g in hist.groupby("flag", sort=True):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy("int64")
+        cnts = g["c"].to_numpy("int64")
+        med2 = med2_of(vals, cnts)
+        dev = pd.DataFrame({"d2": np.abs(2 * vals - med2), "c": cnts})
+        dev = dev.groupby("d2", as_index=False)["c"].sum().sort_values("d2")
+        mad4 = med2_of(dev["d2"].to_numpy("int64"),
+                       dev["c"].to_numpy("int64"))
+        recs.append({
+            "l_returnflag": f,
+            "n_rows": int(cnts.sum()),
+            "median_price": float(_round_sql(med2 / 200.0, 6)),
+            "mad_price": float(_round_sql(mad4 / 400.0, 6))})
+    out = pd.DataFrame(recs)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+QUERIES.update({"q_mad": q_mad})
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U / rank-biserial AUC per event type (nonparametric A/B)
+# ---------------------------------------------------------------------------
+def q_mannwhitney(sf_dir: str):
+    """Mann-Whitney U between the two deterministic experiment arms
+    (user_id % 2) per event type — the nonparametric sibling of
+    q_ab_test's Welch t, and its U/(na*nb) normalization is exactly
+    the ROC-AUC of "does arm A stochastically dominate arm B".
+    Values quantize to cents; ONE coarse fold builds the
+    (type, cents, arm) histogram (VALUE-bounded like q_ks_test) and
+    the driver computes 2U as an exact python integer via cumulative
+    counts with midrank tie handling: 2U_a = sum_v ca(v) *
+    (2*cb_below(v) + cb_eq(v)).  The oracle evaluates the identical
+    integer through one window cumsum (linear, no pair join).  U and
+    AUC are then single divisions of exact integers on both sides."""
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "user_id", "value"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["user_id"].notna() & b["value"].notna()]
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "x": np.rint(b["value"].to_numpy("float64") * 100)
+                   .astype("int64"),
+            "arm": (b["user_id"].to_numpy("int64") % 2).astype("int64")})
+
+    hist = coarse_agg(ev.map_batches(cents, batch_format="pandas"),
+                      ["event_type", "x", "arm"],
+                      {"c": ("x", "size")}).to_pandas()
+    hist["c"] = hist["c"].astype("int64")
+    recs = []
+    for t, g in hist.groupby("event_type", sort=True):
+        pv = (g.pivot_table(index="x", columns="arm", values="c",
+                            aggfunc="sum", fill_value=0)
+              .reindex(columns=[0, 1], fill_value=0).sort_index())
+        ca = pv[0].to_numpy("int64")
+        cb = pv[1].to_numpy("int64")
+        na, nb = int(ca.sum()), int(cb.sum())
+        cb_below = np.concatenate([[0], np.cumsum(cb)[:-1]])
+        u2 = sum(int(a) * (2 * int(bl) + int(be))
+                 for a, bl, be in zip(ca, cb_below, cb))
+        recs.append({
+            "event_type": t,
+            "n_a": na, "n_b": nb,
+            "u_a": u2 / 2.0,
+            "auc": float(_round_sql(float(u2) / (2.0 * na * nb), 6))})
+    out = pd.DataFrame(recs)
+    out["n_a"] = out["n_a"].astype("int64")
+    out["n_b"] = out["n_b"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES.update({"q_mannwhitney": q_mannwhitney})
+
+
+# ---------------------------------------------------------------------------
+# Robots-style disallow-prefix filter (crawl-policy gate)
+# ---------------------------------------------------------------------------
+def q_robots_filter(sf_dir: str):
+    """Crawl-policy gate: apply a per-host robots.txt-style DISALLOW
+    prefix list to every page URL — the filter every polite crawl runs
+    before fetch/refetch scheduling (robots exclusion is a public
+    protocol, RFC 9309).  URLs reconstruct from the q_url_canonical
+    template (host site{doc_id%3}.com, path /p/{doc_id//16}) and are
+    parsed with the REAL stdlib parser (urllib), then matched against
+    a broadcast rule list with vectorized str.startswith — rules are
+    tiny (a robots file per host), so this is a pure map: ZERO
+    shuffles; per-batch (host, allowed) count partials fold through
+    one aggregate-sized coarse_agg.  The oracle inverts the template
+    arithmetically and applies the same prefixes via LIKE."""
+    from urllib.parse import urlsplit
+
+    rules = {"site0.com": ("/p/1",),
+             "site1.com": ("/p/7",),
+             "site2.com": ("/p/3",)}
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        urls = [f"https://site{int(x) % 3}.com/p/{int(x) // 16}"
+                for x in d]
+        parts = [urlsplit(u) for u in urls]
+        host = pd.Series([p.hostname for p in parts], dtype="object")
+        path = pd.Series([p.path for p in parts], dtype="object")
+        blocked = np.zeros(len(b), dtype=bool)
+        for h, prefixes in rules.items():
+            on_host = (host == h).to_numpy()
+            for pre in prefixes:
+                blocked |= on_host & path.str.startswith(pre).to_numpy()
+        return pd.DataFrame({
+            "host": host,
+            "allowed": (~blocked).astype("int64"),
+            "blocked_": blocked.astype("int64")})
+
+    out = coarse_agg(ds.map_batches(gate, batch_format="pandas"),
+                     ["host"], {"n_allowed": ("allowed", "sum"),
+                                "n_blocked": ("blocked_", "sum")}).to_pandas()
+    out["n_allowed"] = out["n_allowed"].astype("int64")
+    out["n_blocked"] = out["n_blocked"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+QUERIES.update({"q_robots_filter": q_robots_filter})
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+def q_market_basket(sf_dir: str, item_mod: int = 97, min_support: int = 25):
+    """Association rules over order baskets (Agrawal & Srikant's
+    classic support/confidence/lift frame, VLDB'94 — public method):
+    items derive as l_partkey % 97, baskets are orders.  Scale shape:
+    ONE coarse shuffle on the order key lands each basket in one
+    bucket, where a vectorized self-merge emits its distinct item
+    pairs PLUS tagged singleton/basket marker rows ((i,-1) per
+    basket-item, (-2,-2) per basket), so a single count fold then
+    yields pair supports, item supports, and the basket total in one
+    aggregate-sized table (<= C(97,2)+97+1 rows) — no second corpus
+    pass, nothing row-sized on the driver.  Basket size is
+    schema-bounded (TPC-H caps lineitems per order), so no hot-key cap
+    is needed — the q_covisit celebrity argument does not arise.
+    Rules emit BOTH directions; confidence and lift are single
+    divisions of exact integers, identical on both engines."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    n_buckets = _auto_num_buckets()
+    li = _read_parquet(_t(sf_dir, "lineitem"),
+                       columns=["l_orderkey", "l_partkey"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o": b["l_orderkey"].to_numpy("int64"),
+            "i": (b["l_partkey"].to_numpy("int64") % item_mod)})
+        out = out.drop_duplicates()
+        out["__coarse"] = _bucket_ids(out, ["o"], n_buckets)
+        return out
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "i"])
+        m = g.merge(g, on="o")
+        m = m[m["i_x"] < m["i_y"]]
+        n_baskets = g["o"].nunique()
+        return pd.DataFrame({
+            "i1": np.concatenate([m["i_x"].to_numpy("int64"),
+                                  g["i"].to_numpy("int64"),
+                                  np.full(n_baskets, -2, dtype="int64")]),
+            "i2": np.concatenate([m["i_y"].to_numpy("int64"),
+                                  np.full(len(g), -1, dtype="int64"),
+                                  np.full(n_baskets, -2, dtype="int64")])})
+
+    counted = coarse_agg(
+        li.map_batches(keyed, batch_format="pandas")
+        .groupby("__coarse").map_groups(
+            lambda g: emit(g.drop(columns=["__coarse"])),
+            batch_format="pandas"),
+        ["i1", "i2"], {"n": ("i1", "size")}).to_pandas()
+    counted["n"] = counted["n"].astype("int64")
+
+    n_orders = int(counted.loc[(counted["i1"] == -2)
+                               & (counted["i2"] == -2), "n"].iloc[0])
+    item_cnt = {int(r.i1): int(r.n) for r in
+                counted[(counted["i2"] == -1)].itertuples()}
+    pairs = counted[(counted["i1"] >= 0) & (counted["i2"] >= 0)
+                    & (counted["n"] >= min_support)]
+    recs = []
+    for r in pairs.itertuples():
+        sup = int(r.n)
+        for a, c in ((int(r.i1), int(r.i2)), (int(r.i2), int(r.i1))):
+            recs.append({
+                "ante": a, "cons": c, "support": sup,
+                "confidence": float(_round_sql(sup / item_cnt[a], 6)),
+                "lift": float(_round_sql(
+                    float(sup * n_orders)
+                    / float(item_cnt[a] * item_cnt[c]), 6))})
+    out = pd.DataFrame(recs)
+    if not len(out):
+        out = pd.DataFrame({c: pd.array([], dtype="int64")
+                            for c in ("ante", "cons", "support")}
+                           ).assign(confidence=pd.array([], dtype="float64"),
+                                    lift=pd.array([], dtype="float64"))
+    out = out.astype({"ante": "int64", "cons": "int64", "support": "int64"})
+    return out.sort_values(["ante", "cons"]).reset_index(drop=True)
+
+
+QUERIES.update({"q_market_basket": q_market_basket})
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient (triangles / wedges)
+# ---------------------------------------------------------------------------
+def q_clustering_coeff(sf_dir: str):
+    """Global clustering coefficient 3T/W of the synthetic link graph
+    — the one-scalar cohesion QA next to q_triangle_count's bucketed
+    counts and q_degree_dist's histogram.  Triangles reuse the
+    degree-oriented ``stages.graph.triangle_count`` (celebrity-safe);
+    wedges W = sum_v deg(v)(deg(v)-1)/2 come from the SAME normalized
+    undirected edge set via one coarse degree fold, with per-batch
+    sum-of-d(d-1) partials carried as decimal strings (the
+    q_user_concentration posture — a 10^6-degree hub's term alone
+    nears int64).  The edge generator mirrors q_triangle_count
+    verbatim so both operators audit one graph.  T and W are exact
+    python ints; the coefficient is one division, 6 dp."""
+    from bb_ocr_ray.stages.dedup import dedup_pairs
+    from bb_ocr_ray.stages.graph import triangle_count
+    from bb_ocr_ray.stages.joins import auto_semi
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def gen(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        d1 = d[((d * d + 3 * d) % 11) >= 3]
+        d2 = d[((7 * d + 5) % 13) >= 4]
+        return pd.DataFrame({
+            "src": np.concatenate([d1, d2]),
+            "dst": np.concatenate([d1 + 1, d2 + 2])})
+
+    cand = docs.map_batches(gen, batch_format="pandas")
+    edges = auto_semi(
+        cand.map_batches(lambda b: b.rename(columns={"dst": "doc_id"}),
+                         batch_format="pandas"),
+        docs, on="doc_id",
+    ).map_batches(lambda b: b.rename(columns={"doc_id": "dst"}),
+                  batch_format="pandas")
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["src"].to_numpy(np.int64)
+        v = b["dst"].to_numpy(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pd.DataFrame({"id_a": np.minimum(u, v),
+                             "id_b": np.maximum(u, v)})
+
+    und = dedup_pairs(
+        edges.map_batches(norm, batch_format="pandas")).materialize()
+
+    def both_ends(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["id_a"].to_numpy("int64"), b["id_b"].to_numpy("int64")])})
+
+    deg = coarse_agg(und.map_batches(both_ends, batch_format="pandas"),
+                     ["node"], {"d": ("node", "size")})
+
+    def wedge_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["d"].to_numpy("int64").astype(object)
+        return pd.DataFrame({"w2": [str(int((d * (d - 1)).sum()))]})
+
+    parts = deg.map_batches(wedge_partial, batch_format="pandas").to_pandas()
+    wedges = sum(int(v) for v in parts["w2"]) // 2
+
+    tri = triangle_count(und.map_batches(
+        lambda b: b.rename(columns={"id_a": "src", "id_b": "dst"}),
+        batch_format="pandas"))
+    n_tri = int(tri.count())
+
+    cc = 3.0 * n_tri / wedges if wedges else 0.0
+    return pd.DataFrame({
+        "n_triangles": pd.array([n_tri], dtype="int64"),
+        "n_wedges": pd.array([wedges], dtype="int64"),
+        "global_cc": [float(_round_sql(cc, 6))]})
+
+
+QUERIES.update({"q_clustering_coeff": q_clustering_coeff})
