@@ -3069,3 +3069,88 @@ ORACLES["q_clustering_coeff"] = """
            round(3.0 * tri.t / w.wedges, 6) AS global_cc
     FROM tri CROSS JOIN w
 """
+
+
+ORACLES["q_gini"] = """
+    WITH c AS (SELECT user_id, count(*) AS c FROM events
+               WHERE user_id IS NOT NULL GROUP BY 1),
+    r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM c),
+    s AS (SELECT count(*) AS n, CAST(sum(c) AS HUGEINT) AS tot,
+                 CAST(sum(CAST(i AS HUGEINT) * c) AS HUGEINT) AS sic
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_users, CAST(tot AS BIGINT) AS n_events,
+           round((2.0 * sic - (n + 1.0) * tot) / (1.0 * n * tot), 6) AS gini
+    FROM s
+"""
+
+
+ORACLES["q_new_users"] = """
+    WITH p AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    f AS (SELECT u, min(day) AS first_day FROM p GROUP BY 1),
+    nn AS (SELECT first_day AS day, count(*) AS n_new FROM f GROUP BY 1),
+    a AS (SELECT day, count(*) AS n_active FROM p GROUP BY 1)
+    SELECT a.day, CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+           CAST(a.n_active - coalesce(nn.n_new, 0) AS BIGINT)
+               AS n_returning
+    FROM a LEFT JOIN nn USING (day) ORDER BY 1
+"""
+
+
+ORACLES["q_attribution"] = """
+    WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS u, event_type,
+                      epoch_us(ts) AS t
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type IN ('click', 'purchase')),
+    w AS (SELECT *, max(CASE WHEN event_type = 'click'
+                             THEN CAST(t AS HUGEINT) * 4294967296
+                                  + event_id END) OVER
+              (PARTITION BY u ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lck
+          FROM e)
+    SELECT event_id AS purchase_id, u AS user_id,
+           CASE WHEN lck IS NOT NULL
+                 AND t - CAST(lck // 4294967296 AS BIGINT) <= 259200000000
+                THEN CAST(lck % 4294967296 AS BIGINT) ELSE -1 END
+               AS click_id,
+           CASE WHEN lck IS NOT NULL
+                 AND t - CAST(lck // 4294967296 AS BIGINT) <= 259200000000
+                THEN t - CAST(lck // 4294967296 AS BIGINT) ELSE -1 END
+               AS lag_us
+    FROM w WHERE event_type = 'purchase' ORDER BY 1
+"""
+
+
+ORACLES["q_zipf_slope"] = f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    pc AS (SELECT unnest(tk) AS tok FROM toks),
+    cnt AS (SELECT tok, count(*) AS n FROM pc GROUP BY 1),
+    top AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS r
+            FROM cnt ORDER BY n DESC, tok LIMIT 200)
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(max(CASE WHEN r = 1 THEN n END) AS BIGINT) AS n_top1,
+           CAST(max(CASE WHEN r = (SELECT count(*) FROM top) THEN n END)
+                AS BIGINT) AS n_top_last,
+           round(regr_slope(ln(CAST(n AS DOUBLE)),
+                            ln(CAST(r AS DOUBLE))), 6) AS zipf_slope
+    FROM top
+"""
+
+
+ORACLES["q_dup_ratio"] = """
+    WITH h AS (SELECT source, md5(coalesce(text, '')) AS h,
+                      count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                     AS n_dup_docs
+          FROM h GROUP BY 1)
+    SELECT source, n_docs, n_distinct, n_dup_docs,
+           round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_ratio
+    FROM s ORDER BY 1
+"""

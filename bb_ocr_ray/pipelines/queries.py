@@ -7747,3 +7747,261 @@ def q_clustering_coeff(sf_dir: str):
 
 
 QUERIES.update({"q_clustering_coeff": q_clustering_coeff})
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of per-user traffic (inequality QA next to Simpson)
+# ---------------------------------------------------------------------------
+def q_gini(sf_dir: str):
+    """Gini coefficient of event traffic across users — the Lorenz
+    inequality scalar next to q_user_concentration's Simpson index
+    (both are public textbook statistics).  The rank formula
+    G = (2*sum_i i*c_i - (n+1)*sum c) / (n*sum c) needs counts in
+    sorted order, but NEVER a global row sort: per-user counts fold
+    through one coarse shuffle (user-cardinality table, never on the
+    driver), then a second fold collapses them to a COUNT-VALUE
+    histogram (value-bounded — distinct traffic levels, not users; the
+    q_trimmed_mean posture), from which the driver reconstructs
+    sum_i i*c_i exactly: a run of m users at value v occupying ranks
+    S+1..S+m contributes v*(S*m + m*(m+1)/2).  All integer arithmetic
+    is python-int (sum i*c_i nears int64 at ~10^9 events); the final
+    division is the only float, 6 dp on both engines."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    per_user = coarse_agg(
+        ev.map_batches(
+            lambda b: b[b["user_id"].notna()].astype({"user_id": "int64"}),
+            batch_format="pandas"),
+        ["user_id"], {"c": ("user_id", "size")})
+    hist = coarse_agg(per_user, ["c"], {"m": ("c", "size")}).to_pandas()
+    hist = hist.astype({"c": "int64", "m": "int64"}).sort_values("c")
+
+    S = 0          # users ranked so far
+    sic = 0        # sum_i i*c_i, exact
+    tot = 0
+    for v, m in zip(hist["c"], hist["m"]):
+        v, m = int(v), int(m)
+        sic += v * (S * m + m * (m + 1) // 2)
+        tot += v * m
+        S += m
+    gini = (2.0 * sic - (S + 1.0) * tot) / (1.0 * S * tot)
+    return pd.DataFrame({
+        "n_users": pd.array([S], dtype="int64"),
+        "n_events": pd.array([tot], dtype="int64"),
+        "gini": [float(_round_sql(gini, 6))]})
+
+
+QUERIES.update({"q_gini": q_gini})
+
+
+# ---------------------------------------------------------------------------
+# Daily new-vs-returning user decomposition (growth accounting)
+# ---------------------------------------------------------------------------
+def q_new_users(sf_dir: str):
+    """Daily active users split into NEW (first-ever activity that
+    day) and returning — the growth-accounting readout next to
+    q_retention's cohort matrix.  Day is integer epoch_us // 86400e6
+    (never date_trunc: timezone/week conventions differ across
+    engines).  Plan: one coarse fold computes each user's first-day
+    (min — user-cardinality, stays distributed), a second folds it to
+    (day, n_new); in parallel the deduped (user, day) activity pairs
+    fold to (day, n_active).  Both result tables are |days|-bounded,
+    so the final left-merge runs on the driver over aggregate-sized
+    frames.  NULL user/ts rows drop on both engines."""
+    _US_PER_DAY = 86_400_000_000
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "u": pd.to_numeric(b["user_id"]).astype("int64").to_numpy(),
+            "day": (us.to_numpy() // _US_PER_DAY).astype("int64")})
+
+    pairs = ev.map_batches(keyed, batch_format="pandas")
+    first = coarse_agg(pairs, ["u"], {"first_day": ("day", "min")})
+    new_by_day = coarse_agg(first, ["first_day"],
+                            {"n_new": ("first_day", "size")}).to_pandas()
+    active = coarse_agg(
+        coarse_agg(pairs, ["u", "day"], {"k": ("day", "size")}),
+        ["day"], {"n_active": ("day", "size")}).to_pandas()
+
+    out = active.merge(new_by_day.rename(columns={"first_day": "day"}),
+                       on="day", how="left")
+    out["n_new"] = out["n_new"].fillna(0).astype("int64")
+    out["n_active"] = out["n_active"].astype("int64")
+    out["day"] = out["day"].astype("int64")
+    out["n_returning"] = (out["n_active"] - out["n_new"]).astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+QUERIES.update({"q_new_users": q_new_users})
+
+
+# ---------------------------------------------------------------------------
+# Last-touch click attribution for purchases (72 h lookback)
+# ---------------------------------------------------------------------------
+def q_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase is attributed to the SAME
+    user's most recent click strictly before it in (ts, event_id)
+    order, provided that click is within the 72 h lookback — the
+    standard marketing-attribution rule (last non-direct touch).  The
+    most-recent-click candidate is chosen FIRST, then the window test
+    applies (an over-window click shadows older in-window ones — the
+    textbook definition, and what the oracle's frame-excluded window
+    cummax computes).  Unattributed purchases emit the -1 sentinel in
+    click_id/lag_us so the output stays pure int64.
+
+    Scale shape: filter to click/purchase rows at the read, ONE coarse
+    shuffle on user, in-bucket (u, ts, event_id) sort, then a
+    vectorized groupwise carry: cummax of click positions (pandas
+    C-level cummax) shifted by one row so a purchase never attributes
+    to itself-position; output is row-per-purchase."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    _W_US = 72 * 3600 * 1_000_000
+    n_buckets = _auto_num_buckets()
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        b = b[b["event_type"].isin(("click", "purchase"))]
+        out = pd.DataFrame({
+            "u": pd.to_numeric(b["user_id"]).astype("int64").to_numpy(),
+            "t": b["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "is_click": (b["event_type"] == "click").to_numpy()})
+        out["__coarse"] = _bucket_ids(out, ["u"], n_buckets)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "t", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        pos = np.arange(len(g), dtype="int64")
+        g["cp"] = np.where(g["is_click"].to_numpy(), pos, -1)
+        last = g.groupby("u", sort=False)["cp"].cummax()
+        prev = last.groupby(g["u"], sort=False).shift(1, fill_value=-1)
+        prev = prev.to_numpy("int64")
+        is_p = ~g["is_click"].to_numpy()
+        pt = g["t"].to_numpy()[is_p]
+        pid = g["event_id"].to_numpy()[is_p]
+        pu = g["u"].to_numpy()[is_p]
+        cand = prev[is_p]
+        has = cand >= 0
+        ct = np.where(has, g["t"].to_numpy()[np.maximum(cand, 0)], 0)
+        cid = np.where(has, g["event_id"].to_numpy()[np.maximum(cand, 0)], -1)
+        lag = pt - ct
+        ok = has & (lag <= _W_US)
+        return pd.DataFrame({
+            "purchase_id": pid,
+            "user_id": pu,
+            "click_id": np.where(ok, cid, -1).astype("int64"),
+            "lag_us": np.where(ok, lag, -1).astype("int64")})
+
+    out = (ev.map_batches(keyed, batch_format="pandas")
+           .groupby("__coarse").map_groups(
+               lambda g: fold(g.drop(columns=["__coarse"])),
+               batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+QUERIES.update({"q_attribution": q_attribution})
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the token frequency spectrum (corpus-health scalar)
+# ---------------------------------------------------------------------------
+def q_zipf_slope(sf_dir: str):
+    """OLS slope of ln(frequency) on ln(rank) over the corpus' top-200
+    tokens — natural text sits near the Zipf -1 line, and a corpus
+    whose slope drifts flat (boilerplate/templating) or steep
+    (vocabulary collapse) fails ingest QA (Zipf 1949; public method).
+    Per-batch token-count partials fold through one coarse shuffle
+    (vocab-bounded table); the top-200 cut is a Dataset sort+limit
+    with a total (n DESC, tok ASC) tiebreak so rank assignment is
+    deterministic on both engines.  The slope is computed from
+    centered sums in rank order; 200 same-magnitude float terms agree
+    with the oracle's regr_slope within ulps — 6 dp absorbs it (the
+    registry's bounded-float-fold convention)."""
+    import math
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        cnt: Counter = Counter()
+        for t in b["text"]:
+            cnt.update(ws_tokens(t or ""))
+        return pd.DataFrame({"tok": list(cnt.keys()),
+                             "n": np.fromiter(cnt.values(), dtype="int64")})
+
+    vocab = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                       ["tok"], {"n": ("n", "sum")})
+    top = (vocab.sort(["n", "tok"], descending=[True, False])
+           .limit(200).to_pandas())
+    top["n"] = top["n"].astype("int64")
+    k = len(top)
+    x = np.log(np.arange(1, k + 1, dtype="float64"))
+    y = np.log(top["n"].to_numpy("float64"))
+    mx, my = x.mean(), y.mean()
+    slope = float(((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum())
+    return pd.DataFrame({
+        "k": pd.array([k], dtype="int64"),
+        "n_top1": pd.array([int(top["n"].iloc[0])], dtype="int64"),
+        "n_top_last": pd.array([int(top["n"].iloc[-1])], dtype="int64"),
+        "zipf_slope": [float(_round_sql(slope, 6))]})
+
+
+QUERIES.update({"q_zipf_slope": q_zipf_slope})
+
+
+# ---------------------------------------------------------------------------
+# Per-source exact-duplicate share (ingest-QA ratio on content hashes)
+# ---------------------------------------------------------------------------
+def q_dup_ratio(sf_dir: str):
+    """Per-source exact-duplicate share: of each source's docs, how
+    many belong to a content-hash group of size > 1 WITHIN that source
+    — the scalar a crawl operator watches before paying for near-dup
+    passes (a source at 40% exact dups gets fixed upstream, not
+    MinHashed).  Two chained coarse folds: (source, md5) group sizes
+    (doc-cardinality in, hash-cardinality out, never on the driver),
+    then per-batch partials over the group-size table fold to one row
+    per source.  Only the 16-byte hashes ever shuffle — never text
+    (the q_dedup_exact posture)."""
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "h": [md5_hex(t or "") for t in b["text"]]})
+
+    groups = coarse_agg(docs.map_batches(hashed, batch_format="pandas"),
+                        ["source", "h"], {"c": ("h", "size")})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy("int64")
+        g = pd.DataFrame({"source": b["source"], "n_docs": c,
+                          "n_distinct": np.ones(len(b), dtype="int64"),
+                          "n_dup_docs": np.where(c > 1, c, 0)})
+        return g.groupby("source", as_index=False).sum()
+
+    out = coarse_agg(groups.map_batches(partial, batch_format="pandas"),
+                     ["source"], {"n_docs": ("n_docs", "sum"),
+                                  "n_distinct": ("n_distinct", "sum"),
+                                  "n_dup_docs": ("n_dup_docs", "sum")}
+                     ).to_pandas()
+    for c in ("n_docs", "n_distinct", "n_dup_docs"):
+        out[c] = out[c].astype("int64")
+    out["dup_ratio"] = [float(_round_sql(int(d) / int(n), 6))
+                        for d, n in zip(out["n_dup_docs"], out["n_docs"])]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+QUERIES.update({"q_dup_ratio": q_dup_ratio})
