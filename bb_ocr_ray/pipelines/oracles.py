@@ -3154,3 +3154,60 @@ ORACLES["q_dup_ratio"] = """
            round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_ratio
     FROM s ORDER BY 1
 """
+
+
+ORACLES["q_rolling_actives"] = """
+    WITH p AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    d AS (SELECT day, count(*) AS dau FROM p GROUP BY 1)
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST((SELECT count(DISTINCT p.u) FROM p
+                 WHERE p.day BETWEEN d.day - 6 AND d.day) AS BIGINT)
+               AS mau7
+    FROM d ORDER BY 1
+"""
+
+
+ORACLES["q_cohort_ltv"] = """
+    WITH s AS (SELECT CAST(user_id AS BIGINT) AS u,
+                      min(epoch_us(ts) // 604800000000) AS cohort_week
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type = 'signup' GROUP BY 1),
+    p AS (SELECT CAST(user_id AS BIGINT) AS u,
+                 epoch_us(ts) // 604800000000 AS week,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL AND event_type = 'purchase')
+    SELECT s.cohort_week, p.week - s.cohort_week AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+    FROM p JOIN s USING (u) GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLES["q_norm_bands"] = """
+    WITH n AS (SELECT round(sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * x))), 4) AS norm
+               FROM embeddings)
+    SELECT CAST(floor(norm * 10) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(norm) AS min_norm, max(norm) AS max_norm
+    FROM n GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_term_scan"] = """
+    WITH t AS (SELECT coalesce(text, '') AS x FROM documents),
+    terms(term) AS (VALUES ('table'), ('hash'), ('merge batch'),
+                           ('zzz-absent-term'))
+    SELECT terms.term,
+           CAST(count(*) FILTER (WHERE contains(t.x, terms.term))
+                AS BIGINT) AS n_docs,
+           CAST(sum((length(t.x) - length(replace(t.x, terms.term, '')))
+                    // length(terms.term)) AS BIGINT) AS n_occurrences
+    FROM terms CROSS JOIN t GROUP BY 1 ORDER BY 1
+"""

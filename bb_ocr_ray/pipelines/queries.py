@@ -8005,3 +8005,232 @@ def q_dup_ratio(sf_dir: str):
 
 
 QUERIES.update({"q_dup_ratio": q_dup_ratio})
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct actives (windowed COUNT DISTINCT without a window)
+# ---------------------------------------------------------------------------
+def q_rolling_actives(sf_dir: str):
+    """Rolling 7-day distinct active users per day (the WAU curve) —
+    windowed COUNT(DISTINCT) computed WITHOUT re-counting each user in
+    every window: a user active on day a covers days [a, a+6], so each
+    user's active-day set becomes a union of intervals (runs split
+    where consecutive active days gap by more than 7), each run emits
+    a +1/-1 boundary delta, and the per-day delta fold + driver cumsum
+    reconstructs the exact windowed distinct count — the classic
+    sweep-line / gaps-and-islands reduction (q_interval_coverage's
+    posture applied to a sliding window).  Traffic after the (u, day)
+    dedup is two delta rows per user-run; the delta and day tables are
+    |days|-bounded on the driver.  Output per ACTIVE day: that day's
+    DAU and the trailing-7-day distinct count."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    _US_PER_DAY = 86_400_000_000
+    n_buckets = _auto_num_buckets()
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "u": pd.to_numeric(b["user_id"]).astype("int64").to_numpy(),
+            "day": (us.to_numpy() // _US_PER_DAY).astype("int64")})
+
+    # materialize the deduped pairs ONCE: both the DAU fold and the
+    # run extraction consume them, and a lazy chain would re-execute
+    # the read+dedup per consumer (the heavy_hitters rescan finding)
+    pairs = coarse_agg(ev.map_batches(keyed, batch_format="pandas"),
+                       ["u", "day"], {"k": ("day", "size")}).materialize()
+    dau = coarse_agg(pairs, ["day"], {"dau": ("day", "size")}).to_pandas()
+
+    def runs(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["u", "day"], kind="mergesort")
+        u = g["u"].to_numpy("int64")
+        d = g["day"].to_numpy("int64")
+        new = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 7)]
+        starts = d[new]
+        last = np.r_[new[1:], True]          # last element of each run
+        ends = d[last] + 7                   # -1 lands at last_day + 7
+        return pd.DataFrame({
+            "day": np.concatenate([starts, ends]),
+            "delta": np.concatenate([np.ones(len(starts), dtype="int64"),
+                                     -np.ones(len(ends), dtype="int64")])})
+
+    # per-user runs need each user whole in one task: bucket on u
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__coarse"] = _bucket_ids(b, ["u"], n_buckets)
+        return b
+
+    deltas = coarse_agg(
+        pairs.map_batches(stamp, batch_format="pandas")
+        .groupby("__coarse").map_groups(
+            lambda g: runs(g.drop(columns=["__coarse"])),
+            batch_format="pandas"),
+        ["day"], {"delta": ("delta", "sum")}).to_pandas()
+    deltas = deltas.astype({"day": "int64", "delta": "int64"}
+                           ).sort_values("day")
+    dd = deltas["day"].to_numpy("int64")
+    cum = deltas["delta"].to_numpy("int64").cumsum()
+
+    out = dau.astype({"day": "int64", "dau": "int64"}
+                     ).sort_values("day").reset_index(drop=True)
+    idx = np.searchsorted(dd, out["day"].to_numpy("int64"), side="right")
+    out["mau7"] = cum[idx - 1].astype("int64")   # idx >= 1: day has its +1
+    return out
+
+
+QUERIES.update({"q_rolling_actives": q_rolling_actives})
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value (signup-week cohorts x purchase-week offsets)
+# ---------------------------------------------------------------------------
+def q_cohort_ltv(sf_dir: str):
+    """Cohort LTV: purchase revenue folded into (signup-week cohort,
+    week offset) cells — q_retention's matrix with money instead of
+    presence.  Week is integer epoch-day // 7 on both engines.  Plan:
+    per-user min signup week folds through one coarse shuffle
+    (user-cardinality, stays distributed), purchases key by user and
+    attach their cohort through the bucketed hash_join (users without
+    a signup drop — inner), then one aggregate-sized fold sums exact
+    integer cents per cell.  Offsets can be negative (purchases before
+    the first recorded signup) and are reported as such."""
+    from bb_ocr_ray.stages.joins import hash_join
+
+    _US_PER_WEEK = 7 * 86_400_000_000
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_type", "value"])
+
+    def keyed(kind):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.dropna(subset=["user_id", "ts"])
+            b = b[b["event_type"] == kind]
+            if kind == "purchase":
+                b = b.dropna(subset=["value"])
+            us = b["ts"].astype("datetime64[us]").astype("int64")
+            out = pd.DataFrame({
+                "u": pd.to_numeric(b["user_id"]).astype("int64").to_numpy(),
+                "week": (us.to_numpy() // _US_PER_WEEK).astype("int64")})
+            if kind == "purchase":
+                out["cents"] = np.rint(
+                    b["value"].to_numpy("float64") * 100).astype("int64")
+            return out
+        return fn
+
+    cohorts = coarse_agg(
+        ev.map_batches(keyed("signup"), batch_format="pandas"),
+        ["u"], {"cohort_week": ("week", "min")})
+    buys = ev.map_batches(keyed("purchase"), batch_format="pandas")
+    joined = hash_join(buys, cohorts, on="u")
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "cohort_week": b["cohort_week"].astype("int64"),
+            "week_offset": (b["week"].astype("int64")
+                            - b["cohort_week"].astype("int64")),
+            "n_purchases": np.ones(len(b), dtype="int64"),
+            "revenue_cents": b["cents"].astype("int64")})
+        return g.groupby(["cohort_week", "week_offset"],
+                         as_index=False).sum()
+
+    out = coarse_agg(joined.map_batches(cells, batch_format="pandas"),
+                     ["cohort_week", "week_offset"],
+                     {"n_purchases": ("n_purchases", "sum"),
+                      "revenue_cents": ("revenue_cents", "sum")}).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_cohort_ltv": q_cohort_ltv})
+
+
+# ---------------------------------------------------------------------------
+# Embedding L2-norm bands (vector-ingest QA)
+# ---------------------------------------------------------------------------
+def q_norm_bands(sf_dir: str):
+    """L2-norm distribution of the embedding column in 0.1-wide bands
+    — the vector-ingest QA histogram (un-normalized or zero vectors
+    land in the wrong band and fail the gate before any ANN index is
+    built).  Pure map + one aggregate-sized fold; the float32 values
+    widen to float64 BEFORE squaring on both engines, and the norm is
+    rounded to 4 dp before banding so the ulp-level difference between
+    numpy's pairwise and SQL's sequential summation (~1e-12) can never
+    flip a band edge (band width 0.1 >> 5e-5 grain).  Output per band:
+    count and the rounded min/max norm (rounding is monotone, so
+    min/max commute with it)."""
+    emb = _read_parquet(_t(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding"])
+
+    def bands(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray([np.asarray(e, dtype="float64") for e in
+                        b["embedding"]])
+        norm = _round_sql(np.sqrt((X * X).sum(axis=1)), 4)
+        g = pd.DataFrame({
+            "band": np.floor(norm * 10).astype("int64"),
+            "n_vecs": np.ones(len(b), dtype="int64"),
+            "min_norm": norm, "max_norm": norm})
+        return g.groupby("band", as_index=False).agg(
+            n_vecs=("n_vecs", "sum"), min_norm=("min_norm", "min"),
+            max_norm=("max_norm", "max"))
+
+    out = coarse_agg(emb.map_batches(bands, batch_format="pandas"),
+                     ["band"], {"n_vecs": ("n_vecs", "sum"),
+                                "min_norm": ("min_norm", "min"),
+                                "max_norm": ("max_norm", "max")}).to_pandas()
+    out["band"] = out["band"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    return out.sort_values("band").reset_index(drop=True)
+
+
+QUERIES.update({"q_norm_bands": q_norm_bands})
+
+
+# ---------------------------------------------------------------------------
+# Brand-safety / blocklist term scan (broadcast patterns, zero shuffle)
+# ---------------------------------------------------------------------------
+_TERM_SCAN_PATTERNS = ("table", "hash", "merge batch", "zzz-absent-term")
+
+
+def q_term_scan(sf_dir: str):
+    """Literal multi-term scan over the corpus — the brand-safety /
+    blocklist counter every content pipeline runs (a tiny pattern list
+    against every document).  The pattern list broadcasts by closure
+    (bytes-sized); each batch counts NON-OVERLAPPING occurrences with
+    vectorized ``Series.str.count`` on regex-escaped patterns —
+    identical semantics to Python ``str.count`` and to the oracle's
+    (len(text) - len(replace(text, pat, ''))) / len(pat) identity.
+    Zero shuffles: per-batch partials are <= |patterns| rows and fold
+    through one aggregate-sized coarse_agg.  Terms absent from the
+    corpus still emit a zero row (the driver completes the pattern
+    grid), so a clean corpus yields an all-zero report, not an empty
+    one."""
+    import re
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        recs = []
+        for pat in _TERM_SCAN_PATTERNS:
+            c = t.str.count(re.escape(pat)).to_numpy("int64")
+            recs.append({"term": pat,
+                         "n_docs": int((c > 0).sum()),
+                         "n_occurrences": int(c.sum())})
+        return pd.DataFrame(recs)
+
+    out = coarse_agg(docs.map_batches(scan, batch_format="pandas"),
+                     ["term"], {"n_docs": ("n_docs", "sum"),
+                                "n_occurrences": ("n_occurrences", "sum")}
+                     ).to_pandas()
+    grid = pd.DataFrame({"term": list(_TERM_SCAN_PATTERNS)})
+    out = grid.merge(out, on="term", how="left").fillna(0)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
+QUERIES.update({"q_term_scan": q_term_scan})
