@@ -3211,3 +3211,64 @@ ORACLES["q_term_scan"] = """
                     // length(terms.term)) AS BIGINT) AS n_occurrences
     FROM terms CROSS JOIN t GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["q_vocab_growth"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    f AS (SELECT tok, min(doc_id) AS fd FROM pc GROUP BY 1),
+    b AS (SELECT CASE WHEN fd = 0 THEN 0
+                 ELSE CAST(floor(log2(CAST(fd AS DOUBLE))) AS BIGINT) + 1
+                 END AS k, count(*) AS n
+          FROM f GROUP BY 1),
+    grid AS (SELECT unnest(generate_series(0, (SELECT max(k) FROM b)))
+                 AS k)
+    SELECT grid.k, CAST(coalesce(b.n, 0) AS BIGINT) AS new_tokens,
+           CAST(sum(coalesce(b.n, 0)) OVER (ORDER BY grid.k) AS BIGINT)
+               AS vocab
+    FROM grid LEFT JOIN b USING (k) ORDER BY 1
+"""
+
+
+ORACLES["q_shard_balance"] = f"""
+    WITH d AS (SELECT {_DOMAIN} AS domain FROM documents),
+    pd AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY 1)
+    SELECT CAST(md5_number_upper(domain) % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_domains,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs
+    FROM pd GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_dup_cluster_sizes"] = """
+    WITH h AS (SELECT md5(substr(coalesce(text, ''), 1, 64)) AS h,
+                      count(*) AS c
+               FROM documents GROUP BY 1)
+    SELECT CAST(c AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(c * count(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY c ORDER BY 1
+"""
+
+
+ORACLES["q_rfm"] = """
+    WITH p AS (SELECT CAST(user_id AS BIGINT) AS u,
+                      epoch_us(ts) // 86400000000 AS day,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND value IS NOT NULL AND event_type = 'purchase'),
+    pu AS (SELECT u, max(day) AS last_day, count(*) AS f,
+                  CAST(sum(cents) AS BIGINT) AS cents
+           FROM p GROUP BY 1),
+    band AS (SELECT ((SELECT max(day) FROM p) - last_day) // 7 AS r_band,
+                    CAST(floor(log2(CAST(f AS DOUBLE))) AS BIGINT) + 1
+                        AS f_band,
+                    CASE WHEN cents // 100 = 0 THEN 0
+                         ELSE CAST(floor(log2(CAST(cents // 100
+                                                   AS DOUBLE)))
+                                   AS BIGINT) + 1 END AS m_band
+             FROM pu)
+    SELECT r_band, f_band, m_band, CAST(count(*) AS BIGINT) AS n_users
+    FROM band GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""

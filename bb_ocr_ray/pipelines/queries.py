@@ -8234,3 +8234,195 @@ def q_term_scan(sf_dir: str):
 
 
 QUERIES.update({"q_term_scan": q_term_scan})
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve (corpus-health QA)
+# ---------------------------------------------------------------------------
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary size after each power-of-two doc_id prefix — the
+    Heaps'-law growth curve (Heaps 1978, public method): natural
+    corpora grow vocab ~ n^beta with beta<1, and a curve that goes
+    flat (template spam) or linear (random noise/IDs) fails ingest QA.
+    One pass: per-token FIRST doc_id folds through one coarse shuffle
+    (vocab-bounded), collapses to a <=64-row histogram keyed by
+    bit_length(first_doc_id) — token t is new in prefix 2^k exactly
+    when k = bit_length(first) — and the driver cumsums.  Exact
+    integers everywhere; doc_id 0 lands in bin 0 on both engines
+    (oracle: floor(log2(fd))+1 is exact for all int64 because powers
+    of two are exactly representable doubles)."""
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        first: dict = {}
+        for did, t in zip(b["doc_id"].to_numpy("int64"), b["text"]):
+            for tok in ws_tokens(t or ""):
+                if tok not in first or did < first[tok]:
+                    first[tok] = did
+        return pd.DataFrame({"tok": list(first.keys()),
+                             "fd": np.fromiter(first.values(),
+                                               dtype="int64")})
+
+    firsts = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                        ["tok"], {"fd": ("fd", "min")})
+
+    def bins(b: pd.DataFrame) -> pd.DataFrame:
+        k = np.array([int(x).bit_length() for x in b["fd"]], dtype="int64")
+        return (pd.DataFrame({"k": k, "n": np.ones(len(b), dtype="int64")})
+                .groupby("k", as_index=False).sum())
+
+    hist = coarse_agg(firsts.map_batches(bins, batch_format="pandas"),
+                      ["k"], {"n": ("n", "sum")}).to_pandas()
+    hist = hist.astype({"k": "int64", "n": "int64"}).sort_values("k")
+    ks = np.arange(int(hist["k"].max()) + 1, dtype="int64")
+    new = np.zeros(len(ks), dtype="int64")
+    new[hist["k"].to_numpy()] = hist["n"].to_numpy()
+    return pd.DataFrame({"k": ks,
+                         "new_tokens": new,
+                         "vocab": new.cumsum().astype("int64")})
+
+
+QUERIES.update({"q_vocab_growth": q_vocab_growth})
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash crawler shard balance (hot-domain skew QA)
+# ---------------------------------------------------------------------------
+def q_shard_balance(sf_dir: str, n_shards: int = 8):
+    """Crawler shard assignment audit: domains consistent-hash to
+    ``n_shards`` fetcher shards (stable md5 so a shard roster change
+    never remaps everything — the public Karger consistent-hashing
+    motivation), and the report shows per-shard domain and DOC counts.
+    Domains derive from the corpus URL template (hot.example.com takes
+    30% of docs), so one shard inherits the hot domain and the doc
+    imbalance is visible even though DOMAIN counts are balanced —
+    exactly the skew a per-domain-sharded fetcher must see before it
+    ships.  Zero shuffles on rows: per-batch (shard, domain) count
+    partials fold through one aggregate-sized coarse_agg."""
+    from bb_ocr_ray.functions.hashing import stable_u64
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        m = d % 10
+        doms = np.where(m < 3, "hot.example.com",
+                        np.char.add(np.char.add(
+                            "site", m.astype("U2")), ".example.com"))
+        g = (pd.DataFrame({"domain": doms, "n_docs": 1})
+             .groupby("domain", as_index=False).sum())
+        g["shard"] = [stable_u64(x) % n_shards for x in g["domain"]]
+        return g[["shard", "domain", "n_docs"]]
+
+    per_dom = coarse_agg(docs.map_batches(assign, batch_format="pandas"),
+                         ["shard", "domain"], {"n_docs": ("n_docs", "sum")})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"shard": b["shard"].astype("int64"),
+                          "n_domains": np.ones(len(b), dtype="int64"),
+                          "n_docs": b["n_docs"].astype("int64")})
+        return g.groupby("shard", as_index=False).sum()
+
+    out = coarse_agg(per_dom.map_batches(fold, batch_format="pandas"),
+                     ["shard"], {"n_domains": ("n_domains", "sum"),
+                                 "n_docs": ("n_docs", "sum")}).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+QUERIES.update({"q_shard_balance": q_shard_balance})
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram (dedup planning QA)
+# ---------------------------------------------------------------------------
+def q_dup_cluster_sizes(sf_dir: str):
+    """Histogram of PREFIX-fingerprint cluster sizes — docs clustered
+    by the md5 of their first 64 characters, the cheap template
+    detector a crawl runs before committing to a full dedup pass
+    (boilerplate-led pages share lead bytes long before they share
+    bodies; a few million-member clusters mean the hot-key dedup path
+    is needed).  Two chained hash-only folds: (md5 -> cluster size)
+    is hash-cardinality and stays distributed; (size -> n_clusters)
+    is value-bounded.  Only 16-byte hashes shuffle, never text
+    (q_dedup_exact posture)."""
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    clusters = coarse_agg(
+        docs.map_batches(
+            lambda b: pd.DataFrame({"h": [md5_hex((t or "")[:64])
+                                          for t in b["text"]]}),
+            batch_format="pandas"),
+        ["h"], {"c": ("h", "size")})
+    out = coarse_agg(clusters, ["c"],
+                     {"n_clusters": ("c", "size")}).to_pandas()
+    out = out.rename(columns={"c": "cluster_size"})
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    out["n_docs"] = (out["cluster_size"] * out["n_clusters"]).astype("int64")
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+QUERIES.update({"q_dup_cluster_sizes": q_dup_cluster_sizes})
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary cells)
+# ---------------------------------------------------------------------------
+def q_rfm(sf_dir: str):
+    """RFM segmentation of purchasers — users bucketed by Recency
+    (weeks since last purchase, relative to the corpus' last purchase
+    day), Frequency (bit_length of purchase count) and Monetary
+    (bit_length of whole-dollar total), with user counts per cell —
+    the classic direct-marketing segmentation (Hughes 1994; public
+    method) on FIXED integer bands so both engines bucket exactly.
+    Plan: purchases key once and materialize (three consumers — the
+    global-max scalar, the per-user fold, the cells — must not re-read
+    parquet); per-user (last_day, n, cents) folds through one coarse
+    shuffle (user-cardinality, stays distributed); banding is a map;
+    the cell fold is aggregate-sized."""
+    _US_PER_DAY = 86_400_000_000
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_type", "value"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts", "value"])
+        b = b[b["event_type"] == "purchase"]
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "u": pd.to_numeric(b["user_id"]).astype("int64").to_numpy(),
+            "day": (us.to_numpy() // _US_PER_DAY).astype("int64"),
+            "cents": np.rint(b["value"].to_numpy("float64")
+                             * 100).astype("int64"),
+            "one": np.ones(len(b), dtype="int64")})
+
+    buys = ev.map_batches(keyed, batch_format="pandas").materialize()
+    max_day = int(buys.max("day"))
+    per_user = coarse_agg(buys, ["u"], {"last_day": ("day", "max"),
+                                        "f": ("one", "sum"),
+                                        "cents": ("cents", "sum")})
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        r = ((max_day - b["last_day"].astype("int64")) // 7).astype("int64")
+        f = np.array([int(x).bit_length() for x in b["f"]], dtype="int64")
+        m = np.array([(int(x) // 100).bit_length() for x in b["cents"]],
+                     dtype="int64")
+        g = pd.DataFrame({"r_band": r, "f_band": f, "m_band": m,
+                          "n_users": np.ones(len(b), dtype="int64")})
+        return g.groupby(["r_band", "f_band", "m_band"],
+                         as_index=False).sum()
+
+    out = coarse_agg(per_user.map_batches(cells, batch_format="pandas"),
+                     ["r_band", "f_band", "m_band"],
+                     {"n_users": ("n_users", "sum")}).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["r_band", "f_band", "m_band"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({"q_rfm": q_rfm})
