@@ -3272,3 +3272,64 @@ ORACLES["q_rfm"] = """
     SELECT r_band, f_band, m_band, CAST(count(*) AS BIGINT) AS n_users
     FROM band GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+ORACLES["q_streak"] = """
+    WITH p AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    r AS (SELECT u, day,
+                 day - row_number() OVER (PARTITION BY u ORDER BY day)
+                     AS grp
+          FROM p),
+    runs AS (SELECT u, count(*) AS len FROM r GROUP BY u, grp),
+    mx AS (SELECT u, max(len) AS streak FROM runs GROUP BY u)
+    SELECT CAST(streak AS BIGINT) AS streak,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM mx GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_burst_peak"] = """
+    WITH e AS (SELECT event_type, ts FROM events WHERE ts IS NOT NULL),
+    c AS (SELECT x.event_type,
+                 epoch_us(x.ts) // 86400000000 AS day,
+                 count(*) AS c
+          FROM e x JOIN e y
+            ON y.event_type = x.event_type
+           AND y.ts >= x.ts - INTERVAL 1 HOUR AND y.ts <= x.ts
+          GROUP BY x.event_type, x.ts, day),
+    m AS (SELECT event_type, max(c) AS peak FROM c GROUP BY 1)
+    SELECT m.event_type, CAST(m.peak AS BIGINT) AS peak,
+           CAST(min(c.day) AS BIGINT) AS peak_day
+    FROM m JOIN c ON c.event_type = m.event_type AND c.c = m.peak
+    GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+ORACLES["q_anomaly_days"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    s AS (SELECT avg(CAST(n AS DOUBLE)) AS m,
+                 stddev_pop(CAST(n AS DOUBLE)) AS sd
+          FROM d)
+    SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_events,
+           round((n - m) / sd, 6) AS z
+    FROM d, s
+    WHERE sd > 0 AND abs(round((n - m) / sd, 6)) >= 2
+    ORDER BY day
+"""
+
+
+ORACLES["q_autocorr"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    l AS (SELECT n, lead(n) OVER (ORDER BY day) AS n1 FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(CAST(n AS DOUBLE), CAST(n1 AS DOUBLE)), 6)
+               AS autocorr
+    FROM l WHERE n1 IS NOT NULL
+"""

@@ -8426,3 +8426,219 @@ def q_rfm(sf_dir: str):
 
 
 QUERIES.update({"q_rfm": q_rfm})
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day streak histogram (gaps-and-islands engagement QA)
+# ---------------------------------------------------------------------------
+def q_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user, reported as a
+    bounded histogram (streak length -> user count) — the classic
+    gaps-and-islands engagement statistic.  Plan: per-batch distinct
+    (user, day) partial -> ONE coarse shuffle on user (every user's
+    full day set lands in one bucket) -> vectorized island detection
+    across ALL users in the bucket at once (run ids from a
+    consecutive-day mask, run lengths via bincount, per-user max) ->
+    a streak-length-bounded histogram fold.  Nothing user-cardinality
+    ever sits on the driver; the only all-to-all moves distinct
+    (user, day) int64 pairs."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    nb = _auto_num_buckets()
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        g = pd.DataFrame({
+            "u": b["user_id"].astype("int64").to_numpy(),
+            "day": (b["ts"].astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000)}).drop_duplicates()
+        g["__coarse"] = _bucket_ids(g, ["u"], nb)
+        return g
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["u", "day"])
+             .sort_values(["u", "day"], kind="mergesort"))
+        u = g["u"].to_numpy("int64")
+        d = g["day"].to_numpy("int64")
+        if len(u) == 0:
+            return pd.DataFrame({"streak": pd.Series([], dtype="int64"),
+                                 "n_users": pd.Series([], dtype="int64")})
+        # a new run starts at any row that is not exactly +1 day of the
+        # SAME user's previous row
+        consec = np.concatenate(
+            [[False], (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)])
+        run_id = np.cumsum(~consec) - 1
+        run_len = np.bincount(run_id)
+        run_user = u[np.concatenate([[True], run_id[1:] != run_id[:-1]])]
+        per_user = (pd.DataFrame({"u": run_user, "len": run_len})
+                    .groupby("u")["len"].max())
+        hist = per_user.value_counts().sort_index()
+        return pd.DataFrame({"streak": hist.index.to_numpy("int64"),
+                             "n_users": hist.to_numpy("int64")})
+
+    folded = (ev.map_batches(pairs, batch_format="pandas")
+              .groupby("__coarse").map_groups(bucket, batch_format="pandas"))
+    out = coarse_agg(folded, ["streak"],
+                     {"n_users": ("n_users", "sum")}).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("streak").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Peak 1h sliding-window event rate per type (burst detection)
+# ---------------------------------------------------------------------------
+def q_burst_peak(sf_dir: str):
+    """Per event_type: the PEAK number of events inside any backward
+    1-hour window anchored at an event ([ts-1h, ts] inclusive), plus
+    the earliest day that peak occurs — the traffic-burst /
+    rate-limit QA statistic.  Scale shape: windows never cross more
+    than one day boundary, so each event lands in its own
+    (type, day) bucket as an anchor AND events in a day's final hour
+    are replicated into the NEXT day's bucket as context-only rows
+    (anchor=0).  One coarse shuffle on (type, day); in-bucket counts
+    are two vectorized searchsorted calls over the bucket's sorted
+    microsecond stamps; the per-(type, day) maxima then fold into a
+    type-bounded table.  No self-join, no per-row loops, exact
+    integer microsecond arithmetic throughout."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    _H = 3_600_000_000            # 1h in us
+    _D = 86_400_000_000           # 1 day in us
+    nb = _auto_num_buckets()
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "ts"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["ts"])
+        us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = us // _D
+        et = b["event_type"].to_numpy()
+        own = pd.DataFrame({"et": et, "day": day, "us": us,
+                            "anchor": np.ones(len(us), dtype="int64")})
+        tail = us - day * _D >= _D - _H      # final hour of the day
+        rep = pd.DataFrame({"et": et[tail], "day": day[tail] + 1,
+                            "us": us[tail],
+                            "anchor": np.zeros(int(tail.sum()),
+                                               dtype="int64")})
+        g = pd.concat([own, rep], ignore_index=True)
+        g["__coarse"] = _bucket_ids(g, ["et", "day"], nb)
+        return g
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (et, day), sub in g.groupby(["et", "day"], sort=False):
+            hay = np.sort(sub["us"].to_numpy("int64"))
+            anch = sub.loc[sub["anchor"] == 1, "us"].to_numpy("int64")
+            if len(anch) == 0:
+                continue
+            c = (np.searchsorted(hay, anch, side="right")
+                 - np.searchsorted(hay, anch - _H, side="left"))
+            outs.append((et, int(day), int(c.max())))
+        if not outs:
+            return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                                 "day": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        return pd.DataFrame(outs, columns=["event_type", "day", "c"])
+
+    per_day = (ev.map_batches(stamp, batch_format="pandas")
+               .groupby("__coarse").map_groups(bucket,
+                                               batch_format="pandas"))
+    # type-bounded: max peak, then earliest day achieving it
+    days = per_day.to_pandas()
+    days["c"] = days["c"].astype("int64")
+    days["day"] = days["day"].astype("int64")
+    peak = days.groupby("event_type")["c"].max().rename("peak")
+    m = days.merge(peak, on="event_type")
+    m = m[m["c"] == m["peak"]]
+    out = (m.groupby("event_type", as_index=False)
+           .agg(peak=("peak", "max"), peak_day=("day", "min")))
+    out["peak"] = out["peak"].astype("int64")
+    out["peak_day"] = out["peak_day"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Anomalous-day detection (z-score on the daily count series)
+# ---------------------------------------------------------------------------
+def q_anomaly_days(sf_dir: str):
+    """Days whose total event count sits >= 2 population-z from the
+    mean of the daily series — the ingest-volume anomaly monitor.
+    The corpus folds to a day-bounded count table (per-batch day
+    partials -> one coarse shuffle); mean/std and the z-scores are
+    computed on that bounded series.  Membership is decided on the
+    ROUNDED z (6 dp) on both engines so a float near-tie at the
+    threshold cannot flip set membership (the q_hybrid_rrf
+    convention)."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["ts"])
+        d = (b["ts"].astype("datetime64[us]").astype("int64")
+             // 86_400_000_000)
+        vc = pd.Series(d).value_counts()
+        return pd.DataFrame({"day": vc.index.to_numpy("int64"),
+                             "n_events": vc.to_numpy("int64")})
+
+    t = coarse_agg(ev.map_batches(days, batch_format="pandas"),
+                   ["day"], {"n_events": ("n_events", "sum")}).to_pandas()
+    t["day"] = t["day"].astype("int64")
+    t["n_events"] = t["n_events"].astype("int64")
+    n = t["n_events"].to_numpy("float64")
+    mean = float(n.mean())
+    sd = float(n.std(ddof=0))
+    if sd == 0.0:
+        return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                             "n_events": pd.Series([], dtype="int64"),
+                             "z": pd.Series([], dtype="float64")})
+    t["z"] = [float(_round_sql((x - mean) / sd, 6)) for x in n]
+    out = t[t["z"].abs() >= 2.0][["day", "n_events", "z"]]
+    return out.sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily count series (drift/seasonality QA)
+# ---------------------------------------------------------------------------
+def q_autocorr(sf_dir: str):
+    """Lag-1 Pearson autocorrelation of the daily event-count series
+    (observed days in day order) — near-zero for a homogeneous
+    synthetic stream, strongly positive under weekly seasonality or
+    ramp-up, the one-scalar drift companion to q_ks_test.  The corpus
+    folds to the day-bounded count table through one coarse shuffle;
+    the correlation itself is a bounded-series computation
+    (correlation is scale-invariant, so the sample/population ddof
+    choice cancels; 6 dp absorbs summation-order ulps)."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["ts"])
+        d = (b["ts"].astype("datetime64[us]").astype("int64")
+             // 86_400_000_000)
+        vc = pd.Series(d).value_counts()
+        return pd.DataFrame({"day": vc.index.to_numpy("int64"),
+                             "n": vc.to_numpy("int64")})
+
+    t = coarse_agg(ev.map_batches(days, batch_format="pandas"),
+                   ["day"], {"n": ("n", "sum")}).to_pandas()
+    t = t.sort_values("day").reset_index(drop=True)
+    n = t["n"].to_numpy("float64")
+    x, y = n[:-1], n[1:]
+    n_pairs = len(x)
+    if n_pairs < 2 or x.std() == 0.0 or y.std() == 0.0:
+        ac = float("nan")
+    else:
+        ac = float(np.corrcoef(x, y)[0, 1])
+    return pd.DataFrame({
+        "n_pairs": pd.array([n_pairs], dtype="int64"),
+        "autocorr": [float(_round_sql(ac, 6))]})
+
+
+QUERIES.update({
+    "q_streak": q_streak,
+    "q_burst_peak": q_burst_peak,
+    "q_anomaly_days": q_anomaly_days,
+    "q_autocorr": q_autocorr,
+})
