@@ -3333,3 +3333,75 @@ ORACLES["q_autocorr"] = """
                AS autocorr
     FROM l WHERE n1 IS NOT NULL
 """
+
+
+ORACLES["q_bpe_pairs"] = f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    pc AS (SELECT unnest(tk) AS tok FROM toks),
+    pr AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair
+           FROM (SELECT tok, unnest(range(1, length(tok))) AS i
+                 FROM pc)),
+    cnt AS (SELECT pair, count(*) AS n FROM pr GROUP BY 1)
+    SELECT pair, CAST(n AS BIGINT) AS n FROM cnt
+    ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+ORACLES["q_hapax"] = f"""
+    WITH toks AS (SELECT source, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT source, unnest(tk) AS tok FROM toks),
+    cnt AS (SELECT source, tok, count(*) AS n FROM pc GROUP BY 1, 2)
+    SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+           round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_ratio
+    FROM cnt GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_js_divergence"] = f"""
+    WITH toks AS (SELECT source, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT source, unnest(tk) AS tok FROM toks),
+    cnt AS (SELECT source, tok, count(*) AS n FROM pc GROUP BY 1, 2),
+    tot AS (SELECT source, sum(n) AS t FROM cnt GROUP BY 1),
+    p AS (SELECT c.source, c.tok, CAST(c.n AS DOUBLE) / t.t AS p
+          FROM cnt c JOIN tot t USING (source)),
+    srcs AS (SELECT DISTINCT source FROM cnt),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    vocab AS (SELECT DISTINCT tok FROM cnt),
+    u AS (SELECT pr.src_a, pr.src_b,
+                 coalesce(x.p, 0) AS px, coalesce(y.p, 0) AS py
+          FROM pairs pr
+          CROSS JOIN vocab tk
+          LEFT JOIN p x ON x.source = pr.src_a AND x.tok = tk.tok
+          LEFT JOIN p y ON y.source = pr.src_b AND y.tok = tk.tok
+          WHERE coalesce(x.p, 0) + coalesce(y.p, 0) > 0)
+    SELECT src_a, src_b,
+           round(sum(
+               CASE WHEN px > 0
+                    THEN px * ln(2 * px / (px + py)) ELSE 0 END
+               + CASE WHEN py > 0
+                      THEN py * ln(2 * py / (px + py)) ELSE 0 END)
+               / 2 / ln(2), 6) AS js
+    FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLES["q_char_trigrams"] = """
+    WITH s AS (SELECT lang,
+                      regexp_replace(lower(coalesce(text, '')),
+                                     '[ \t\n\r\f\v]+', ' ', 'g') AS s
+               FROM documents),
+    tri AS (SELECT lang, substr(s, CAST(i AS INT), 3) AS tri
+            FROM (SELECT lang, s, unnest(range(1, length(s) - 1)) AS i
+                  FROM s)),
+    cnt AS (SELECT lang, tri, count(*) AS n FROM tri GROUP BY 1, 2),
+    rk AS (SELECT lang, tri, n,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, tri) AS r
+           FROM cnt)
+    SELECT lang, tri, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS rank
+    FROM rk WHERE r <= 10 ORDER BY lang, rank
+"""

@@ -8642,3 +8642,238 @@ QUERIES.update({
     "q_anomaly_days": q_anomaly_days,
     "q_autocorr": q_autocorr,
 })
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate table (top adjacent char pairs inside tokens)
+# ---------------------------------------------------------------------------
+def q_bpe_pairs(sf_dir: str):
+    """Top-20 adjacent character pairs inside tokens, weighted by token
+    occurrence — the candidate table of the FIRST byte-pair-encoding
+    merge step (Sennrich, Haddow & Birch, ACL 2016; public method).
+    Per-batch partial: token occurrences are counted once (Counter),
+    each DISTINCT token's pair multiset is derived once and scaled by
+    its count (natural-text vocabularies are Zipfian, so the memo
+    collapses almost all per-occurrence work); the shuffle then moves
+    a pair-vocabulary-bounded (pair, n) table through one coarse
+    fold.  Total (n desc, pair asc) tiebreak."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        occ: Counter = Counter()
+        for t in b["text"]:
+            occ.update(ws_tokens(t or ""))
+        pairs: Counter = Counter()
+        for tok, c in occ.items():
+            for i in range(len(tok) - 1):
+                pairs[tok[i:i + 2]] += c
+        return pd.DataFrame({"pair": list(pairs.keys()),
+                             "n": np.fromiter(pairs.values(),
+                                              dtype="int64")})
+
+    folded = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                        ["pair"], {"n": ("n", "sum")})
+    out = (folded.sort(["n", "pair"], descending=[True, False])
+           .limit(20).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-source hapax legomena ratio (vocabulary-health ingest QA)
+# ---------------------------------------------------------------------------
+def q_hapax(sf_dir: str):
+    """Per-source vocabulary size, hapax-legomena count (tokens seen
+    exactly once in that source) and hapax ratio — the vocabulary-
+    health QA metric: natural text runs ~40-60% hapax, templated or
+    deduplicated-to-death corpora collapse toward 0 (Baayen's word
+    frequency distributions; public method).  Two bounded folds: a
+    (source, token)-keyed count fold (vocab x source bounded), then a
+    source-bounded summary fold; raw token streams never shuffle."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for s, t in zip(b["source"], b["text"]):
+            for tok in ws_tokens(t or ""):
+                cnt[(s, tok)] += 1
+        if not cnt:
+            return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                                 "tok": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        ks = list(cnt.keys())
+        return pd.DataFrame({"source": [k[0] for k in ks],
+                             "tok": [k[1] for k in ks],
+                             "n": np.fromiter(cnt.values(), dtype="int64")})
+
+    cnt = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                     ["source", "tok"], {"n": ("n", "sum")})
+
+    def summ(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "vocab": np.ones(len(b), dtype="int64"),
+            "hapax": (b["n"].astype("int64") == 1).astype("int64")})
+
+    out = coarse_agg(cnt.map_batches(summ, batch_format="pandas"),
+                     ["source"], {"vocab": ("vocab", "sum"),
+                                  "hapax": ("hapax", "sum")}).to_pandas()
+    out["vocab"] = out["vocab"].astype("int64")
+    out["hapax"] = out["hapax"].astype("int64")
+    out["hapax_ratio"] = [
+        float(_round_sql(h / v, 6))
+        for h, v in zip(out["hapax"], out["vocab"])]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source-distribution Jensen-Shannon divergence (mixture drift QA)
+# ---------------------------------------------------------------------------
+def q_js_divergence(sf_dir: str):
+    """Jensen-Shannon divergence (bits) between every pair of sources'
+    unigram distributions — the standard corpus-mixture drift monitor
+    (Lin 1991; public method).  Scale shape: ONE (source, token) count
+    fold; per-source totals are a source-bounded table shipped as a
+    closure constant; the pairwise term sums accumulate inside a
+    token-keyed bucket fold (each token's full source row lands in one
+    bucket, where all C(S,2) pair contributions for that token are
+    computed from a local pivot) and fold to a pairs-bounded table.
+    The corpus shuffles token COUNTS exactly once; nothing
+    vocabulary-sized touches the driver.  6 dp absorbs the
+    summation-order ulps of the float term fold."""
+    import math
+
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    nb = _auto_num_buckets()
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for s, t in zip(b["source"], b["text"]):
+            for tok in ws_tokens(t or ""):
+                cnt[(s, tok)] += 1
+        ks = list(cnt.keys())
+        return pd.DataFrame({"source": [k[0] for k in ks],
+                             "tok": [k[1] for k in ks],
+                             "n": np.fromiter(cnt.values(), dtype="int64")})
+
+    cnt = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                     ["source", "tok"], {"n": ("n", "sum")}).materialize()
+
+    totals = coarse_agg(cnt, ["source"], {"t": ("n", "sum")}).to_pandas()
+    tot = {s: int(t) for s, t in zip(totals["source"], totals["t"])}
+    srcs = sorted(tot)
+    prs = [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__coarse"] = _bucket_ids(b, ["tok"], nb)
+        return b
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pv = g.pivot_table(index="tok", columns="source", values="n",
+                           aggfunc="sum", fill_value=0)
+        p = {s: (pv[s].to_numpy("float64") / tot[s]
+                 if s in pv.columns
+                 else np.zeros(len(pv))) for s in srcs}
+        rows = []
+        for sa, sb in prs:
+            px, py = p[sa], p[sb]
+            m = (px + py) / 2.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                term = (np.where(px > 0, px * np.log(px / m), 0.0)
+                        + np.where(py > 0, py * np.log(py / m), 0.0))
+            rows.append((sa, sb, float(term.sum())))
+        return pd.DataFrame(rows, columns=["src_a", "src_b", "part"])
+
+    parts = (cnt.map_batches(stamp, batch_format="pandas")
+             .groupby("__coarse").map_groups(bucket, batch_format="pandas"))
+    out = coarse_agg(parts, ["src_a", "src_b"],
+                     {"part": ("part", "sum")}).to_pandas()
+    out["js"] = [float(_round_sql(x / 2.0 / math.log(2.0), 6))
+                 for x in out["part"]]
+    return (out[["src_a", "src_b", "js"]]
+            .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Per-language char-trigram profile (the langid profile builder)
+# ---------------------------------------------------------------------------
+def q_char_trigrams(sf_dir: str):
+    """Top-10 character trigrams per language over the lowercased,
+    whitespace-collapsed text — the n-gram language-profile builder
+    of Cavnar & Trenkle (1994; public method), the training half of
+    q_langid's classifier.  Vectorized and unicode-exact: each doc's
+    codepoints come from one utf-32 reinterpret (no per-char Python),
+    trigram windows never cross documents, and windows pack into one
+    int64 (3 x 21-bit codepoints) so the shuffle moves a
+    trigram-vocabulary-bounded (lang, code, n) table through one
+    coarse fold.  Ranking ties break on the decoded STRING (codepoint
+    order == UTF-8 binary order, so both engines agree)."""
+    import re
+
+    _WS = re.compile(r"[ \t\n\r\f\v]+")
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        per_lang: dict = {}
+        for lang, t in zip(b["lang"], b["text"]):
+            s = _WS.sub(" ", (t or "").lower())
+            if len(s) < 3:
+                continue
+            cp = np.frombuffer(s.encode("utf-32-le"),
+                               dtype="<u4").astype("int64")
+            code = (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]
+            per_lang.setdefault(lang, []).append(code)
+        rows = []
+        for lang, chunks in per_lang.items():
+            u, c = np.unique(np.concatenate(chunks), return_counts=True)
+            rows.append(pd.DataFrame({"lang": lang, "code": u,
+                                      "n": c.astype("int64")}))
+        if not rows:
+            return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                                 "code": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    folded = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                        ["lang", "code"], {"n": ("n", "sum")}).to_pandas()
+    folded["code"] = folded["code"].astype("int64")
+    folded["n"] = folded["n"].astype("int64")
+
+    def decode(code: int) -> str:
+        return "".join(chr((code >> s) & ((1 << 21) - 1))
+                       for s in (42, 21, 0))
+
+    folded["tri"] = [decode(c) for c in folded["code"]]
+    folded = folded.sort_values(["lang", "n", "tri"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+    folded["rank"] = folded.groupby("lang").cumcount() + 1
+    out = folded[folded["rank"] <= 10][["lang", "tri", "n", "rank"]]
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_bpe_pairs": q_bpe_pairs,
+    "q_hapax": q_hapax,
+    "q_js_divergence": q_js_divergence,
+    "q_char_trigrams": q_char_trigrams,
+})
