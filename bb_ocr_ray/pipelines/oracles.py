@@ -3405,3 +3405,63 @@ ORACLES["q_char_trigrams"] = """
     SELECT lang, tri, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS rank
     FROM rk WHERE r <= 10 ORDER BY lang, rank
 """
+
+
+ORACLES["q_two_hop"] = """
+    WITH nd AS (SELECT doc_id AS d FROM documents),
+    e1 AS (SELECT a.d AS u, b.d AS v FROM nd a JOIN nd b ON b.d = a.d + 1
+           WHERE ((a.d * a.d + 3 * a.d) % 11) >= 3),
+    e2 AS (SELECT a.d AS u, b.d AS v FROM nd a JOIN nd b ON b.d = a.d + 2
+           WHERE ((7 * a.d + 5) % 13) >= 4),
+    e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+          FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+          WHERE u <> v),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT a AS node, count(*) AS dg FROM sym GROUP BY 1),
+    seeds AS (SELECT node, dg FROM deg ORDER BY dg DESC, node LIMIT 5),
+    h1 AS (SELECT s.node AS seed, sym.b AS w
+           FROM seeds s JOIN sym ON sym.a = s.node),
+    h2 AS (SELECT h1.seed, sym.b AS w FROM h1 JOIN sym ON sym.a = h1.w),
+    allw AS (SELECT seed, w FROM h1 UNION SELECT seed, w FROM h2),
+    cnt AS (SELECT seed, count(*) AS n2 FROM allw WHERE w <> seed
+            GROUP BY 1)
+    SELECT s.node AS seed, CAST(s.dg AS BIGINT) AS degree,
+           CAST(coalesce(cnt.n2, 0) AS BIGINT) AS n_within_2
+    FROM seeds s LEFT JOIN cnt ON cnt.seed = s.node ORDER BY 1
+"""
+
+
+ORACLES["q_churn"] = """
+    WITH p AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+                      epoch_us(ts) // (86400000000 * 7) AS wk
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    mx AS (SELECT max(wk) AS m FROM p),
+    c AS (SELECT a.wk,
+                 count(*) AS n_active,
+                 sum(CASE WHEN b.u IS NULL THEN 1 ELSE 0 END)
+                     AS n_churned
+          FROM p a LEFT JOIN p b ON b.u = a.u AND b.wk = a.wk + 1
+          WHERE a.wk < (SELECT m FROM mx)
+          GROUP BY 1)
+    SELECT CAST(wk AS BIGINT) AS week,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           round(CAST(n_churned AS DOUBLE) / n_active, 6) AS churn_rate
+    FROM c ORDER BY 1
+"""
+
+
+ORACLES["q_winsorize"] = """
+    WITH q AS (SELECT l_returnflag AS f,
+                      quantile_disc(l_quantity, 0.1) AS lo,
+                      quantile_disc(l_quantity, 0.9) AS hi
+               FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           q.lo AS lo, q.hi AS hi,
+           round(avg(CASE WHEN l.l_quantity < q.lo THEN q.lo
+                          WHEN l.l_quantity > q.hi THEN q.hi
+                          ELSE l.l_quantity END), 6) AS wmean
+    FROM lineitem l JOIN q ON l.l_returnflag = q.f
+    GROUP BY 1, q.lo, q.hi ORDER BY 1
+"""

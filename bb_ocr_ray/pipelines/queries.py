@@ -8877,3 +8877,222 @@ QUERIES.update({
     "q_js_divergence": q_js_divergence,
     "q_char_trigrams": q_char_trigrams,
 })
+
+
+# ---------------------------------------------------------------------------
+# 2-hop neighborhood size for the top-degree seeds (influence-reach QA)
+# ---------------------------------------------------------------------------
+def q_two_hop(sf_dir: str):
+    """Size of the <=2-hop neighborhood (friends-of-friends reach) for
+    the 5 highest-degree nodes of the synthetic link graph — the
+    influence/blast-radius statistic next to q_degree_dist and
+    q_clustering_coeff, over the SAME edge generator so the graph QA
+    family audits one graph.  Scale shape: degrees fold through one
+    coarse shuffle; the 5 seeds are an aggregate-sized sort+limit; the
+    1-hop table is one map over the static edge list; the 2-hop
+    expansion is a size-gated join of the edge list against the 1-hop
+    table on each endpoint (auto_join: a celebrity seed's
+    neighborhood routes to the bucketed hash join, never a blind
+    broadcast), and the distinct fold is (seed, node)-keyed.  The
+    driver only ever holds seed-bounded tables."""
+    from bb_ocr_ray.stages.dedup import dedup_pairs
+    from bb_ocr_ray.stages.joins import auto_join, auto_semi
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def gen(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy("int64")
+        d1 = d[((d * d + 3 * d) % 11) >= 3]
+        d2 = d[((7 * d + 5) % 13) >= 4]
+        return pd.DataFrame({
+            "src": np.concatenate([d1, d2]),
+            "dst": np.concatenate([d1 + 1, d2 + 2])})
+
+    cand = docs.map_batches(gen, batch_format="pandas")
+    edges = auto_semi(
+        cand.map_batches(lambda b: b.rename(columns={"dst": "doc_id"}),
+                         batch_format="pandas"),
+        docs, on="doc_id",
+    ).map_batches(lambda b: b.rename(columns={"doc_id": "dst"}),
+                  batch_format="pandas")
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["src"].to_numpy(np.int64)
+        v = b["dst"].to_numpy(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pd.DataFrame({"id_a": np.minimum(u, v),
+                             "id_b": np.maximum(u, v)})
+
+    und = dedup_pairs(
+        edges.map_batches(norm, batch_format="pandas")).materialize()
+
+    def both_ends(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["id_a"].to_numpy("int64"), b["id_b"].to_numpy("int64")]),
+            "one": np.ones(2 * len(b), dtype="int64")})
+
+    deg = coarse_agg(und.map_batches(both_ends, batch_format="pandas"),
+                     ["node"], {"dg": ("one", "sum")})
+    seeds = (deg.sort(["dg", "node"], descending=[True, False])
+             .limit(5).to_pandas())
+    seeds["node"] = seeds["node"].astype("int64")
+    seeds["dg"] = seeds["dg"].astype("int64")
+    seed_set = set(int(x) for x in seeds["node"])
+
+    def hop1(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["id_a"].to_numpy("int64")
+        c = b["id_b"].to_numpy("int64")
+        ia = np.isin(a, list(seed_set))
+        ib = np.isin(c, list(seed_set))
+        return pd.DataFrame({
+            "seed": np.concatenate([a[ia], c[ib]]),
+            "w": np.concatenate([c[ia], a[ib]])})
+
+    n1 = und.map_batches(hop1, batch_format="pandas").materialize()
+
+    j1 = auto_join(und, n1.map_batches(
+        lambda b: b.rename(columns={"w": "id_a"}),
+        batch_format="pandas"), on="id_a").map_batches(
+        lambda b: pd.DataFrame({"seed": b["seed"].astype("int64"),
+                                "w": b["id_b"].astype("int64")}),
+        batch_format="pandas")
+    j2 = auto_join(und, n1.map_batches(
+        lambda b: b.rename(columns={"w": "id_b"}),
+        batch_format="pandas"), on="id_b").map_batches(
+        lambda b: pd.DataFrame({"seed": b["seed"].astype("int64"),
+                                "w": b["id_a"].astype("int64")}),
+        batch_format="pandas")
+    reach = n1.union(j1).union(j2).filter(
+        lambda r: r["w"] != r["seed"])
+
+    distinct = coarse_agg(reach, ["seed", "w"], {"c": ("w", "size")})
+    cnt = coarse_agg(
+        distinct.map_batches(
+            lambda b: pd.DataFrame({
+                "seed": b["seed"].astype("int64"),
+                "one": np.ones(len(b), dtype="int64")}),
+            batch_format="pandas"),
+        ["seed"], {"n_within_2": ("one", "sum")}).to_pandas()
+
+    out = seeds.rename(columns={"node": "seed", "dg": "degree"}).merge(
+        cnt, on="seed", how="left")
+    out["n_within_2"] = out["n_within_2"].fillna(0).astype("int64")
+    return out.sort_values("seed").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Weekly churn rate (active week w, silent week w+1)
+# ---------------------------------------------------------------------------
+def q_churn(sf_dir: str):
+    """Per-week churn: of the users active in week w, the share with NO
+    activity in week w+1 — the classic product-analytics companion to
+    q_retention's cohort matrix (this one is calendar-anchored, not
+    cohort-anchored).  The final observed week is excluded (its future
+    is unknown).  Plan: per-batch distinct (user, week) pairs -> ONE
+    coarse shuffle on user (per-user week sets co-locate; w+1
+    membership is a vectorized next-element check on the sorted unique
+    weeks) -> a week-bounded (active, churned) fold.  Nothing
+    user-cardinality touches the driver."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    _US_PER_WEEK = 7 * 86_400_000_000
+    nb = _auto_num_buckets()
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        g = pd.DataFrame({
+            "u": b["user_id"].astype("int64").to_numpy(),
+            "week": (b["ts"].astype("datetime64[us]").astype("int64")
+                     // _US_PER_WEEK)}).drop_duplicates()
+        g["__coarse"] = _bucket_ids(g, ["u"], nb)
+        return g
+
+    p = ev.map_batches(pairs, batch_format="pandas").materialize()
+    max_week = int(p.max("week"))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["u", "week"])
+             .sort_values(["u", "week"], kind="mergesort"))
+        u = g["u"].to_numpy("int64")
+        w = g["week"].to_numpy("int64")
+        nxt_same = np.concatenate([(u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1),
+                                   [False]])
+        keep = w < max_week
+        w, nxt_same = w[keep], nxt_same[keep]
+        if len(w) == 0:
+            return pd.DataFrame({"week": pd.Series([], dtype="int64"),
+                                 "n_active": pd.Series([], dtype="int64"),
+                                 "n_churned": pd.Series([], dtype="int64")})
+        t = pd.DataFrame({"week": w,
+                          "n_active": np.ones(len(w), dtype="int64"),
+                          "n_churned": (~nxt_same).astype("int64")})
+        return t.groupby("week", as_index=False).sum()
+
+    folded = (p.groupby("__coarse").map_groups(bucket,
+                                               batch_format="pandas"))
+    out = coarse_agg(folded, ["week"],
+                     {"n_active": ("n_active", "sum"),
+                      "n_churned": ("n_churned", "sum")}).to_pandas()
+    for c in ("week", "n_active", "n_churned"):
+        out[c] = out[c].astype("int64")
+    out["churn_rate"] = [
+        float(_round_sql(c / a, 6))
+        for c, a in zip(out["n_churned"], out["n_active"])]
+    return out.sort_values("week").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Grouped winsorized mean (clamp at exact p10/p90 order statistics)
+# ---------------------------------------------------------------------------
+def q_winsorize(sf_dir: str):
+    """Grouped 10% WINSORIZED mean of l_quantity by return flag —
+    values below the exact p10 order statistic clamp UP to it, above
+    p90 clamp DOWN (Tukey's robust-mean family; q_trimmed_mean's
+    sibling that keeps n constant instead of dropping rows).  Exact at
+    any scale via the value-histogram posture: quantity's bounded
+    integer-ish domain folds to a (flag, value, count) table through
+    one coarse shuffle; the clamp bounds are cumulative-count order
+    statistics (ceil(q*n)-1 of the sorted multiset — DuckDB
+    quantile_disc semantics) and the clamped mean is a weighted sum
+    over the histogram.  NO global sort, nothing row-sized on the
+    driver."""
+    li = _read_parquet(_t(sf_dir, "lineitem"),
+                       columns=["l_returnflag", "l_quantity"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby(["l_returnflag", "l_quantity"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        return g
+
+    h = coarse_agg(li.map_batches(hist, batch_format="pandas"),
+                   ["l_returnflag", "l_quantity"],
+                   {"c": ("c", "sum")}).to_pandas()
+    h["c"] = h["c"].astype("int64")
+
+    import math
+    rows = []
+    for f, sub in h.groupby("l_returnflag"):
+        sub = sub.sort_values("l_quantity")
+        v = sub["l_quantity"].to_numpy("float64")
+        c = sub["c"].to_numpy("int64")
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        lo = float(v[np.searchsorted(cum, math.ceil(0.1 * n))])
+        hi = float(v[np.searchsorted(cum, math.ceil(0.9 * n))])
+        clamped = np.clip(v, lo, hi)
+        wmean = float((clamped * c).sum() / n)
+        rows.append((f, n, lo, hi, float(_round_sql(wmean, 6))))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n", "lo", "hi",
+                                      "wmean"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_two_hop": q_two_hop,
+    "q_churn": q_churn,
+    "q_winsorize": q_winsorize,
+})
