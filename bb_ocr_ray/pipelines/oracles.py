@@ -3465,3 +3465,64 @@ ORACLES["q_winsorize"] = """
     FROM lineitem l JOIN q ON l.l_returnflag = q.f
     GROUP BY 1, q.lo, q.hi ORDER BY 1
 """
+
+
+ORACLES["q_target_encode"] = """
+    WITH j AS (SELECT c.c_mktsegment,
+                      CAST(round(o.o_totalprice * 100) AS HUGEINT)
+                          AS cents
+               FROM orders o JOIN customer c
+                 ON c.c_custkey = o.o_custkey),
+    seg AS (SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(cents) AS HUGEINT) AS cents
+            FROM j GROUP BY 1),
+    g AS (SELECT CAST(sum(cents) AS DOUBLE) / sum(n) / 100.0 AS mu
+          FROM seg)
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           round(CAST(cents AS DOUBLE) / n / 100.0, 6) AS mean_price,
+           round((CAST(cents AS DOUBLE) / 100.0 + 10.0 * g.mu)
+                 / (n + 10.0), 6) AS encoded
+    FROM seg, g ORDER BY 1
+"""
+
+
+ORACLES["q_class_weights"] = """
+    WITH c AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n
+               FROM embeddings GROUP BY 1),
+    s AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+    SELECT label, CAST(n AS BIGINT) AS n,
+           round(CAST(s.total AS DOUBLE) / (s.k * n), 6) AS weight
+    FROM c, s ORDER BY 1
+"""
+
+
+ORACLES["q_oov_rate"] = f"""
+    WITH toks AS (SELECT lang, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT lang, unnest(tk) AS tok FROM toks),
+    cnt AS (SELECT tok, count(*) AS n FROM pc GROUP BY 1),
+    top AS (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 20)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tok IN (SELECT tok FROM top)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN tok IN (SELECT tok FROM top)
+                               THEN 0 ELSE 1 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM pc GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_cusum"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    m AS (SELECT avg(CAST(n AS DOUBLE)) AS mu,
+                 count(*) AS nd FROM d),
+    c AS (SELECT day,
+                 round(abs(sum(CAST(n AS DOUBLE)) OVER (ORDER BY day)
+                           - row_number() OVER (ORDER BY day)
+                             * (SELECT mu FROM m)), 6) AS a
+          FROM d)
+    SELECT (SELECT CAST(nd AS BIGINT) FROM m) AS n_days,
+           CAST(day AS BIGINT) AS cp_day, a AS max_abs_cusum
+    FROM c ORDER BY a DESC, day LIMIT 1
+"""

@@ -9096,3 +9096,184 @@ QUERIES.update({
     "q_churn": q_churn,
     "q_winsorize": q_winsorize,
 })
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (the classic categorical featurizer)
+# ---------------------------------------------------------------------------
+def q_target_encode(sf_dir: str):
+    """Smoothed target-mean encoding of customer market segment against
+    order value — encoded = (sum_y + m * global_mean) / (n + m) with
+    m=10 (Micci-Barreca, SIGKDD Expl. 2001; public method).  All sums
+    are exact integer cents; the join ships the customer dim through
+    the size-gated auto_join (broadcast at test scale, bucketed hash
+    join at warehouse scale) and the sums fold per segment through one
+    coarse shuffle.  The global mean derives from the segment-bounded
+    table — no second corpus pass."""
+    from bb_ocr_ray.stages.joins import auto_join
+
+    orders = _read_parquet(_t(sf_dir, "orders"),
+                           columns=["o_custkey", "o_totalprice"])
+    cust = _read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+
+    keyed = orders.map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["o_custkey"].astype("int64"),
+            "cents": _round_sql(b["o_totalprice"] * 100.0, 0)
+            .astype("int64")}),
+        batch_format="pandas")
+    j = auto_join(keyed, cust, on="c_custkey")
+    seg = coarse_agg(j.map_batches(
+        lambda b: pd.DataFrame({
+            "c_mktsegment": b["c_mktsegment"],
+            "n": np.ones(len(b), dtype="int64"),
+            "cents": b["cents"].astype("int64")}),
+        batch_format="pandas"),
+        ["c_mktsegment"], {"n": ("n", "sum"),
+                           "cents": ("cents", "sum")}).to_pandas()
+    seg["n"] = seg["n"].astype("int64")
+    seg["cents"] = seg["cents"].astype("int64")
+    m = 10.0
+    g_mean = float(seg["cents"].sum()) / float(seg["n"].sum()) / 100.0
+    seg["mean_price"] = [
+        float(_round_sql(c / n / 100.0, 6))
+        for c, n in zip(seg["cents"], seg["n"])]
+    seg["encoded"] = [
+        float(_round_sql((c / 100.0 + m * g_mean) / (n + m), 6))
+        for c, n in zip(seg["cents"], seg["n"])]
+    out = seg[["c_mktsegment", "n", "mean_price", "encoded"]]
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Inverse-frequency class weights (imbalanced-label training prep)
+# ---------------------------------------------------------------------------
+def q_class_weights(sf_dir: str):
+    """Per-label inverse-frequency weights n_total / (k * n_label) —
+    the sklearn-style 'balanced' class weighting every skewed-label
+    training run starts with (King & Zeng 2001; public method).  One
+    label-bounded count fold; the weights derive from that bounded
+    table."""
+    emb = _read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["label"].astype("int64").value_counts()
+        return pd.DataFrame({"label": vc.index.to_numpy("int64"),
+                             "n": vc.to_numpy("int64")})
+
+    t = coarse_agg(emb.map_batches(partial, batch_format="pandas"),
+                   ["label"], {"n": ("n", "sum")}).to_pandas()
+    t["label"] = t["label"].astype("int64")
+    t["n"] = t["n"].astype("int64")
+    total = int(t["n"].sum())
+    k = len(t)
+    t["weight"] = [float(_round_sql(total / (k * n), 6)) for n in t["n"]]
+    return t.sort_values("label").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate per language (tokenizer-coverage QA)
+# ---------------------------------------------------------------------------
+def q_oov_rate(sf_dir: str):
+    """Per-language out-of-vocabulary rate against the corpus' global
+    top-20 token vocabulary — the tokenizer-coverage QA run before
+    committing a vocab (the OOV column of every tokenizer paper;
+    public method).  Pass 1 folds the global vocabulary and takes the
+    top-20 cut (n desc, tok asc tiebreak, aggregate-sized); the cut
+    broadcasts as a closure frozenset into pass 2, whose per-language
+    (total, oov) occurrence counts fold through one lang-bounded
+    shuffle.  Both passes are column-pruned reads; raw token streams
+    never shuffle."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def vocab_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for t in b["text"]:
+            cnt.update(ws_tokens(t or ""))
+        return pd.DataFrame({"tok": list(cnt.keys()),
+                             "n": np.fromiter(cnt.values(), dtype="int64")})
+
+    vocab = coarse_agg(docs.map_batches(vocab_partial,
+                                        batch_format="pandas"),
+                       ["tok"], {"n": ("n", "sum")})
+    top = (vocab.sort(["n", "tok"], descending=[True, False])
+           .limit(20).to_pandas())
+    known = frozenset(top["tok"])
+
+    docs2 = _read_parquet(_t(sf_dir, "documents"),
+                          columns=["lang", "text"])
+
+    def oov_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {}
+        for lang, t in zip(b["lang"], b["text"]):
+            tot, oov = rows.get(lang, (0, 0))
+            for tok in ws_tokens(t or ""):
+                tot += 1
+                if tok not in known:
+                    oov += 1
+            rows[lang] = (tot, oov)
+        return pd.DataFrame({
+            "lang": list(rows.keys()),
+            "n_tokens": np.array([v[0] for v in rows.values()],
+                                 dtype="int64"),
+            "n_oov": np.array([v[1] for v in rows.values()],
+                              dtype="int64")})
+
+    out = coarse_agg(docs2.map_batches(oov_partial, batch_format="pandas"),
+                     ["lang"], {"n_tokens": ("n_tokens", "sum"),
+                                "n_oov": ("n_oov", "sum")}).to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_oov"] = out["n_oov"].astype("int64")
+    out["oov_rate"] = [
+        float(_round_sql(o / t, 6)) if t else 0.0
+        for o, t in zip(out["n_oov"], out["n_tokens"])]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint on the daily count series (level-shift detection)
+# ---------------------------------------------------------------------------
+def q_cusum(sf_dir: str):
+    """CUSUM changepoint of the daily event-count series: the day k
+    maximizing |sum_{i<=k}(x_i - mean)| — the standard level-shift
+    locator (Page, Biometrika 1954; public method), the companion to
+    q_anomaly_days' point anomalies.  The corpus folds to the
+    day-bounded series through one coarse shuffle; the cumulative
+    scan runs on that bounded series.  The argmax ranks on the
+    ROUNDED |cusum| (6 dp, earliest-day tiebreak) so float ulps
+    cannot flip the winner between engines."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["ts"])
+        d = (b["ts"].astype("datetime64[us]").astype("int64")
+             // 86_400_000_000)
+        vc = pd.Series(d).value_counts()
+        return pd.DataFrame({"day": vc.index.to_numpy("int64"),
+                             "n": vc.to_numpy("int64")})
+
+    t = coarse_agg(ev.map_batches(days, batch_format="pandas"),
+                   ["day"], {"n": ("n", "sum")}).to_pandas()
+    t = t.sort_values("day").reset_index(drop=True)
+    n = t["n"].to_numpy("float64")
+    mu = float(n.mean())
+    cus = np.cumsum(n) - (np.arange(len(n)) + 1) * mu
+    a = np.array([float(_round_sql(abs(x), 6)) for x in cus])
+    i = int(np.lexsort((t["day"].to_numpy("int64"), -a))[0])
+    return pd.DataFrame({
+        "n_days": pd.array([len(t)], dtype="int64"),
+        "cp_day": pd.array([int(t["day"].iloc[i])], dtype="int64"),
+        "max_abs_cusum": [float(a[i])]})
+
+
+QUERIES.update({
+    "q_target_encode": q_target_encode,
+    "q_class_weights": q_class_weights,
+    "q_oov_rate": q_oov_rate,
+    "q_cusum": q_cusum,
+})
