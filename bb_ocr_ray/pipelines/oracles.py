@@ -3526,3 +3526,55 @@ ORACLES["q_cusum"] = """
            CAST(day AS BIGINT) AS cp_day, a AS max_abs_cusum
     FROM c ORDER BY a DESC, day LIMIT 1
 """
+
+
+ORACLES["q_tok_len_dist"] = f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    pc AS (SELECT unnest(tk) AS tok FROM toks)
+    SELECT CAST(length(tok) AS BIGINT) AS tok_len,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pc GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_ngram_entropy"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bg AS (SELECT CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(generate_series(1, len(tk) - 1),
+                                i -> tk[i] || chr(1) || tk[i+1])
+                  END AS bgs
+           FROM toks),
+    cnt AS (SELECT ngram, count(*) AS c
+            FROM (SELECT unnest(bgs) AS ngram FROM bg) GROUP BY 1),
+    marg AS (SELECT split_part(ngram, chr(1), 1) AS prev,
+                    sum(c) AS cu
+             FROM cnt GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM cnt),
+    hj AS (SELECT ln(CAST(n AS DOUBLE))
+                  - sum(c * ln(CAST(c AS DOUBLE))) / n AS h
+           FROM cnt, tot GROUP BY n),
+    hp AS (SELECT ln(CAST(n AS DOUBLE))
+                  - sum(cu * ln(CAST(cu AS DOUBLE))) / n AS h
+           FROM marg, tot GROUP BY n)
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_bigrams,
+           round(hj.h / ln(2), 6) AS h_joint,
+           round((hj.h - hp.h) / ln(2), 6) AS h_cond
+    FROM hj, hp
+"""
+
+
+ORACLES["q_event_paths"] = """
+    WITH seq AS (SELECT user_id,
+                        list(event_type ORDER BY ts, event_id) AS s
+                 FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 GROUP BY 1),
+    tg AS (SELECT CASE WHEN len(s) < 3 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(generate_series(1, len(s) - 2),
+                                i -> s[i] || '>' || s[i+1] || '>' || s[i+2])
+                  END AS tgs
+           FROM seq)
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(tgs) AS path FROM tg)
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+"""

@@ -9277,3 +9277,170 @@ QUERIES.update({
     "q_oov_rate": q_oov_rate,
     "q_cusum": q_cusum,
 })
+
+
+# ---------------------------------------------------------------------------
+# Token length histogram (tokenizer fertility QA)
+# ---------------------------------------------------------------------------
+def q_tok_len_dist(sf_dir: str):
+    """Histogram of token lengths by occurrence — the tokenizer
+    fertility/shape QA every vocab decision starts from (mean token
+    length drives bytes-per-token).  Per-batch Counter over lengths
+    (a length-bounded dict), one length-bounded fold.  Output:
+    (len, n) ascending."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for t in b["text"]:
+            for tok in ws_tokens(t or ""):
+                cnt[len(tok)] += 1
+        return pd.DataFrame({
+            "tok_len": np.fromiter(cnt.keys(), dtype="int64"),
+            "n": np.fromiter(cnt.values(), dtype="int64")})
+
+    out = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                     ["tok_len"], {"n": ("n", "sum")}).to_pandas()
+    out["tok_len"] = out["tok_len"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("tok_len").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy (corpus predictability / LM-difficulty QA)
+# ---------------------------------------------------------------------------
+def q_ngram_entropy(sf_dir: str):
+    """Joint and conditional entropy (bits) of the corpus' token-bigram
+    distribution — H(joint) of bigram frequencies and
+    H(next | prev) = H(joint) - H(prev margins), the corpus
+    predictability statistic (Shannon 1951; public method).  One
+    bigram count fold (doc-local pairs, vocab^2-bounded counts); the
+    prev margins DERIVE from the bigram table inside a prev-keyed
+    bucket fold (the q_lm_quality posture — no second corpus pass);
+    per-bucket float partials (sum c*ln c over cells and over
+    margins) fold to three scalars.  6 dp absorbs summation-order
+    ulps."""
+    import math
+
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    nb = _auto_num_buckets()
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for t in b["text"]:
+            tk = ws_tokens(t or "")
+            for i in range(len(tk) - 1):
+                cnt[(tk[i], tk[i + 1])] += 1
+        ks = list(cnt.keys())
+        return pd.DataFrame({"prev": [k[0] for k in ks],
+                             "nxt": [k[1] for k in ks],
+                             "n": np.fromiter(cnt.values(), dtype="int64")})
+
+    bi = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                    ["prev", "nxt"], {"n": ("n", "sum")})
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__coarse"] = _bucket_ids(b, ["prev"], nb)
+        return b
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["n"].to_numpy("int64").astype("float64")
+        cu = (g.groupby("prev")["n"].sum()
+              .to_numpy().astype("float64"))
+        return pd.DataFrame({
+            "n_bigrams": [int(c.sum())],
+            "s_cell": [float((c * np.log(c)).sum())],
+            "s_marg": [float((cu * np.log(cu)).sum())]})
+
+    parts = (bi.map_batches(stamp, batch_format="pandas")
+             .groupby("__coarse").map_groups(bucket,
+                                             batch_format="pandas")
+             .to_pandas())
+    n_total = int(parts["n_bigrams"].sum())
+    if n_total == 0:
+        return pd.DataFrame({"n_bigrams": pd.array([0], dtype="int64"),
+                             "h_joint": [float("nan")],
+                             "h_cond": [float("nan")]})
+    ln_n = math.log(n_total)
+    h_joint = (ln_n - float(parts["s_cell"].sum()) / n_total) / math.log(2)
+    h_prev = (ln_n - float(parts["s_marg"].sum()) / n_total) / math.log(2)
+    return pd.DataFrame({
+        "n_bigrams": pd.array([n_total], dtype="int64"),
+        "h_joint": [float(_round_sql(h_joint, 6))],
+        "h_cond": [float(_round_sql(h_joint - h_prev, 6))]})
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top event-type trigram sequences)
+# ---------------------------------------------------------------------------
+def q_event_paths(sf_dir: str):
+    """Top-10 3-step event-type paths across per-user ordered event
+    streams — the sequence-mining view of q_transitions' pair matrix
+    (Agrawal & Srikant's sequential patterns, ICDE'95; public
+    method).  Per-user order is the strict (ts, event_id) total
+    order; trigrams never cross users.  One coarse shuffle on user
+    (ordered streams co-locate), per-bucket vectorized trigram
+    extraction, then a path-vocabulary-bounded count fold with the
+    (n desc, path asc) tiebreak."""
+    from collections import Counter
+
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    nb = _auto_num_buckets()
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_id",
+                                "event_type"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        g = pd.DataFrame({
+            "u": b["user_id"].astype("int64").to_numpy(),
+            "ts": b["ts"].astype("datetime64[us]").astype("int64")
+            .to_numpy(),
+            "event_id": b["event_id"].astype("int64").to_numpy(),
+            "et": b["event_type"].to_numpy()})
+        g["__coarse"] = _bucket_ids(g, ["u"], nb)
+        return g
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts", "event_id"], kind="mergesort")
+        u = g["u"].to_numpy("int64")
+        et = g["et"].to_numpy()
+        cnt: Counter = Counter()
+        same3 = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        for i in np.nonzero(same3)[0]:
+            cnt[f"{et[i]}>{et[i + 1]}>{et[i + 2]}"] += 1
+        if not cnt:
+            return pd.DataFrame({"path": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"path": list(cnt.keys()),
+                             "n": np.fromiter(cnt.values(),
+                                              dtype="int64")})
+
+    folded = (ev.map_batches(stamp, batch_format="pandas")
+              .groupby("__coarse").map_groups(bucket,
+                                              batch_format="pandas"))
+    agg = coarse_agg(folded, ["path"], {"n": ("n", "sum")})
+    out = (agg.sort(["n", "path"], descending=[True, False])
+           .limit(10).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_tok_len_dist": q_tok_len_dist,
+    "q_ngram_entropy": q_ngram_entropy,
+    "q_event_paths": q_event_paths,
+})
