@@ -3578,3 +3578,44 @@ ORACLES["q_event_paths"] = """
     FROM (SELECT unnest(tgs) AS path FROM tg)
     GROUP BY 1 ORDER BY n DESC, path LIMIT 10
 """
+
+
+ORACLES["q_zone_map"] = """
+    WITH s AS (SELECT doc_id // 64 AS shard, min(n_chars) AS mn,
+                      max(n_chars) AS mx, count(*) AS rows_
+               FROM documents GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(CASE WHEN mx < 400 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_prunable,
+           CAST(sum(CASE WHEN mx < 400 THEN rows_ ELSE 0 END) AS BIGINT)
+               AS rows_skipped,
+           round(CAST(sum(CASE WHEN mx < 400 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS prune_ratio
+    FROM s
+"""
+
+
+ORACLES["q_tail_index"] = """
+    WITH c AS (SELECT user_id, count(*) AS c FROM events
+               WHERE user_id IS NOT NULL GROUP BY 1),
+    kk AS (SELECT least(100, count(*) - 1) AS k FROM c),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS i FROM c),
+    xk AS (SELECT c AS xk1 FROM r, kk WHERE i = k + 1),
+    h AS (SELECT sum(ln(CAST(r.c AS DOUBLE) / xk.xk1)) / kk.k AS hill
+          FROM r, kk, xk WHERE r.i <= kk.k GROUP BY kk.k)
+    SELECT (SELECT CAST(k AS BIGINT) FROM kk) AS k,
+           (SELECT CAST(xk1 AS BIGINT) FROM xk) AS x_kplus1,
+           round(h.hill, 6) AS hill,
+           round(1.0 / h.hill, 6) AS alpha
+    FROM h
+"""
+
+
+ORACLES["q_f2"] = """
+    WITH c AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS c
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(c * c) AS HUGEINT) AS VARCHAR) AS f2
+    FROM c
+"""

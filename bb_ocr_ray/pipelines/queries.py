@@ -9444,3 +9444,126 @@ QUERIES.update({
     "q_ngram_entropy": q_ngram_entropy,
     "q_event_paths": q_event_paths,
 })
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning effectiveness (storage-layout QA)
+# ---------------------------------------------------------------------------
+def q_zone_map(sf_dir: str):
+    """Zone-map (block min/max) pruning effectiveness for the predicate
+    n_chars >= 400 over fixed 64-doc shards — the storage-layout QA
+    companion to q_zorder: a well-clustered layout prunes most shards,
+    a shuffled one prunes none (Moerkotte's small materialized
+    aggregates, VLDB'98; public method).  Shards are LOGICAL
+    (doc_id // 64), so the statistic is layout-deterministic, not an
+    artifact of runtime block boundaries.  One shard-bounded min/max/
+    count fold; the pruning scan is arithmetic on that bounded
+    table."""
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "shard": b["doc_id"].astype("int64") // 64,
+            "n_chars": b["n_chars"].astype("int64"),
+            "one": np.ones(len(b), dtype="int64")})
+
+    t = coarse_agg(docs.map_batches(stamp, batch_format="pandas"),
+                   ["shard"], {"mn": ("n_chars", "min"),
+                               "mx": ("n_chars", "max"),
+                               "rows": ("one", "sum")}).to_pandas()
+    for c in t.columns:
+        t[c] = t[c].astype("int64")
+    prunable = t["mx"] < 400
+    n_shards = len(t)
+    n_prun = int(prunable.sum())
+    return pd.DataFrame({
+        "n_shards": pd.array([n_shards], dtype="int64"),
+        "n_prunable": pd.array([n_prun], dtype="int64"),
+        "rows_skipped": pd.array([int(t.loc[prunable, "rows"].sum())],
+                                 dtype="int64"),
+        "prune_ratio": [float(_round_sql(n_prun / n_shards, 6))]})
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator on the user-activity distribution
+# ---------------------------------------------------------------------------
+def q_tail_index(sf_dir: str):
+    """Hill estimator of the activity distribution's tail exponent
+    over the top-k=100 most active users (Hill, Ann. Stat. 1975;
+    public method) — the heavy-tail QA twin of q_zipf_slope in the
+    user domain: alpha near 1-2 means a few users dominate the
+    stream (partition-skew early warning).  Per-user counts fold
+    through one coarse shuffle; the top-(k+1) cut is a Dataset
+    sort+limit on the aggregated table (value ties cannot change the
+    chosen VALUE multiset, so no id tiebreak is needed); the log-sum
+    runs on k+1 bounded values.  k shrinks to n_users-1 on tiny
+    inputs, matching the oracle's least()."""
+    import math
+
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"])
+        vc = b["user_id"].astype("int64").value_counts()
+        return pd.DataFrame({"u": vc.index.to_numpy("int64"),
+                             "c": vc.to_numpy("int64")})
+
+    cnt = coarse_agg(ev.map_batches(partial, batch_format="pandas"),
+                     ["u"], {"c": ("c", "sum")}).materialize()
+    n_users = cnt.count()
+    k = min(100, n_users - 1)
+    top = (cnt.sort("c", descending=True).limit(k + 1).to_pandas())
+    x = np.sort(top["c"].to_numpy("int64"))[::-1].astype("float64")
+    xk1 = float(x[k])
+    hill = float(np.log(x[:k] / xk1).sum() / k)
+    return pd.DataFrame({
+        "k": pd.array([k], dtype="int64"),
+        "x_kplus1": pd.array([int(xk1)], dtype="int64"),
+        "hill": [float(_round_sql(hill, 6))],
+        "alpha": [float(_round_sql(1.0 / hill, 6))]})
+
+
+# ---------------------------------------------------------------------------
+# Second frequency moment F2 (self-join size) of the user stream
+# ---------------------------------------------------------------------------
+def q_f2(sf_dir: str):
+    """Exact second frequency moment F2 = sum_u c_u^2 of the user-id
+    stream — the self-join size that drives every join-cardinality
+    estimate (Alon, Matias & Szegedy, STOC'96 frame; computed exactly
+    here).  Per-user counts fold through one coarse shuffle; each
+    output batch contributes one Python-int partial (c^2 sums near a
+    heavy user's square overflow int64 at web scale — the
+    q_corr_grouped decimal-string posture), and the driver folds
+    bucket partials with arbitrary-precision ints.  F2 is emitted as
+    a decimal STRING on both engines."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"])
+        vc = b["user_id"].astype("int64").value_counts()
+        return pd.DataFrame({"u": vc.index.to_numpy("int64"),
+                             "c": vc.to_numpy("int64")})
+
+    cnt = coarse_agg(ev.map_batches(partial, batch_format="pandas"),
+                     ["u"], {"c": ("c", "sum")})
+
+    def sq(b: pd.DataFrame) -> pd.DataFrame:
+        tot = sum(int(x) * int(x) for x in b["c"])
+        return pd.DataFrame({"f2_part": [str(tot)],
+                             "n_users": [len(b)],
+                             "n_rows": [int(b["c"].astype("int64").sum())]})
+
+    parts = cnt.map_batches(sq, batch_format="pandas").to_pandas()
+    f2 = sum(int(s) for s in parts["f2_part"])
+    return pd.DataFrame({
+        "n_users": pd.array([int(parts["n_users"].sum())], dtype="int64"),
+        "n_rows": pd.array([int(parts["n_rows"].sum())], dtype="int64"),
+        "f2": [str(f2)]})
+
+
+QUERIES.update({
+    "q_zone_map": q_zone_map,
+    "q_tail_index": q_tail_index,
+    "q_f2": q_f2,
+})
