@@ -3619,3 +3619,38 @@ ORACLES["q_f2"] = """
            CAST(CAST(sum(c * c) AS HUGEINT) AS VARCHAR) AS f2
     FROM c
 """
+
+
+ORACLES["q_integrity"] = """
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+               AS n_lineitem,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IS NULL) AS orphan_lineitem,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)
+               AS n_orders,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_custkey IS NULL) AS orphan_orders
+"""
+
+
+ORACLES["q_emb_quantize"] = """
+    WITH x AS (SELECT CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v,
+                      CAST(i AS BIGINT) AS d
+               FROM embeddings,
+                    unnest(range(1, len(embedding) + 1)) AS t(i)),
+    mm AS (SELECT d, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+    e AS (SELECT x.v, mm.mn, (mm.mx - mm.mn) / 255.0 AS sc
+          FROM x JOIN mm USING (d)),
+    r AS (SELECT v,
+                 CASE WHEN sc = 0 THEN mn
+                      ELSE mn + least(greatest(
+                               floor((v - mn) / sc + 0.5), 0), 255) * sc
+                 END AS recon
+          FROM e)
+    SELECT CAST(count(*) AS BIGINT) AS n_vals,
+           round(max(abs(v - recon)), 6) AS max_abs_err,
+           round(avg((v - recon) * (v - recon)) * 1e6, 6) AS mse_e6
+    FROM r
+"""

@@ -9567,3 +9567,109 @@ QUERIES.update({
     "q_tail_index": q_tail_index,
     "q_f2": q_f2,
 })
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity validation (FK orphan counts)
+# ---------------------------------------------------------------------------
+def q_integrity(sf_dir: str):
+    """Referential-integrity audit over the star schema's two long FK
+    edges: lineitems whose order is missing and orders whose customer
+    is missing — the load-validation gate every warehouse ingest runs
+    before publishing a snapshot.  Each orphan count is a size-gated
+    anti-join (auto_anti: key-set broadcast when driver-sized, exact
+    hash-partitioned anti-join at warehouse scale) followed by a
+    distributed count; only four scalars reach the driver."""
+    from bb_ocr_ray.stages.joins import auto_anti
+
+    li = _read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    orders = _read_parquet(_t(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_custkey"])
+    cust = _read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+
+    li_keyed = li.map_batches(
+        lambda b: pd.DataFrame({"k": b["l_orderkey"].astype("int64")}),
+        batch_format="pandas")
+    ord_keys = orders.map_batches(
+        lambda b: pd.DataFrame({"k": b["o_orderkey"].astype("int64")}),
+        batch_format="pandas")
+    orphan_li = auto_anti(li_keyed, ord_keys, on="k").count()
+
+    ord_keyed = orders.map_batches(
+        lambda b: pd.DataFrame({"k": b["o_custkey"].astype("int64")}),
+        batch_format="pandas")
+    cust_keys = cust.map_batches(
+        lambda b: pd.DataFrame({"k": b["c_custkey"].astype("int64")}),
+        batch_format="pandas")
+    orphan_ord = auto_anti(ord_keyed, cust_keys, on="k").count()
+
+    return pd.DataFrame({
+        "n_lineitem": pd.array([li.count()], dtype="int64"),
+        "orphan_lineitem": pd.array([orphan_li], dtype="int64"),
+        "n_orders": pd.array([orders.count()], dtype="int64"),
+        "orphan_orders": pd.array([orphan_ord], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization-error QA (compression readiness)
+# ---------------------------------------------------------------------------
+def q_emb_quantize(sf_dir: str):
+    """Reconstruction error of per-dimension min/max int8 (256-level)
+    quantization over the embedding table — the compression-readiness
+    QA run before shipping vectors to an ANN index (asymmetric scalar
+    quantization per Jegou et al.'s PQ framing, TPAMI 2011; public
+    method).  Pass 1 folds per-dimension min/max (a dim-bounded
+    table); pass 2 broadcasts the 2xD bounds as closure constants and
+    folds (count, sum of squared error, max abs error) partials.
+    Both engines quantize with the identical double-precision
+    floor(x + 0.5) ladder, so max_abs_err matches bit-for-bit
+    (max is summation-order-free) and the mean squared error is
+    reported x1e6 at 6 dp to keep resolution above the rounding
+    grain."""
+    emb = _read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+
+    def minmax(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray([np.asarray(e, dtype="float64")
+                        for e in b["embedding"]])
+        dims = np.arange(X.shape[1], dtype="int64")
+        return pd.DataFrame({"d": dims,
+                             "mn": X.min(axis=0),
+                             "mx": X.max(axis=0)})
+
+    mm = coarse_agg(emb.map_batches(minmax, batch_format="pandas"),
+                    ["d"], {"mn": ("mn", "min"),
+                            "mx": ("mx", "max")}).to_pandas()
+    mm = mm.sort_values("d").reset_index(drop=True)
+    mn = mm["mn"].to_numpy("float64")
+    mx = mm["mx"].to_numpy("float64")
+    dim = len(mm)
+    sc = (mx - mn) / 255.0
+
+    def err(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray([np.asarray(e, dtype="float64")
+                        for e in b["embedding"]])
+        assert X.shape[1] == dim, "embedding width changed mid-table"
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((X - mn) / sc + 0.5)
+        q = np.clip(q, 0.0, 255.0)
+        recon = np.where(sc == 0.0, mn, mn + q * sc)
+        e = X - recon
+        return pd.DataFrame({
+            "n_vals": [int(e.size)],
+            "sse": [float((e * e).sum())],
+            "max_abs_err": [float(np.abs(e).max())]})
+
+    p = emb.map_batches(err, batch_format="pandas").to_pandas()
+    n_vals = int(p["n_vals"].sum())
+    return pd.DataFrame({
+        "n_vals": pd.array([n_vals], dtype="int64"),
+        "max_abs_err": [float(_round_sql(float(p["max_abs_err"].max()),
+                                         6))],
+        "mse_e6": [float(_round_sql(
+            float(p["sse"].sum()) / n_vals * 1e6, 6))]})
+
+
+QUERIES.update({
+    "q_integrity": q_integrity,
+    "q_emb_quantize": q_emb_quantize,
+})

@@ -228,6 +228,12 @@ def run_plain() -> dict:
         # token) vocabulary overlap, URL canonicalization fold
         "q_source_overlap": bench_query(Q.q_source_overlap, SF_DIR),
         "q_url_canonical": bench_query(Q.q_url_canonical, SF_DIR),
+        # seventh-session showcase ops: gaps-and-islands streaks (one
+        # user shuffle), day-bucketed 1h sliding-window burst peaks,
+        # and pairwise source JS divergence (token-bucket pair fold)
+        "q_streak": bench_query(Q.q_streak, SF_DIR),
+        "q_burst_peak": bench_query(Q.q_burst_peak, SF_DIR),
+        "q_js_divergence": bench_query(Q.q_js_divergence, SF_DIR),
     }
     out = {
         "metric": "headline extraction wall time (docs->text)",
