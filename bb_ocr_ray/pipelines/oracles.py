@@ -3654,3 +3654,65 @@ ORACLES["q_emb_quantize"] = """
            round(avg((v - recon) * (v - recon)) * 1e6, 6) AS mse_e6
     FROM r
 """
+
+
+ORACLES["q_bounce_rate"] = """
+    WITH e AS (SELECT CAST(user_id AS BIGINT) AS u, ts, event_id
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    l AS (SELECT u, ts,
+                 lag(ts) OVER (PARTITION BY u ORDER BY ts, event_id)
+                     AS prev
+          FROM e),
+    m AS (SELECT u, ts,
+                 CASE WHEN prev IS NULL
+                           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM l),
+    s AS (SELECT u, sum(new_s) OVER (PARTITION BY u ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+    z AS (SELECT u, sid, count(*) AS sz FROM s GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           round(CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate
+    FROM z
+"""
+
+
+ORACLES["q_lorenz"] = """
+    WITH c AS (SELECT user_id, count(*) AS c FROM events
+               WHERE user_id IS NOT NULL GROUP BY 1),
+    r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i
+          FROM c),
+    cum AS (SELECT i, sum(c) OVER (ORDER BY i
+                                   ROWS UNBOUNDED PRECEDING) AS cs
+            FROM r),
+    s AS (SELECT count(*) AS n, CAST(sum(c) AS HUGEINT) AS tot FROM c)
+    SELECT CAST(g.k AS BIGINT) AS decile,
+           CAST((g.k * s.n) // 10 AS BIGINT) AS n_users_cum,
+           CAST(coalesce((SELECT cs FROM cum
+                          WHERE i = (g.k * s.n) // 10), 0) AS BIGINT)
+               AS n_events_cum,
+           round(CAST(coalesce((SELECT cs FROM cum
+                                WHERE i = (g.k * s.n) // 10), 0)
+                      AS DOUBLE) / s.tot, 6) AS share
+    FROM generate_series(1, 10) AS g(k), s
+    ORDER BY 1
+"""
+
+
+ORACLES["q_ship_delay"] = """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(min((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                    // 86400000000) AS BIGINT) AS min_days,
+           CAST(max((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                    // 86400000000) AS BIGINT) AS max_days,
+           round(CAST(sum((epoch_us(l.l_shipdate)
+                           - epoch_us(o.o_orderdate)) // 86400000000)
+                      AS DOUBLE) / count(*), 6) AS avg_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+"""

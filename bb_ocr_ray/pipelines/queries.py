@@ -9673,3 +9673,168 @@ QUERIES.update({
     "q_integrity": q_integrity,
     "q_emb_quantize": q_emb_quantize,
 })
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate (1-event sessions under the 1800s gap rule)
+# ---------------------------------------------------------------------------
+def q_bounce_rate(sf_dir: str):
+    """Share of sessions containing exactly one event — the bounce
+    rate, under the same gap->1800s sessionization rule as
+    q_sessionize (strict (ts, event_id) order so equal timestamps
+    cannot flip session boundaries between engines).  One coarse
+    shuffle on user; session islands and their sizes are vectorized
+    run-length arithmetic over the bucket; only (n_sessions,
+    n_bounce) scalars fold to the driver."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    _GAP_US = 1_800_000_000
+    nb = _auto_num_buckets()
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_id"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        g = pd.DataFrame({
+            "u": b["user_id"].astype("int64").to_numpy(),
+            "us": b["ts"].astype("datetime64[us]").astype("int64")
+            .to_numpy(),
+            "event_id": b["event_id"].astype("int64").to_numpy()})
+        g["__coarse"] = _bucket_ids(g, ["u"], nb)
+        return g
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "us", "event_id"], kind="mergesort")
+        u = g["u"].to_numpy("int64")
+        us = g["us"].to_numpy("int64")
+        if len(u) == 0:
+            return pd.DataFrame({"n_sessions": pd.Series([], dtype="int64"),
+                                 "n_bounce": pd.Series([], dtype="int64")})
+        same = np.concatenate(
+            [[False], (u[1:] == u[:-1]) & (us[1:] - us[:-1] <= _GAP_US)])
+        run_id = np.cumsum(~same) - 1
+        sizes = np.bincount(run_id)
+        return pd.DataFrame({"n_sessions": [len(sizes)],
+                             "n_bounce": [int((sizes == 1).sum())]})
+
+    p = (ev.map_batches(stamp, batch_format="pandas")
+         .groupby("__coarse").map_groups(bucket, batch_format="pandas")
+         .to_pandas())
+    n_sessions = int(p["n_sessions"].sum())
+    n_bounce = int(p["n_bounce"].sum())
+    return pd.DataFrame({
+        "n_sessions": pd.array([n_sessions], dtype="int64"),
+        "n_bounce": pd.array([n_bounce], dtype="int64"),
+        "bounce_rate": [float(_round_sql(n_bounce / n_sessions, 6))
+                        if n_sessions else 0.0]})
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles of user-activity concentration
+# ---------------------------------------------------------------------------
+def q_lorenz(sf_dir: str):
+    """Lorenz curve at user deciles: the cumulative share of all
+    events held by the least-active k*10% of users, k=1..10 — the
+    curve behind q_gini's scalar (Lorenz 1905; public method).
+    Exact at any scale via the activity-value histogram: per-user
+    counts fold once, then a (count-value, n_users) histogram fold —
+    users sharing an activity count are interchangeable, so the
+    decile cut inside a value group is exact integer arithmetic
+    (partial_users * value), never a per-user sort."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"])
+        vc = b["user_id"].astype("int64").value_counts()
+        return pd.DataFrame({"u": vc.index.to_numpy("int64"),
+                             "c": vc.to_numpy("int64")})
+
+    cnt = coarse_agg(ev.map_batches(partial, batch_format="pandas"),
+                     ["u"], {"c": ("c", "sum")})
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["c"].astype("int64").value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy("int64"),
+                             "m": vc.to_numpy("int64")})
+
+    h = coarse_agg(cnt.map_batches(hist, batch_format="pandas"),
+                   ["v"], {"m": ("m", "sum")}).to_pandas()
+    h = h.sort_values("v").reset_index(drop=True)
+    v = h["v"].to_numpy("int64")
+    m = h["m"].to_numpy("int64")
+    n = int(m.sum())
+    tot = int((v * m).sum())
+    cum_u = np.concatenate([[0], np.cumsum(m)])
+    cum_e = np.concatenate([[0], np.cumsum(v * m)])
+    rows = []
+    for k in range(1, 11):
+        p = (k * n) // 10
+        # side="left" so a cut landing EXACTLY on a group boundary
+        # resolves inside the finished group (partial term = full group)
+        i = int(np.searchsorted(cum_u, p, side="left")) - 1
+        ce = int(cum_e[i] + (p - cum_u[i]) * v[i]) if p > 0 else 0
+        rows.append((k, p, ce, float(_round_sql(ce / tot, 6))))
+    return pd.DataFrame(rows, columns=["decile", "n_users_cum",
+                                       "n_events_cum", "share"]).astype(
+        {"decile": "int64", "n_users_cum": "int64",
+         "n_events_cum": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship delay stats per priority (fulfilment QA)
+# ---------------------------------------------------------------------------
+def q_ship_delay(sf_dir: str):
+    """Per order priority: lineitem count and min/max/mean days from
+    order date to ship date — the fulfilment-latency QA join.  The
+    orders side ships through the size-gated auto_join (broadcast at
+    test scale, bucketed hash join at warehouse scale); day deltas
+    are exact integer microsecond floors and the mean folds from
+    exact integer day sums."""
+    from bb_ocr_ray.stages.joins import auto_join
+
+    _D = 86_400_000_000
+    li = _read_parquet(_t(sf_dir, "lineitem"),
+                       columns=["l_orderkey", "l_shipdate"])
+    orders = _read_parquet(_t(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"])
+
+    li_k = li.map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].astype("int64"),
+            "ship_us": b["l_shipdate"].astype("datetime64[us]")
+            .astype("int64")}),
+        batch_format="pandas")
+    j = auto_join(li_k, orders, on="o_orderkey")
+
+    def delays(b: pd.DataFrame) -> pd.DataFrame:
+        d = ((b["ship_us"].astype("int64")
+              - b["o_orderdate"].astype("datetime64[us]").astype("int64"))
+             // _D)
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "n": np.ones(len(b), dtype="int64"),
+            "sum_days": d.astype("int64"),
+            "min_days": d.astype("int64"),
+            "max_days": d.astype("int64")})
+
+    out = coarse_agg(j.map_batches(delays, batch_format="pandas"),
+                     ["o_orderpriority"],
+                     {"n": ("n", "sum"), "sum_days": ("sum_days", "sum"),
+                      "min_days": ("min_days", "min"),
+                      "max_days": ("max_days", "max")}).to_pandas()
+    for c in ("n", "sum_days", "min_days", "max_days"):
+        out[c] = out[c].astype("int64")
+    out["avg_days"] = [float(_round_sql(s / n, 6))
+                       for s, n in zip(out["sum_days"], out["n"])]
+    out = out[["o_orderpriority", "n", "min_days", "max_days",
+               "avg_days"]]
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_bounce_rate": q_bounce_rate,
+    "q_lorenz": q_lorenz,
+    "q_ship_delay": q_ship_delay,
+})
