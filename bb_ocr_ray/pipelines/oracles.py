@@ -3716,3 +3716,45 @@ ORACLES["q_ship_delay"] = """
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["q_key_discovery"] = """
+    WITH s AS (SELECT count(*) AS n FROM events)
+    SELECT * FROM (
+      SELECT 'event_id' AS candidate,
+             (SELECT CAST(n AS BIGINT) FROM s) AS n_rows,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             count(DISTINCT event_id) = (SELECT n FROM s) AS is_key
+      FROM events
+      UNION ALL
+      SELECT 'user_id',
+             (SELECT CAST(n AS BIGINT) FROM s),
+             CAST(count(DISTINCT {'u': user_id}) AS BIGINT),
+             count(DISTINCT {'u': user_id}) = (SELECT n FROM s)
+      FROM events
+      UNION ALL
+      SELECT 'user_id,ts',
+             (SELECT CAST(n AS BIGINT) FROM s),
+             CAST(count(DISTINCT {'u': user_id, 't': ts}) AS BIGINT),
+             count(DISTINCT {'u': user_id, 't': ts}) = (SELECT n FROM s)
+      FROM events)
+    ORDER BY candidate
+"""
+
+
+ORACLES["q_ooo_rate"] = """
+    WITH e AS (SELECT CAST(user_id AS BIGINT) AS u, event_id, ts
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    l AS (SELECT u, ts,
+                 lag(ts) OVER (PARTITION BY u ORDER BY event_id)
+                     AS prev
+          FROM e),
+    p AS (SELECT count(*) AS n_pairs,
+                 sum(CASE WHEN ts < prev THEN 1 ELSE 0 END) AS n_ooo
+          FROM l WHERE prev IS NOT NULL)
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_ooo AS BIGINT) AS n_ooo,
+           round(CAST(n_ooo AS DOUBLE) / n_pairs, 6) AS ooo_rate
+    FROM p
+"""

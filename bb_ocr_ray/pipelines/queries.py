@@ -9838,3 +9838,97 @@ QUERIES.update({
     "q_lorenz": q_lorenz,
     "q_ship_delay": q_ship_delay,
 })
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery (uniqueness audit over key combinations)
+# ---------------------------------------------------------------------------
+def q_key_discovery(sf_dir: str):
+    """Uniqueness audit of three candidate keys over the event stream
+    — the schema-discovery step every ingest contract starts from:
+    n_distinct vs n_rows per candidate, and whether it is a key.
+    Each candidate folds through ONE coarse count shuffle (per-batch
+    local dedup partials first, so the all-to-all moves distinct
+    candidate values, not rows); only three scalar pairs reach the
+    driver.  NULLs count as values (the pragmatic dedup convention,
+    mirrored by the oracle's count(DISTINCT (..)) on a struct)."""
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_id", "user_id", "ts"])
+    n_rows = ev.count()
+
+    def distinct_count(cols) -> int:
+        def local(b: pd.DataFrame) -> pd.DataFrame:
+            return b[cols].drop_duplicates()
+
+        d = coarse_agg(ev.map_batches(local, batch_format="pandas"),
+                       cols, {"c": (cols[0], "size")})
+        return d.count()
+
+    cands = [("event_id", ["event_id"]),
+             ("user_id", ["user_id"]),
+             ("user_id,ts", ["user_id", "ts"])]
+    rows = []
+    for name, cols in cands:
+        nd = distinct_count(cols)
+        rows.append((name, n_rows, nd, nd == n_rows))
+    out = pd.DataFrame(rows, columns=["candidate", "n_rows",
+                                      "n_distinct", "is_key"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("candidate").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order event rate (ingest-sequence vs event-time QA)
+# ---------------------------------------------------------------------------
+def q_ooo_rate(sf_dir: str):
+    """Per-user out-of-order rate: among consecutive events in INGEST
+    order (event_id), how often event time goes backwards — the
+    watermark-lateness QA a streaming consumer sizes its buffers
+    from.  One coarse shuffle on user; adjacent-pair comparison is
+    vectorized over each bucket's (user, event_id)-sorted rows; a
+    single (pairs, inversions) scalar pair folds out.  The
+    documented partitioning assumption: adjacency is PER USER
+    (global adjacency would need a total event_id sort)."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    nb = _auto_num_buckets()
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "event_id", "ts"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        g = pd.DataFrame({
+            "u": b["user_id"].astype("int64").to_numpy(),
+            "eid": b["event_id"].astype("int64").to_numpy(),
+            "us": b["ts"].astype("datetime64[us]").astype("int64")
+            .to_numpy()})
+        g["__coarse"] = _bucket_ids(g, ["u"], nb)
+        return g
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "eid"], kind="mergesort")
+        u = g["u"].to_numpy("int64")
+        us = g["us"].to_numpy("int64")
+        same = u[1:] == u[:-1]
+        pairs = int(same.sum())
+        ooo = int(((us[1:] < us[:-1]) & same).sum())
+        return pd.DataFrame({"n_pairs": [pairs], "n_ooo": [ooo]})
+
+    p = (ev.map_batches(stamp, batch_format="pandas")
+         .groupby("__coarse").map_groups(bucket, batch_format="pandas")
+         .to_pandas())
+    n_pairs = int(p["n_pairs"].sum())
+    n_ooo = int(p["n_ooo"].sum())
+    return pd.DataFrame({
+        "n_pairs": pd.array([n_pairs], dtype="int64"),
+        "n_ooo": pd.array([n_ooo], dtype="int64"),
+        "ooo_rate": [float(_round_sql(n_ooo / n_pairs, 6))
+                     if n_pairs else 0.0]})
+
+
+QUERIES.update({
+    "q_key_discovery": q_key_discovery,
+    "q_ooo_rate": q_ooo_rate,
+})
