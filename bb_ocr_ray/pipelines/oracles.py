@@ -3758,3 +3758,42 @@ ORACLES["q_ooo_rate"] = """
            round(CAST(n_ooo AS DOUBLE) / n_pairs, 6) AS ooo_rate
     FROM p
 """
+
+
+ORACLES["q_fim_split"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    s AS (SELECT doc_id, tk, len(tk) AS n,
+                 len(tk) // 3 AS a, (2 * len(tk)) // 3 AS c
+          FROM toks)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(a AS BIGINT) AS n_prefix,
+           CAST(c - a AS BIGINT) AS n_middle,
+           CAST(n - c AS BIGINT) AS n_suffix,
+           md5(array_to_string(tk[1:a], ' ') || chr(1)
+               || array_to_string(tk[c+1:n], ' ') || chr(1)
+               || array_to_string(tk[a+1:c], ' ')) AS fim_md5
+    FROM s ORDER BY doc_id
+"""
+
+
+ORACLES["q_hard_negatives"] = """
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv,
+                      CAST(label AS BIGINT) AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    p AS (SELECT q.query_id, q.qlabel,
+                 CAST(e.vec_id AS BIGINT) AS neighbor_id,
+                 CAST(e.label AS BIGINT) AS neg_label,
+                 round(list_cosine_similarity(
+                     q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS score
+          FROM q CROSS JOIN embeddings e
+          WHERE CAST(e.label AS BIGINT) <> q.qlabel),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC,
+                                                 neighbor_id) AS rk
+          FROM p)
+    SELECT CAST(query_id AS BIGINT) AS query_id, qlabel, neighbor_id,
+           neg_label, score
+    FROM r WHERE rk = 1 ORDER BY query_id
+"""

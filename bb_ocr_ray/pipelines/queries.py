@@ -9932,3 +9932,128 @@ QUERIES.update({
     "q_key_discovery": q_key_discovery,
     "q_ooo_rate": q_ooo_rate,
 })
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle training prep (PSM reorder per doc)
+# ---------------------------------------------------------------------------
+def q_fim_split(sf_dir: str):
+    """Fill-in-the-middle training prep: each doc's token stream splits
+    at the deterministic 1/3 and 2/3 cut points and reorders to PSM
+    (prefix, suffix, middle) — the FIM transformation of Bavarian et
+    al. (2022; public method), emitted as per-doc split sizes plus an
+    md5 of the reordered text so the full transform is value-checked
+    without shipping doc-sized strings through the compare.  Pure
+    doc-local map work: no shuffle at any scale."""
+    from bb_ocr_ray.functions.hashing import md5_hex, ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fim(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "n_tokens": [], "n_prefix": [],
+               "n_middle": [], "n_suffix": [], "fim_md5": []}
+        for did, t in zip(b["doc_id"], b["text"]):
+            tk = ws_tokens(t or "")
+            n = len(tk)
+            a, c = n // 3, (2 * n) // 3
+            pre, mid, suf = tk[:a], tk[a:c], tk[c:]
+            psm = "\x01".join((" ".join(pre), " ".join(suf),
+                               " ".join(mid)))
+            out["doc_id"].append(int(did))
+            out["n_tokens"].append(n)
+            out["n_prefix"].append(len(pre))
+            out["n_middle"].append(len(mid))
+            out["n_suffix"].append(len(suf))
+            out["fim_md5"].append(md5_hex(psm))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+            "n_prefix": pd.Series(out["n_prefix"], dtype="int64"),
+            "n_middle": pd.Series(out["n_middle"], dtype="int64"),
+            "n_suffix": pd.Series(out["n_suffix"], dtype="int64"),
+            "fim_md5": pd.Series(out["fim_md5"], dtype="object")})
+
+    return docs.map_batches(fim, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+def q_hard_negatives(sf_dir: str):
+    """Hardest negative per query vector: the highest-cosine neighbor
+    with a DIFFERENT label, for query vec_id < 10 — the mining step of
+    every contrastive/triplet training loop (Schroff et al.'s
+    semi-hard mining frame, CVPR 2015; public method).  The 10-query
+    matrix broadcasts once via ray.put (the ann_topk posture); each
+    batch emits a per-query partial best among its different-label
+    rows; a query-bounded reduce picks the global argmax.  Ranking is
+    at the fixed 4 dp grain on BOTH engines so near-ties cannot flip
+    the winner (the q_hybrid_rrf convention)."""
+    import ray
+
+    from bb_ocr_ray.stages.ann import _normalize, _to_matrix
+
+    vecs = _read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding", "label"])
+
+    import pyarrow.compute as pc
+
+    # arrow-native filter: an empty pandas block with a list column
+    # trips Ray's block size estimator (harmless but noisy); arrow
+    # blocks size cleanly
+    qrows = vecs.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 10)),
+        batch_format="pyarrow").to_pandas()
+    qrows = qrows.sort_values("vec_id")
+    q_ref = ray.put((qrows["vec_id"].astype("int64").tolist(),
+                     qrows["label"].astype("int64").tolist(),
+                     _normalize(_to_matrix(qrows["embedding"]))))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        qids, qlabs, qmat = ray.get(q_ref)
+        ids = b["vec_id"].astype("int64").to_numpy()
+        labs = b["label"].astype("int64").to_numpy()
+        mat = _normalize(_to_matrix(b["embedding"]))
+        sims = np.round(qmat @ mat.T, 4)
+        rows = {"query_id": [], "qlabel": [], "neighbor_id": [],
+                "neg_label": [], "score": []}
+        for qi, (qid, qlab) in enumerate(zip(qids, qlabs)):
+            mask = labs != qlab
+            if not mask.any():
+                continue
+            s = sims[qi][mask]
+            cand_ids = ids[mask]
+            order = np.lexsort((cand_ids, -s))[0]
+            rows["query_id"].append(qid)
+            rows["qlabel"].append(qlab)
+            rows["neighbor_id"].append(int(cand_ids[order]))
+            rows["neg_label"].append(int(labs[mask][order]))
+            rows["score"].append(float(s[order]))
+        return pd.DataFrame({
+            "query_id": pd.Series(rows["query_id"], dtype="int64"),
+            "qlabel": pd.Series(rows["qlabel"], dtype="int64"),
+            "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
+            "neg_label": pd.Series(rows["neg_label"], dtype="int64"),
+            "score": pd.Series(rows["score"], dtype="float64")})
+
+    parts = vecs.map_batches(partial, batch_format="pandas")
+
+    def reduce_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True],
+                          kind="mergesort").head(1)
+        return g.reset_index(drop=True)
+
+    out = (parts.groupby("query_id")
+           .map_groups(reduce_best, batch_format="pandas").to_pandas())
+    for c in ("query_id", "qlabel", "neighbor_id", "neg_label"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_fim_split": q_fim_split,
+    "q_hard_negatives": q_hard_negatives,
+})
