@@ -448,7 +448,12 @@ ORACLES.update({
 # (length-difference // pattern length), earliest-wins argmax (CASE
 # chain in _LANG_ORDER order).
 # ---------------------------------------------------------------------------
-def _langid_oracle_sql() -> str:
+def _langid_pred_cte() -> str:
+    """The shared WITH…pred prefix: every detect_lang step mirrored in
+    SQL generated from the engine's own profile tables.  Used by both
+    the accuracy oracle (q_langid) and the confusion-matrix oracle
+    (q_lang_confusion) so the classifier mirror cannot drift between
+    them."""
     from bb_ocr_ray.functions.textstats import _LANG_ORDER, _LANG_PROFILES
 
     def score_expr(lang: str) -> str:
@@ -486,12 +491,23 @@ def _langid_oracle_sql() -> str:
                     THEN 'zh'
                     {case}
                     ELSE 'und' END AS lang_pred
-            FROM sc)
+            FROM sc)"""
+
+
+def _langid_oracle_sql() -> str:
+    return _langid_pred_cte() + """
         SELECT lang,
                CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_agree,
                count(*) AS n_docs
         FROM pred GROUP BY 1
+    """
+
+
+def _lang_confusion_oracle_sql() -> str:
+    return _langid_pred_cte() + """
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 
@@ -3796,4 +3812,44 @@ ORACLES["q_hard_negatives"] = """
     SELECT CAST(query_id AS BIGINT) AS query_id, qlabel, neighbor_id,
            neg_label, score
     FROM r WHERE rk = 1 ORDER BY query_id
+"""
+
+
+ORACLES["q_lang_confusion"] = _lang_confusion_oracle_sql()
+
+
+ORACLES["q_vocab_coverage"] = f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    pc AS (SELECT unnest(tk) AS tok FROM toks),
+    cnt AS (SELECT tok, count(*) AS n FROM pc GROUP BY 1),
+    r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS i
+          FROM cnt),
+    cum AS (SELECT i, sum(n) OVER (ORDER BY i
+                                   ROWS UNBOUNDED PRECEDING) AS cs
+            FROM r),
+    s AS (SELECT count(*) AS v, sum(n) AS tot FROM cnt),
+    ks(k) AS (VALUES (1), (2), (4), (8), (16), (32), (64), (128))
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST((SELECT cs FROM cum WHERE i = ks.k) AS BIGINT)
+               AS n_covered,
+           round(CAST((SELECT cs FROM cum WHERE i = ks.k) AS DOUBLE)
+                 / s.tot, 6) AS coverage
+    FROM ks, s WHERE ks.k <= s.v ORDER BY 1
+"""
+
+
+ORACLES["q_conversion_lag"] = """
+    WITH v AS (SELECT CAST(user_id AS BIGINT) AS u, min(ts) AS vts
+               FROM events
+               WHERE event_type = 'view' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL
+               GROUP BY 1),
+    p AS (SELECT v.u, min(e.ts) AS pts, min(v.vts) AS vts
+          FROM v JOIN events e
+            ON CAST(e.user_id AS BIGINT) = v.u
+           AND e.event_type = 'purchase' AND e.ts >= v.vts
+          GROUP BY 1)
+    SELECT (epoch_us(pts) - epoch_us(vts)) // 86400000000 AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY 1 ORDER BY 1
 """

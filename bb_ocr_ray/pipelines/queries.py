@@ -10057,3 +10057,133 @@ QUERIES.update({
     "q_fim_split": q_fim_split,
     "q_hard_negatives": q_hard_negatives,
 })
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier-eval view of q_langid)
+# ---------------------------------------------------------------------------
+def q_lang_confusion(sf_dir: str):
+    """Full (true lang, predicted lang) confusion matrix of the n-gram
+    language-ID heuristic — the eval table behind q_langid's per-lang
+    accuracy scalar.  Same engine-side detect_lang and the same
+    SQL-generated classifier mirror (oracles._langid_pred_cte), so
+    the two operators cannot drift; one lang²-bounded count fold."""
+    from bb_ocr_ray.stages.text_stats import add_lang_pred
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+    scored = ds.map_batches(add_lang_pred, batch_format="pandas")
+    out = coarse_agg(
+        scored.map_batches(
+            lambda b: pd.DataFrame({
+                "lang": b["lang"], "lang_pred": b["lang_pred"],
+                "n": np.ones(len(b), dtype="int64")}),
+            batch_format="pandas"),
+        ["lang", "lang_pred"], {"n": ("n", "sum")}).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["lang", "lang_pred"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer sizing)
+# ---------------------------------------------------------------------------
+def q_vocab_coverage(sf_dir: str):
+    """Share of all token OCCURRENCES covered by the top-k vocabulary
+    for k in {1,2,4,...,128} — the coverage curve every tokenizer
+    vocab-size decision is read off (the OOV complement of q_oov_rate
+    as a function of k).  One vocab-bounded count fold; the top-128
+    cut is a Dataset sort+limit with the (n desc, tok asc) total
+    tiebreak; the cumulative arithmetic runs on those 128 rows plus
+    the aggregate total."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for t in b["text"]:
+            cnt.update(ws_tokens(t or ""))
+        return pd.DataFrame({"tok": list(cnt.keys()),
+                             "n": np.fromiter(cnt.values(), dtype="int64")})
+
+    vocab = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                       ["tok"], {"n": ("n", "sum")}).materialize()
+    vocab_size = vocab.count()
+    total = int(vocab.sum("n"))
+    top = (vocab.sort(["n", "tok"], descending=[True, False])
+           .limit(128).to_pandas())
+    cum = np.cumsum(top["n"].to_numpy("int64"))
+    rows = []
+    for k in (1, 2, 4, 8, 16, 32, 64, 128):
+        if k > vocab_size:
+            break
+        cov = int(cum[k - 1])
+        rows.append((k, cov, float(_round_sql(cov / total, 6))))
+    out = pd.DataFrame(rows, columns=["k", "n_covered", "coverage"])
+    out["k"] = out["k"].astype("int64")
+    out["n_covered"] = out["n_covered"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# View-to-purchase conversion lag histogram
+# ---------------------------------------------------------------------------
+def q_conversion_lag(sf_dir: str):
+    """Histogram of days from a user's FIRST view to their first
+    purchase at-or-after it — the conversion-latency distribution
+    behind q_funnel_windowed's fixed-window counts.  One coarse
+    shuffle on user; first-view / first-qualifying-purchase are
+    vectorized groupby mins inside the bucket; a day-bounded
+    histogram folds out.  Users who never convert simply don't
+    appear (INNER-join semantics, mirrored by the oracle)."""
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    _D = 86_400_000_000
+    nb = _auto_num_buckets()
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["user_id", "ts", "event_type"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        b = b[b["event_type"].isin(["view", "purchase"])]
+        g = pd.DataFrame({
+            "u": b["user_id"].astype("int64").to_numpy(),
+            "us": b["ts"].astype("datetime64[us]").astype("int64")
+            .to_numpy(),
+            "et": b["event_type"].to_numpy()})
+        g["__coarse"] = _bucket_ids(g, ["u"], nb)
+        return g
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g[g["et"] == "view"].groupby("u")["us"].min()
+             .rename("vts").reset_index())
+        p = g[g["et"] == "purchase"][["u", "us"]].merge(v, on="u")
+        p = p[p["us"] >= p["vts"]]
+        if p.empty:
+            return pd.DataFrame({"lag_days": pd.Series([], dtype="int64"),
+                                 "n_users": pd.Series([], dtype="int64")})
+        first = p.groupby("u", as_index=False).agg(
+            pts=("us", "min"), vts=("vts", "min"))
+        lag = ((first["pts"] - first["vts"]) // _D).astype("int64")
+        vc = lag.value_counts()
+        return pd.DataFrame({"lag_days": vc.index.to_numpy("int64"),
+                             "n_users": vc.to_numpy("int64")})
+
+    folded = (ev.map_batches(stamp, batch_format="pandas")
+              .groupby("__coarse").map_groups(bucket,
+                                              batch_format="pandas"))
+    out = coarse_agg(folded, ["lag_days"],
+                     {"n_users": ("n_users", "sum")}).to_pandas()
+    out["lag_days"] = out["lag_days"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("lag_days").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_lang_confusion": q_lang_confusion,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_conversion_lag": q_conversion_lag,
+})
