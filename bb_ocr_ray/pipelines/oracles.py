@@ -3853,3 +3853,56 @@ ORACLES["q_conversion_lag"] = """
            CAST(count(*) AS BIGINT) AS n_users
     FROM p GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["q_gopher_rules"] = f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    f AS (SELECT len(tk) AS wc,
+                 CASE WHEN len(tk) = 0 THEN 0.0
+                      ELSE CAST(list_aggregate(
+                               list_transform(tk, x -> length(x)),
+                               'sum') AS DOUBLE) / len(tk) END AS mwl,
+                 len(list_filter(tk, x -> x IN
+                     ('the','a','and','of','to','in','is'))) AS stop,
+                 len(list_filter(tk,
+                     x -> regexp_matches(x, '^[a-zA-Z]+$'))) AS alpha
+          FROM toks),
+    r AS (SELECT (wc >= 40) AS r1,
+                 (wc > 0 AND mwl >= 3.0 AND mwl <= 10.0) AS r2,
+                 (stop >= 2) AS r3,
+                 (wc > 0 AND alpha * 5 >= wc * 4) AS r4
+          FROM f)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_wordcount,
+           CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_wordlen,
+           CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_stopwords,
+           CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_alpha,
+           CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep
+    FROM r
+"""
+
+
+ORACLES["q_budget_alloc"] = f"""
+    WITH d AS (SELECT {_DOMAIN} AS domain FROM documents),
+    c AS (SELECT domain, count(*) AS c FROM d GROUP BY 1),
+    s AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM c),
+    b AS (SELECT domain, c,
+                 CAST((10000 * CAST(c AS HUGEINT)) // s.n AS BIGINT)
+                     AS base,
+                 CAST((10000 * CAST(c AS HUGEINT)) % s.n AS BIGINT)
+                     AS rem
+          FROM c, s),
+    e AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS extra FROM b),
+    r AS (SELECT domain, c, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, domain) AS rk
+          FROM b)
+    SELECT domain, CAST(c AS BIGINT) AS n_docs,
+           CAST(base + CASE WHEN rk <= (SELECT extra FROM e)
+                            THEN 1 ELSE 0 END AS BIGINT) AS budget
+    FROM r ORDER BY domain
+"""

@@ -10187,3 +10187,97 @@ QUERIES.update({
     "q_vocab_coverage": q_vocab_coverage,
     "q_conversion_lag": q_conversion_lag,
 })
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter report (quality-gate pass counts)
+# ---------------------------------------------------------------------------
+def q_gopher_rules(sf_dir: str):
+    """Pass counts for four Gopher-style document quality rules plus
+    the all-rules keep count — the filter REPORT view next to
+    q_doc_quality's feature sums (Rae et al. 2021 'Gopher' rule
+    family; public method).  Rules: word count >= 40; mean word
+    length in [3, 10]; >= 2 stopword hits; >= 80% purely-alphabetic
+    tokens.  Pure vectorized doc-local flags, one five-scalar fold;
+    the report is what a RefinedWeb-style cleaning run logs per
+    shard."""
+    from bb_ocr_ray.functions.hashing import ws_tokens
+    from bb_ocr_ray.functions.textstats import STOPWORDS
+
+    stop = frozenset(STOPWORDS)
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        import re
+        alpha = re.compile(r"^[a-zA-Z]+$")
+        n = lenr = stopr = alphar = keep = docs_n = 0
+        for t in b["text"]:
+            tk = ws_tokens(t or "")
+            wc = len(tk)
+            r1 = wc >= 40
+            r2 = (wc > 0
+                  and 3.0 <= sum(len(x) for x in tk) / wc <= 10.0)
+            r3 = sum(1 for x in tk if x in stop) >= 2
+            r4 = wc > 0 and sum(
+                1 for x in tk if alpha.match(x)) * 5 >= wc * 4
+            docs_n += 1
+            n += r1
+            lenr += r2
+            stopr += r3
+            alphar += r4
+            keep += (r1 and r2 and r3 and r4)
+        return pd.DataFrame({
+            "n_docs": [docs_n], "pass_wordcount": [n],
+            "pass_wordlen": [lenr], "pass_stopwords": [stopr],
+            "pass_alpha": [alphar], "n_keep": [keep]})
+
+    p = docs.map_batches(flags, batch_format="pandas").to_pandas()
+    out = pd.DataFrame({c: pd.array([int(p[c].sum())], dtype="int64")
+                        for c in ("n_docs", "pass_wordcount",
+                                  "pass_wordlen", "pass_stopwords",
+                                  "pass_alpha", "n_keep")})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Crawl budget allocation (largest-remainder apportionment)
+# ---------------------------------------------------------------------------
+def q_budget_alloc(sf_dir: str):
+    """Apportion a fixed crawl budget of 10,000 fetches across domains
+    proportionally to their doc counts with largest-remainder
+    (Hamilton) rounding — exact integer arithmetic: base = B*c // N,
+    then the B - sum(base) largest remainders (B*c % N, domain-asc
+    tiebreak) get +1.  The domain-count fold is the only shuffle; the
+    apportionment runs on the domain-bounded table (the same bounded
+    posture as q_domain_stats' output side)."""
+    _B = 10_000
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def dom(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["doc_id"].astype("int64") % 10
+        d = np.where(m < 3, "hot.example.com",
+                     "site" + m.astype(str) + ".example.com")
+        vc = pd.Series(d).value_counts()
+        return pd.DataFrame({"domain": vc.index.to_numpy(),
+                             "c": vc.to_numpy("int64")})
+
+    t = coarse_agg(docs.map_batches(dom, batch_format="pandas"),
+                   ["domain"], {"c": ("c", "sum")}).to_pandas()
+    t["c"] = t["c"].astype("int64")
+    n = int(t["c"].sum())
+    t["base"] = (_B * t["c"]) // n
+    t["rem"] = (_B * t["c"]) % n
+    t = t.sort_values(["rem", "domain"],
+                      ascending=[False, True], kind="mergesort")
+    extra = _B - int(t["base"].sum())
+    t["budget"] = t["base"] + (np.arange(len(t)) < extra).astype("int64")
+    out = t[["domain", "c", "budget"]].rename(columns={"c": "n_docs"})
+    for c in ("n_docs", "budget"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_gopher_rules": q_gopher_rules,
+    "q_budget_alloc": q_budget_alloc,
+})
