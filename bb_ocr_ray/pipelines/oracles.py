@@ -3906,3 +3906,38 @@ ORACLES["q_budget_alloc"] = f"""
                             THEN 1 ELSE 0 END AS BIGINT) AS budget
     FROM r ORDER BY domain
 """
+
+
+ORACLES["q_script_mix"] = """
+    WITH t AS (SELECT lang, coalesce(text, '') AS s FROM documents)
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(s, '[A-Za-z]'))) AS BIGINT)
+               AS n_latin,
+           CAST(sum(len(regexp_extract_all(s, '[0-9]'))) AS BIGINT)
+               AS n_digit,
+           CAST(sum(len(regexp_extract_all(s, '[ \t\n\r\f\v]')))
+                AS BIGINT) AS n_ws,
+           CAST(sum(len(regexp_extract_all(s,
+                '[\\x{4E00}-\\x{9FFF}]'))) AS BIGINT) AS n_cjk,
+           CAST(sum(length(s)
+                    - len(regexp_extract_all(s, '[A-Za-z]'))
+                    - len(regexp_extract_all(s, '[0-9]'))
+                    - len(regexp_extract_all(s, '[ \t\n\r\f\v]'))
+                    - len(regexp_extract_all(s,
+                          '[\\x{4E00}-\\x{9FFF}]'))) AS BIGINT)
+               AS n_other
+    FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_dup_flow"] = """
+    WITH h AS (SELECT doc_id, source,
+                      md5(substr(coalesce(text, ''), 1, 64)) AS h
+               FROM documents),
+    f AS (SELECT h, min(doc_id) AS keep FROM h GROUP BY 1),
+    j AS (SELECT hf.source AS src_first, hd.source AS src_dup
+          FROM f JOIN h hf ON hf.doc_id = f.keep
+                 JOIN h hd ON hd.h = f.h AND hd.doc_id <> f.keep)
+    SELECT src_first, src_dup, CAST(count(*) AS BIGINT) AS n
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""

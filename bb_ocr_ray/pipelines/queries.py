@@ -10281,3 +10281,115 @@ QUERIES.update({
     "q_gopher_rules": q_gopher_rules,
     "q_budget_alloc": q_budget_alloc,
 })
+
+
+# ---------------------------------------------------------------------------
+# Script-mix histogram per language (charset QA)
+# ---------------------------------------------------------------------------
+def q_script_mix(sf_dir: str):
+    """Per-language codepoint class counts — latin letters, digits,
+    whitespace, CJK, other — the charset-mix QA that catches mojibake
+    and mislabeled languages before they poison a tokenizer.  One
+    utf-32 reinterpret per doc vectorizes the classification (no
+    per-char Python); a lang-bounded five-column fold."""
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {}
+        for lang, t in zip(b["lang"], b["text"]):
+            s = t or ""
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+            lat = int((((cp >= 65) & (cp <= 90))
+                       | ((cp >= 97) & (cp <= 122))).sum())
+            dig = int(((cp >= 48) & (cp <= 57)).sum())
+            ws = int(np.isin(cp, (32, 9, 10, 13, 12, 11)).sum())
+            cjk = int(((cp >= 0x4E00) & (cp <= 0x9FFF)).sum())
+            oth = len(cp) - lat - dig - ws - cjk
+            acc = rows.setdefault(lang, [0, 0, 0, 0, 0])
+            for i, v in enumerate((lat, dig, ws, cjk, oth)):
+                acc[i] += v
+        ks = list(rows.keys())
+        return pd.DataFrame({
+            "lang": ks,
+            "n_latin": np.array([rows[k][0] for k in ks], dtype="int64"),
+            "n_digit": np.array([rows[k][1] for k in ks], dtype="int64"),
+            "n_ws": np.array([rows[k][2] for k in ks], dtype="int64"),
+            "n_cjk": np.array([rows[k][3] for k in ks], dtype="int64"),
+            "n_other": np.array([rows[k][4] for k in ks], dtype="int64")})
+
+    out = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                     ["lang"],
+                     {c: (c, "sum") for c in
+                      ("n_latin", "n_digit", "n_ws", "n_cjk",
+                       "n_other")}).to_pandas()
+    for c in out.columns:
+        if c != "lang":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-provenance flow matrix (who published first)
+# ---------------------------------------------------------------------------
+def q_dup_flow(sf_dir: str):
+    """(first source, duplicating source) counts over PREFIX-content
+    clusters (md5 of the first 64 chars — the q_dup_cluster_sizes
+    key, non-degenerate at every corpus scale): for each cluster, the
+    min-doc_id owner is the 'first publisher' and every other member
+    charges one count to its own source — the provenance matrix
+    behind q_dup_ratio's per-source totals (the dedup-auditing view
+    of first-wins).  ONE coarse shuffle on the prefix hash co-locates
+    each cluster; the in-bucket fold picks the min owner and emits
+    source-pair counts; a source²-bounded fold finishes.  Doc text
+    never shuffles, only 16-byte hashes + source labels."""
+    from bb_ocr_ray.functions.hashing import md5_hex
+    from bb_ocr_ray.stages.coarse import _bucket_ids
+    from bb_ocr_ray.stages.joins import _auto_num_buckets
+
+    nb = _auto_num_buckets()
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "source", "text"])
+
+    def stamp(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "source": b["source"],
+            "h": [md5_hex((t or "")[:64]) for t in b["text"]]})
+        g["__coarse"] = _bucket_ids(g, ["h"], nb)
+        return g
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        first = g.groupby("h").agg(keep=("doc_id", "min"),
+                                   src_first=("source", "first"))
+        m = g.merge(first, on="h")
+        dups = m[m["doc_id"] != m["keep"]]
+        if dups.empty:
+            return pd.DataFrame({"src_first": pd.Series([], dtype="object"),
+                                 "src_dup": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = (dups.groupby(["src_first", "source"], as_index=False)
+               .size().rename(columns={"source": "src_dup",
+                                       "size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    folded = (docs.map_batches(stamp, batch_format="pandas")
+              .groupby("__coarse").map_groups(bucket,
+                                              batch_format="pandas"))
+    out = coarse_agg(folded, ["src_first", "src_dup"],
+                     {"n": ("n", "sum")}).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"src_first": pd.Series([], dtype="object"),
+                            "src_dup": pd.Series([], dtype="object"),
+                            "n": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["src_first", "src_dup"])
+            .reset_index(drop=True))
+
+
+QUERIES.update({
+    "q_script_mix": q_script_mix,
+    "q_dup_flow": q_dup_flow,
+})
