@@ -3941,3 +3941,54 @@ ORACLES["q_dup_flow"] = """
     SELECT src_first, src_dup, CAST(count(*) AS BIGINT) AS n
     FROM j GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+ORACLES["q_wand_bounds"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM pc GROUP BY 1, 2),
+    stats AS (SELECT tok, max(tf) AS max_tf, count(*) AS df
+              FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS c FROM documents)
+    SELECT tok, CAST(max_tf AS BIGINT) AS max_tf,
+           CAST(df AS BIGINT) AS df,
+           round(max_tf * ln(CAST(c AS DOUBLE) / df), 6) AS bound
+    FROM stats, n
+    ORDER BY round(max_tf * ln(CAST(c AS DOUBLE) / df), 6) DESC, tok
+    LIMIT 20
+"""
+
+
+ORACLES["q_rare_collapse"] = f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents),
+    pc AS (SELECT unnest(tk) AS tok FROM toks),
+    cnt AS (SELECT tok, count(*) AS n FROM pc GROUP BY 1),
+    s AS (SELECT sum(n) AS tot FROM cnt),
+    r AS (SELECT CASE WHEN n * 100 < s.tot THEN '__rare__'
+                      ELSE tok END AS category, n
+          FROM cnt, s)
+    SELECT category, CAST(sum(n) AS BIGINT) AS n
+    FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_case_stats"] = f"""
+    WITH toks AS (SELECT source, {_TOKS} AS tk FROM documents),
+    pc AS (SELECT source, unnest(tk) AS tok FROM toks),
+    c AS (SELECT source,
+                 CASE WHEN regexp_matches(tok, '^[a-z]+$') THEN 0
+                      WHEN regexp_matches(tok, '^[A-Z]{{2,}}$') THEN 1
+                      WHEN regexp_matches(tok, '^[A-Z][a-z]*$') THEN 2
+                      ELSE 3 END AS k
+          FROM pc)
+    SELECT source,
+           CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lower,
+           CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_upper,
+           CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_title,
+           CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_other
+    FROM c GROUP BY 1 ORDER BY 1
+"""

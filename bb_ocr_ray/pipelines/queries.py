@@ -10393,3 +10393,157 @@ QUERIES.update({
     "q_script_mix": q_script_mix,
     "q_dup_flow": q_dup_flow,
 })
+
+
+# ---------------------------------------------------------------------------
+# WAND per-term score upper bounds (top-k retrieval pruning table)
+# ---------------------------------------------------------------------------
+def q_wand_bounds(sf_dir: str):
+    """Per-term tf-idf upper bounds — max over docs of tf(t,d)·idf(t),
+    the pruning table WAND-style top-k retrieval evaluates before
+    touching postings (Broder et al., CIKM'03; public method).  Since
+    idf is constant per term, the bound factors to max_tf·idf, so ONE
+    coarse fold carries both statistics: per-batch partials emit each
+    term's in-batch max per-doc tf AND its distinct-doc count, folded
+    with (max, sum).  Ranking is at the 6 dp grain with a term-asc
+    tiebreak on both engines."""
+    from collections import Counter
+
+    import math
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    ds = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    n_docs = ds.count()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mx: dict = {}
+        df: Counter = Counter()
+        for t in b["text"]:
+            c = Counter(ws_tokens(t or ""))
+            df.update(c.keys())
+            for tok, n in c.items():
+                if n > mx.get(tok, 0):
+                    mx[tok] = n
+        ks = list(df.keys())
+        return pd.DataFrame({
+            "tok": ks,
+            "max_tf": np.array([mx[k] for k in ks], dtype="int64"),
+            "df": np.array([df[k] for k in ks], dtype="int64")})
+
+    stats = coarse_agg(ds.map_batches(partial, batch_format="pandas"),
+                       ["tok"], {"max_tf": ("max_tf", "max"),
+                                 "df": ("df", "sum")}).to_pandas()
+    stats["max_tf"] = stats["max_tf"].astype("int64")
+    stats["df"] = stats["df"].astype("int64")
+    stats["bound"] = [
+        float(_round_sql(mt * math.log(n_docs / d), 6))
+        for mt, d in zip(stats["max_tf"], stats["df"])]
+    out = stats.sort_values(["bound", "tok"],
+                            ascending=[False, True],
+                            kind="mergesort").head(20)
+    return out[["tok", "max_tf", "df", "bound"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Rare-category collapse (tail-cardinality capping featurizer)
+# ---------------------------------------------------------------------------
+def q_rare_collapse(sf_dir: str):
+    """Token histogram with every token under 1% of total occurrences
+    collapsed to '__rare__' — the tail-capping every categorical
+    featurizer applies before one-hot/hashing (cardinality control).
+    Exact integer threshold (n·100 < total, no float compare); one
+    vocab-bounded fold, then bounded recode arithmetic."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for t in b["text"]:
+            cnt.update(ws_tokens(t or ""))
+        return pd.DataFrame({"tok": list(cnt.keys()),
+                             "n": np.fromiter(cnt.values(), dtype="int64")})
+
+    vocab = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                       ["tok"], {"n": ("n", "sum")}).to_pandas()
+    vocab["n"] = vocab["n"].astype("int64")
+    total = int(vocab["n"].sum())
+    rare = vocab["n"] * 100 < total
+    kept = vocab[~rare][["tok", "n"]].rename(columns={"tok": "category"})
+    if rare.any():
+        kept = pd.concat([kept, pd.DataFrame(
+            {"category": ["__rare__"],
+             "n": [int(vocab.loc[rare, "n"].sum())]})],
+            ignore_index=True)
+    kept["n"] = kept["n"].astype("int64")
+    return kept.sort_values("category").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Token casing profile per source (OCR/mojibake artifact QA)
+# ---------------------------------------------------------------------------
+def q_case_stats(sf_dir: str):
+    """Per-source token casing mix — all-lower, Title-case, ALL-UPPER
+    (2+ chars), other — the casing QA that flags OCR shout-case
+    artifacts and broken sentence segmentation.  Classes are disjoint
+    ASCII regex classes evaluated in a fixed priority (lower, upper,
+    title, other) identically on both engines; per-batch Counter with
+    a distinct-token memo; one source-bounded fold."""
+    import re
+
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import ws_tokens
+
+    _LOW = re.compile(r"^[a-z]+$")
+    _UP = re.compile(r"^[A-Z]{2,}$")
+    _TI = re.compile(r"^[A-Z][a-z]*$")
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def cls(tok: str) -> int:
+        if _LOW.match(tok):
+            return 0
+        if _UP.match(tok):
+            return 1
+        if _TI.match(tok):
+            return 2
+        return 3
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = {}
+        rows: dict = {}
+        for s, t in zip(b["source"], b["text"]):
+            acc = rows.setdefault(s, [0, 0, 0, 0])
+            for tok in ws_tokens(t or ""):
+                k = memo.get(tok)
+                if k is None:
+                    k = memo[tok] = cls(tok)
+                acc[k] += 1
+        ks = list(rows.keys())
+        return pd.DataFrame({
+            "source": ks,
+            "n_lower": np.array([rows[k][0] for k in ks], dtype="int64"),
+            "n_upper": np.array([rows[k][1] for k in ks], dtype="int64"),
+            "n_title": np.array([rows[k][2] for k in ks], dtype="int64"),
+            "n_other": np.array([rows[k][3] for k in ks], dtype="int64")})
+
+    out = coarse_agg(docs.map_batches(partial, batch_format="pandas"),
+                     ["source"],
+                     {c: (c, "sum") for c in
+                      ("n_lower", "n_upper", "n_title", "n_other")}
+                     ).to_pandas()
+    for c in out.columns:
+        if c != "source":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_wand_bounds": q_wand_bounds,
+    "q_rare_collapse": q_rare_collapse,
+    "q_case_stats": q_case_stats,
+})

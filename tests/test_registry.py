@@ -29,7 +29,9 @@ def test_no_duplicate_query_defs_or_registrations():
     src = (SRC / "queries.py").read_text()
     defs = re.findall(r"^def (q\w+)\(", src, re.M)
     assert not _dupes(defs), f"shadowed query functions: {_dupes(defs)}"
-    regs = re.findall(r'"(q\w+)"\s*:', src)
+    # registry names are q_<name> or q<digit><name> (q1/q5/q6); the
+    # narrower class keeps row-dict keys like "query_id"/"qlabel" out
+    regs = re.findall(r'"(q_\w+|q\d\w*)"\s*:', src)
     assert not _dupes(regs), f"double-registered query names: {_dupes(regs)}"
 
 
