@@ -3992,3 +3992,35 @@ ORACLES["q_case_stats"] = f"""
                AS n_other
     FROM c GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["q_profit_by_brand"] = """
+    WITH j AS (SELECT n.n_name, p.p_brand,
+                      CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                      * (100 - CAST(round(l.l_discount * 100)
+                                    AS HUGEINT)) AS rev_c
+               FROM lineitem l
+               JOIN part p ON p.p_partkey = l.l_partkey
+               JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               JOIN nation n ON n.n_nationkey = s.s_nationkey)
+    SELECT n_name, p_brand, CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(rev_c) AS DOUBLE) / 10000.0, 2) AS revenue
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLES["q_dow_profile"] = """
+    WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      (epoch_us(ts) % 86400000000) // 3600000000 AS hod
+               FROM events WHERE ts IS NOT NULL),
+    c AS (SELECT (day + 4) % 7 AS dow, hod, count(*) AS n
+          FROM e GROUP BY 1, 2),
+    dd AS (SELECT (day + 4) % 7 AS dow, count(DISTINCT day) AS n_days
+           FROM e GROUP BY 1)
+    SELECT CAST(c.dow AS BIGINT) AS dow, CAST(c.hod AS BIGINT) AS hod,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(dd.n_days AS BIGINT) AS n_days,
+           round(CAST(c.n AS DOUBLE) / dd.n_days, 6) AS avg_events
+    FROM c JOIN dd ON dd.dow = c.dow
+    ORDER BY 1, 2
+"""

@@ -10547,3 +10547,116 @@ QUERIES.update({
     "q_rare_collapse": q_rare_collapse,
     "q_case_stats": q_case_stats,
 })
+
+
+# ---------------------------------------------------------------------------
+# Revenue by supplier nation x part brand (TPC-H Q9-style join chain)
+# ---------------------------------------------------------------------------
+def q_profit_by_brand(sf_dir: str):
+    """Revenue grouped by (supplier nation, part brand) — the Q9-style
+    star chain lineitem⋈part⋈supplier⋈nation that exercises TWO
+    size-gated dimension attaches on the same fact stream.  Revenue
+    is exact integer cents with the q1/q5 rounding ladder
+    (price·100 and disc·100 rounded to ints per row); partial
+    aggregation runs before the one bounded (nation, brand) fold."""
+    from bb_ocr_ray.stages.joins import auto_join
+
+    li = _read_parquet(_t(sf_dir, "lineitem"),
+                       columns=["l_partkey", "l_suppkey",
+                                "l_extendedprice", "l_discount"])
+    part = _read_parquet(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand"])
+    supp = _read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = _read_parquet(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        ext_c = _round_sql(b["l_extendedprice"] * 100.0, 0)
+        disc_pct = _round_sql(b["l_discount"] * 100.0, 0)
+        return pd.DataFrame({
+            "p_partkey": b["l_partkey"].astype("int64"),
+            "s_suppkey": b["l_suppkey"].astype("int64"),
+            "rev_c": (ext_c * (100 - disc_pct)).astype("int64")})
+
+    j = auto_join(li.map_batches(keyed, batch_format="pandas"),
+                  part, on="p_partkey")
+    j = auto_join(j, supp, on="s_suppkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["s_nationkey", "p_brand"], as_index=False)
+                .agg(rev_c=("rev_c", "sum"),
+                     n_items=("rev_c", "size")))
+
+    agg = coarse_agg(j.map_batches(partial, batch_format="pandas"),
+                     ["s_nationkey", "p_brand"],
+                     {"rev_c": ("rev_c", "sum"),
+                      "n_items": ("n_items", "sum")})
+    nat = nation.to_pandas()
+    out = agg.to_pandas().merge(
+        nat.rename(columns={"n_nationkey": "s_nationkey"}),
+        on="s_nationkey")
+    out["revenue"] = _round_sql(
+        out["rev_c"].astype("int64") / 10_000.0, 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out[["n_name", "p_brand", "n_items", "revenue"]]
+    return (out.sort_values(["n_name", "p_brand"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour-of-day seasonality profile
+# ---------------------------------------------------------------------------
+def q_dow_profile(sf_dir: str):
+    """Average events per (day-of-week, hour-of-day) cell — the
+    seasonality fingerprint dashboards draw as a heatmap.  Both
+    engines derive dow with pure integer arithmetic on epoch days
+    ((day + 4) % 7, Monday=0 — never a calendar function, whose
+    week-start conventions differ across engines).  One 168-cell
+    fold; the per-cell denominator is how many distinct dates of
+    that weekday the stream spans (exact ints, ratio at 6 dp)."""
+    _D = 86_400_000_000
+    _H = 3_600_000_000
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["ts"])
+        us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = us // _D
+        g = pd.DataFrame({"dow": (day + 4) % 7,
+                          "hod": (us % _D) // _H,
+                          "day": day})
+        cnt = (g.groupby(["dow", "hod"], as_index=False)
+               .agg(n=("day", "size")))
+        return cnt
+
+    cnt = coarse_agg(ev.map_batches(cells, batch_format="pandas"),
+                     ["dow", "hod"], {"n": ("n", "sum")}).to_pandas()
+
+    def days_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["ts"])
+        us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = np.unique(us // _D)
+        return pd.DataFrame({"day": day})
+
+    ev2 = _read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    days = coarse_agg(ev2.map_batches(days_partial,
+                                      batch_format="pandas"),
+                      ["day"], {"n": ("day", "size")}).to_pandas()
+    dow_days = ((days["day"].astype("int64") + 4) % 7).value_counts()
+
+    cnt["dow"] = cnt["dow"].astype("int64")
+    cnt["hod"] = cnt["hod"].astype("int64")
+    cnt["n"] = cnt["n"].astype("int64")
+    cnt["n_days"] = [int(dow_days.get(d, 0)) for d in cnt["dow"]]
+    cnt["avg_events"] = [
+        float(_round_sql(n / d, 6))
+        for n, d in zip(cnt["n"], cnt["n_days"])]
+    return (cnt[["dow", "hod", "n", "n_days", "avg_events"]]
+            .sort_values(["dow", "hod"]).reset_index(drop=True))
+
+
+QUERIES.update({
+    "q_profit_by_brand": q_profit_by_brand,
+    "q_dow_profile": q_dow_profile,
+})
