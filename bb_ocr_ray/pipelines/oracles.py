@@ -4024,3 +4024,30 @@ ORACLES["q_dow_profile"] = """
     FROM c JOIN dd ON dd.dow = c.dow
     ORDER BY 1, 2
 """
+
+
+ORACLES["q_rolling_median"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1)
+    SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+           CAST(quantile_disc(n, 0.5) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS med_7d
+    FROM d ORDER BY day
+"""
+
+
+ORACLES["q_arrival_rate"] = """
+    WITH t AS (SELECT event_type, count(*) AS n,
+                      epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+               FROM events WHERE ts IS NOT NULL GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(span_us AS BIGINT) AS span_us,
+           CAST(span_us // greatest(n - 1, 1) AS BIGINT)
+               AS mean_gap_us,
+           CASE WHEN span_us > 0
+                THEN round(3600000000.0 * (n - 1) / span_us, 6)
+                ELSE 0.0 END AS per_hour
+    FROM t ORDER BY 1
+"""

@@ -10660,3 +10660,88 @@ QUERIES.update({
     "q_profit_by_brand": q_profit_by_brand,
     "q_dow_profile": q_dow_profile,
 })
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day p95 of the daily count series (robust volume monitor)
+# ---------------------------------------------------------------------------
+def q_rolling_median(sf_dir: str):
+    """Rolling 7-row MEDIAN (quantile_disc semantics) of the daily
+    event count in day order — the robust alerting baseline that,
+    unlike q_rolling_actives' mean-style windows, ignores single
+    spike days (a 7-row p95 would just be the max, which is why the
+    median is the grain here).  The corpus folds to the day-bounded
+    series through one coarse shuffle; the rolling order statistics
+    run on that bounded series with the exact ceil(q*n)-1 element
+    pick, so the output is an exact element, bit-identical on both
+    engines."""
+    import math
+
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["ts"])
+        d = (b["ts"].astype("datetime64[us]").astype("int64")
+             // 86_400_000_000)
+        vc = pd.Series(d).value_counts()
+        return pd.DataFrame({"day": vc.index.to_numpy("int64"),
+                             "n": vc.to_numpy("int64")})
+
+    t = coarse_agg(ev.map_batches(days, batch_format="pandas"),
+                   ["day"], {"n": ("n", "sum")}).to_pandas()
+    t = t.sort_values("day").reset_index(drop=True)
+    n = t["n"].to_numpy("int64")
+    out = []
+    for i in range(len(n)):
+        w = np.sort(n[max(0, i - 6):i + 1])
+        out.append(int(w[math.ceil(0.5 * len(w)) - 1]))
+    t["med_7d"] = pd.array(out, dtype="int64")
+    t["day"] = t["day"].astype("int64")
+    t["n"] = t["n"].astype("int64")
+    return t[["day", "n", "med_7d"]]
+
+
+# ---------------------------------------------------------------------------
+# Per-type arrival rate (shuffle-free exact mean inter-arrival)
+# ---------------------------------------------------------------------------
+def q_arrival_rate(sf_dir: str):
+    """Per event type: event count, stream span, exact mean
+    inter-arrival gap and hourly rate.  The mean of consecutive gaps
+    telescopes to (max-min)/(n-1), so the WHOLE statistic is a
+    min/max/count fold — no ordering, no shuffle of raw events, exact
+    integer division on both engines.  (The telescoping identity is
+    why no sort is needed at any scale — the max gap, which doesn't
+    telescope, lives in q_event_gaps instead.)"""
+    ev = _read_parquet(_t(sf_dir, "events"),
+                       columns=["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["ts"])
+        us = b["ts"].astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({"event_type": b["event_type"],
+                          "mn": us, "mx": us,
+                          "one": np.ones(len(b), dtype="int64")})
+        return g.groupby("event_type", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"), one=("one", "sum"))
+
+    t = coarse_agg(ev.map_batches(partial, batch_format="pandas"),
+                   ["event_type"], {"mn": ("mn", "min"),
+                                    "mx": ("mx", "max"),
+                                    "one": ("one", "sum")}).to_pandas()
+    t["n"] = t["one"].astype("int64")
+    t["span_us"] = (t["mx"].astype("int64")
+                    - t["mn"].astype("int64")).astype("int64")
+    t["mean_gap_us"] = (t["span_us"]
+                        // (t["n"] - 1).clip(lower=1)).astype("int64")
+    t["per_hour"] = [
+        float(_round_sql(3_600_000_000.0 * (n - 1) / s, 6))
+        if s > 0 else 0.0
+        for n, s in zip(t["n"], t["span_us"])]
+    out = t[["event_type", "n", "span_us", "mean_gap_us", "per_hour"]]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_rolling_median": q_rolling_median,
+    "q_arrival_rate": q_arrival_rate,
+})
