@@ -4051,3 +4051,44 @@ ORACLES["q_arrival_rate"] = """
                 ELSE 0.0 END AS per_hour
     FROM t ORDER BY 1
 """
+
+
+ORACLES["q_ab_srm"] = """
+    WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u
+               FROM events WHERE user_id IS NOT NULL),
+    c AS (SELECT sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                 sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+          FROM u)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(pow(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                 + pow(n_b - (n_a + n_b) / 2.0, 2)
+                   / ((n_a + n_b) / 2.0), 6) AS chi2,
+           round(pow(n_a - (n_a + n_b) / 2.0, 2) / ((n_a + n_b) / 2.0)
+                 + pow(n_b - (n_a + n_b) / 2.0, 2)
+                   / ((n_a + n_b) / 2.0), 6) > 3.841 AS srm
+    FROM c
+"""
+
+
+ORACLES["q_emb_outliers"] = """
+    WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v,
+                      CAST(i AS BIGINT) AS d
+               FROM embeddings,
+                    unnest(range(1, len(embedding) + 1)) AS t(i)),
+    m AS (SELECT label, d, avg(v) AS c FROM x GROUP BY 1, 2),
+    dist AS (SELECT x.vec_id, x.label,
+                    sum((x.v - m.c) * (x.v - m.c)) AS d2
+             FROM x JOIN m ON m.label = x.label AND m.d = x.d
+             GROUP BY 1, 2),
+    s AS (SELECT label, count(*) AS n,
+                 avg(d2) AS mean_d2
+          FROM dist GROUP BY 1)
+    SELECT s.label, CAST(s.n AS BIGINT) AS n,
+           round(s.mean_d2, 6) AS mean_d2,
+           CAST(sum(CASE WHEN round(dist.d2, 6)
+                              > round(4.0 * s.mean_d2, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+    FROM s JOIN dist ON dist.label = s.label
+    GROUP BY 1, 2, 3 ORDER BY 1
+"""

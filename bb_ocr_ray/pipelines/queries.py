@@ -10745,3 +10745,129 @@ QUERIES.update({
     "q_rolling_median": q_rolling_median,
     "q_arrival_rate": q_arrival_rate,
 })
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch guardrail (chi-square on arm assignment)
+# ---------------------------------------------------------------------------
+def q_ab_srm(sf_dir: str):
+    """Sample-ratio-mismatch check for the q_ab_test arms (user_id % 2,
+    expected 50/50): chi-square goodness-of-fit on DISTINCT users per
+    arm and the p<.05 flag (chi2 > 3.841) — the guardrail every
+    experimentation platform runs before believing any A/B readout
+    (Fabijan et al., KDD'19 frame; public method).  Distinct users
+    fold through one coarse shuffle (per-batch dedup partials); the
+    chi-square is two-scalar arithmetic, flagged on the ROUNDED
+    statistic so a float near-tie at the threshold cannot flip the
+    boolean between engines."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id"])
+        u = b["user_id"].astype("int64").drop_duplicates()
+        return pd.DataFrame({"u": u.to_numpy()})
+
+    users = coarse_agg(ev.map_batches(pairs, batch_format="pandas"),
+                       ["u"], {"c": ("u", "size")})
+
+    def arms(b: pd.DataFrame) -> pd.DataFrame:
+        arm = (b["u"].astype("int64") % 2).to_numpy()
+        return pd.DataFrame({
+            "n_a": [int((arm == 0).sum())],
+            "n_b": [int((arm == 1).sum())]})
+
+    p = users.map_batches(arms, batch_format="pandas").to_pandas()
+    n_a, n_b = int(p["n_a"].sum()), int(p["n_b"].sum())
+    n = n_a + n_b
+    exp = n / 2.0
+    chi2 = float(_round_sql(
+        (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp, 6)) if n else 0.0
+    return pd.DataFrame({
+        "n_a": pd.array([n_a], dtype="int64"),
+        "n_b": pd.array([n_b], dtype="int64"),
+        "chi2": [chi2],
+        "srm": [bool(chi2 > 3.841)]})
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers vs own-label centroid (mislabel QA)
+# ---------------------------------------------------------------------------
+def q_emb_outliers(sf_dir: str):
+    """Per label: vectors whose squared distance to their OWN label's
+    centroid exceeds 4x the label's mean squared distance — the
+    cheap mislabel/contamination screen run before trusting a labeled
+    embedding set.  Pass 1 folds per-label vector sums (a label x dim
+    bounded table) into centroids; pass 2 broadcasts them as closure
+    constants and folds (n, sum d², outlier count) per label.  The
+    outlier compare runs on 6 dp-rounded doubles on BOTH engines (the
+    registry's boundary-stability convention)."""
+    emb = _read_parquet(_t(sf_dir, "embeddings"),
+                        columns=["vec_id", "embedding", "label"])
+
+    def sums(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray([np.asarray(e, dtype="float64")
+                        for e in b["embedding"]])
+        lab = b["label"].astype("int64").to_numpy()
+        rows = []
+        for lv in np.unique(lab):
+            m = lab == lv
+            s = X[m].sum(axis=0)
+            for d, v in enumerate(s):
+                rows.append((int(lv), d, float(v), int(m.sum()) if d == 0
+                             else 0))
+        return pd.DataFrame(rows, columns=["label", "d", "s", "n"])
+
+    cs = coarse_agg(emb.map_batches(sums, batch_format="pandas"),
+                    ["label", "d"], {"s": ("s", "sum"),
+                                     "n": ("n", "sum")}).to_pandas()
+    n_per = (cs.groupby("label")["n"].sum()).to_dict()
+    cent = {int(lv): (sub.sort_values("d")["s"].to_numpy("float64")
+                      / n_per[lv])
+            for lv, sub in cs.groupby("label")}
+
+    def dists(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray([np.asarray(e, dtype="float64")
+                        for e in b["embedding"]])
+        lab = b["label"].astype("int64").to_numpy()
+        rows = []
+        for lv in np.unique(lab):
+            m = lab == lv
+            d2 = ((X[m] - cent[int(lv)]) ** 2).sum(axis=1)
+            rows.append((int(lv), int(m.sum()), float(d2.sum())))
+        return pd.DataFrame(rows, columns=["label", "n", "sum_d2"])
+
+    t = coarse_agg(emb.map_batches(dists, batch_format="pandas"),
+                   ["label"], {"n": ("n", "sum"),
+                               "sum_d2": ("sum_d2", "sum")}).to_pandas()
+    mean_d2 = {int(lv): float(s) / int(n)
+               for lv, s, n in zip(t["label"], t["sum_d2"], t["n"])}
+
+    def outliers(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray([np.asarray(e, dtype="float64")
+                        for e in b["embedding"]])
+        lab = b["label"].astype("int64").to_numpy()
+        rows = []
+        for lv in np.unique(lab):
+            m = lab == lv
+            d2 = ((X[m] - cent[int(lv)]) ** 2).sum(axis=1)
+            d2r = np.array([float(_round_sql(x, 6)) for x in d2])
+            thr = float(_round_sql(4.0 * mean_d2[int(lv)], 6))
+            rows.append((int(lv), int((d2r > thr).sum())))
+        return pd.DataFrame(rows, columns=["label", "n_out"])
+
+    o = coarse_agg(emb.map_batches(outliers, batch_format="pandas"),
+                   ["label"], {"n_out": ("n_out", "sum")}).to_pandas()
+    out = t.merge(o, on="label")
+    out["label"] = out["label"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["n_out"] = out["n_out"].astype("int64")
+    out["mean_d2"] = [float(_round_sql(mean_d2[int(lv)], 6))
+                      for lv in out["label"]]
+    return (out[["label", "n", "mean_d2", "n_out"]]
+            .sort_values("label").reset_index(drop=True))
+
+
+QUERIES.update({
+    "q_ab_srm": q_ab_srm,
+    "q_emb_outliers": q_emb_outliers,
+})
