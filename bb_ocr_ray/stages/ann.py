@@ -104,8 +104,16 @@ def ann_topk(vectors_ds, query_ids, k: int = 5, id_col: str = "vec_id",
     import ray
 
     qset = set(int(q) for q in query_ids)
+    # arrow-native filter: a pandas row-subset flips the list column's
+    # block representation (ndarray -> object), tripping Ray's schema
+    # tracker; arrow blocks filter representation-stable
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    qvals = pa.array(sorted(qset), type=pa.int64())
     qrows = vectors_ds.map_batches(
-        lambda b: b[b[id_col].isin(qset)], batch_format="pandas"
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=qvals)),
+        batch_format="pyarrow",
     ).to_pandas()
     qrows = qrows.sort_values(id_col)
     queries_ref = ray.put(
