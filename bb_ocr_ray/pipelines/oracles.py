@@ -4092,3 +4092,29 @@ ORACLES["q_emb_outliers"] = """
     FROM s JOIN dist ON dist.label = s.label
     GROUP BY 1, 2, 3 ORDER BY 1
 """
+
+
+ORACLES["q_dataset_card"] = f"""
+    WITH toks AS (SELECT text, lang, source, {_TOKS} AS tk
+                  FROM documents),
+    s AS (SELECT count(*) AS n_docs,
+                 CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                     AS n_chars,
+                 count(DISTINCT lang) AS n_langs,
+                 count(DISTINCT source) AS n_sources,
+                 count(DISTINCT md5(substr(coalesce(text, ''), 1, 64)))
+                     AS n_clusters
+          FROM toks),
+    v AS (SELECT count(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(tk) AS tok FROM toks))
+    SELECT CAST(s.n_docs AS BIGINT) AS n_docs, s.n_tokens,
+           CAST(v.vocab AS BIGINT) AS vocab,
+           CAST(s.n_langs AS BIGINT) AS n_langs,
+           CAST(s.n_sources AS BIGINT) AS n_sources,
+           round(CAST(s.n_docs - s.n_clusters AS DOUBLE) / s.n_docs, 6)
+               AS prefix_dup_share,
+           round(CAST(s.n_chars AS DOUBLE) / s.n_docs, 6)
+               AS mean_doc_chars
+    FROM s, v
+"""

@@ -10871,3 +10871,82 @@ QUERIES.update({
     "q_ab_srm": q_ab_srm,
     "q_emb_outliers": q_emb_outliers,
 })
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet (one-row dataset card)
+# ---------------------------------------------------------------------------
+def q_dataset_card(sf_dir: str):
+    """One-row corpus datasheet — docs, token occurrences, vocabulary,
+    languages, sources, prefix-duplicate share, mean doc length — the
+    'Datasheets for Datasets' summary (Gebru et al., CACM 2021;
+    public method) every published training corpus ships with.  One
+    doc-local scalar fold + one vocab-bounded fold + one
+    prefix-hash-cardinality fold; each contributes aggregate-sized
+    partials, so the card costs three bounded folds regardless of
+    corpus size."""
+    from collections import Counter
+
+    from bb_ocr_ray.functions.hashing import md5_hex, ws_tokens
+
+    docs = _read_parquet(_t(sf_dir, "documents"),
+                         columns=["text", "lang", "source"])
+
+    def scalars(b: pd.DataFrame) -> pd.DataFrame:
+        toks = 0
+        chars = 0
+        langs = set()
+        srcs = set()
+        for t, lang, s in zip(b["text"], b["lang"], b["source"]):
+            toks += len(ws_tokens(t or ""))
+            chars += len(t or "")
+            langs.add(lang)
+            srcs.add(s)
+        return pd.DataFrame({
+            "n_docs": [len(b)], "n_tokens": [toks], "n_chars": [chars],
+            "langs": ["|".join(sorted(langs))],
+            "srcs": ["|".join(sorted(srcs))]})
+
+    p = docs.map_batches(scalars, batch_format="pandas").to_pandas()
+    n_docs = int(p["n_docs"].sum())
+    n_tokens = int(p["n_tokens"].sum())
+    n_chars = int(p["n_chars"].sum())
+    langs = set()
+    srcs = set()
+    for ls, ss in zip(p["langs"], p["srcs"]):
+        langs.update(x for x in ls.split("|") if x)
+        srcs.update(x for x in ss.split("|") if x)
+
+    def vocab_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"]:
+            c.update(set(ws_tokens(t or "")))
+        return pd.DataFrame({"tok": list(c.keys()),
+                             "one": np.ones(len(c), dtype="int64")})
+
+    vocab = coarse_agg(
+        docs.map_batches(vocab_partial, batch_format="pandas"),
+        ["tok"], {"one": ("one", "sum")}).count()
+
+    def prefix_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": [md5_hex((t or "")[:64])
+                                   for t in b["text"]]})
+
+    clusters = coarse_agg(
+        docs.map_batches(prefix_partial, batch_format="pandas"),
+        ["h"], {"c": ("h", "size")})
+    n_clusters = clusters.count()
+
+    return pd.DataFrame({
+        "n_docs": pd.array([n_docs], dtype="int64"),
+        "n_tokens": pd.array([n_tokens], dtype="int64"),
+        "vocab": pd.array([int(vocab)], dtype="int64"),
+        "n_langs": pd.array([len(langs)], dtype="int64"),
+        "n_sources": pd.array([len(srcs)], dtype="int64"),
+        "prefix_dup_share": [float(_round_sql(
+            (n_docs - n_clusters) / n_docs, 6)) if n_docs else 0.0],
+        "mean_doc_chars": [float(_round_sql(n_chars / n_docs, 6))
+                           if n_docs else 0.0]})
+
+
+QUERIES.update({"q_dataset_card": q_dataset_card})
