@@ -4118,3 +4118,36 @@ ORACLES["q_dataset_card"] = f"""
                AS mean_doc_chars
     FROM s, v
 """
+
+
+ORACLES["q_active_days"] = """
+    WITH p AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    c AS (SELECT u, count(*) AS days FROM p GROUP BY 1)
+    SELECT CAST(days AS BIGINT) AS days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_hhi"] = """
+    WITH r AS (SELECT s.s_nationkey, l.l_suppkey,
+                      CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                    AS HUGEINT)) AS HUGEINT) AS cents
+               FROM lineitem l
+               JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               GROUP BY 1, 2),
+    a AS (SELECT s_nationkey, count(*) AS n_suppliers,
+                 sum(cents * cents) AS sq,
+                 sum(cents) AS tot
+          FROM r GROUP BY 1)
+    SELECT n.n_name, CAST(a.n_suppliers AS BIGINT) AS n_suppliers,
+           round(CAST(a.sq AS DOUBLE)
+                 / (CAST(a.tot AS DOUBLE) * CAST(a.tot AS DOUBLE)), 6)
+               AS hhi
+    FROM a JOIN nation n ON n.n_nationkey = a.s_nationkey
+    WHERE a.tot > 0
+    ORDER BY 1
+"""

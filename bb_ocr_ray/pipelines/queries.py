@@ -10950,3 +10950,113 @@ def q_dataset_card(sf_dir: str):
 
 
 QUERIES.update({"q_dataset_card": q_dataset_card})
+
+
+# ---------------------------------------------------------------------------
+# Active-days distribution (L28-style engagement histogram)
+# ---------------------------------------------------------------------------
+def q_active_days(sf_dir: str):
+    """Histogram of per-user distinct active days — the L28-style
+    engagement distribution (how many days of the window each user
+    showed up), the non-consecutive companion to q_streak.  Per-batch
+    distinct (user, day) partials -> ONE coarse count fold on user ->
+    a day-count-bounded histogram fold; users never reach the
+    driver."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        g = pd.DataFrame({
+            "u": b["user_id"].astype("int64").to_numpy(),
+            "day": (b["ts"].astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000)}).drop_duplicates()
+        return g
+
+    per_user = coarse_agg(ev.map_batches(pairs, batch_format="pandas"),
+                          ["u", "day"], {"c": ("day", "size")})
+    cnt = coarse_agg(per_user.map_batches(
+        lambda b: pd.DataFrame({"u": b["u"].astype("int64"),
+                                "one": np.ones(len(b), dtype="int64")}),
+        batch_format="pandas"), ["u"], {"days": ("one", "sum")})
+    hist = coarse_agg(cnt.map_batches(
+        lambda b: pd.DataFrame({"days": b["days"].astype("int64"),
+                                "n_users": np.ones(len(b),
+                                                   dtype="int64")}),
+        batch_format="pandas"), ["days"],
+        {"n_users": ("n_users", "sum")}).to_pandas()
+    hist["days"] = hist["days"].astype("int64")
+    hist["n_users"] = hist["n_users"].astype("int64")
+    return hist.sort_values("days").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration per nation (Herfindahl-Hirschman index)
+# ---------------------------------------------------------------------------
+def q_hhi(sf_dir: str):
+    """Herfindahl-Hirschman concentration of lineitem revenue across
+    suppliers, per supplier nation — HHI = Σ share² (procurement-risk
+    QA; public method).  Exact at any magnitude: per-(nation,
+    supplier) revenue folds once in integer cents; the Σr² and (Σr)²
+    terms fold per nation as DECIMAL STRINGS (a big supplier's cents²
+    overflows int64), Python-int driver fold, one float division at
+    the end (6 dp)."""
+    from bb_ocr_ray.stages.joins import auto_join
+
+    li = _read_parquet(_t(sf_dir, "lineitem"),
+                       columns=["l_suppkey", "l_extendedprice"])
+    supp = _read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = _read_parquet(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"])
+
+    keyed = li.map_batches(
+        lambda b: pd.DataFrame({
+            "s_suppkey": b["l_suppkey"].astype("int64"),
+            "cents": _round_sql(b["l_extendedprice"] * 100.0, 0)
+            .astype("int64")}),
+        batch_format="pandas")
+    j = auto_join(keyed, supp, on="s_suppkey")
+    per_supp = coarse_agg(j.map_batches(
+        lambda b: pd.DataFrame({
+            "s_nationkey": b["s_nationkey"].astype("int64"),
+            "s_suppkey": b["s_suppkey"].astype("int64"),
+            "cents": b["cents"].astype("int64")}),
+        batch_format="pandas"),
+        ["s_nationkey", "s_suppkey"], {"cents": ("cents", "sum")})
+
+    def parts(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, sub in b.groupby("s_nationkey"):
+            sq = sum(int(c) * int(c) for c in sub["cents"])
+            tot = int(sub["cents"].astype("int64").sum())
+            rows.append((int(nk), len(sub), str(sq), str(tot)))
+        return pd.DataFrame(rows, columns=["s_nationkey", "n_suppliers",
+                                           "sq", "tot"])
+
+    p = per_supp.map_batches(parts, batch_format="pandas").to_pandas()
+    agg: dict = {}
+    for nk, ns, sq, tot in zip(p["s_nationkey"], p["n_suppliers"],
+                               p["sq"], p["tot"]):
+        a = agg.setdefault(int(nk), [0, 0, 0])
+        a[0] += int(ns)
+        a[1] += int(sq)
+        a[2] += int(tot)
+    nat = nation.to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype("int64"),
+                     nat["n_name"]))
+    # mirror the oracle's float-op order (int->double each term, THEN
+    # square and divide) so the rounding path is identical even past
+    # 2^53 where big-int exactness ends
+    rows = [(names[nk], a[0],
+             float(_round_sql(float(a[1])
+                              / (float(a[2]) * float(a[2])), 6)))
+            for nk, a in agg.items() if a[2] > 0]
+    out = pd.DataFrame(rows, columns=["n_name", "n_suppliers", "hhi"])
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_active_days": q_active_days,
+    "q_hhi": q_hhi,
+})
