@@ -4151,3 +4151,25 @@ ORACLES["q_hhi"] = """
     WHERE a.tot > 0
     ORDER BY 1
 """
+
+
+ORACLES["q_order_sizes"] = """
+    WITH c AS (SELECT l_orderkey, count(*) AS c
+               FROM lineitem GROUP BY 1)
+    SELECT CAST(c AS BIGINT) AS basket_size,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["q_user_lifespan"] = """
+    WITH p AS (SELECT CAST(user_id AS BIGINT) AS u,
+                      min(epoch_us(ts) // 86400000000) AS mn,
+                      max(epoch_us(ts) // 86400000000) AS mx
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1)
+    SELECT CAST(mx - mn AS BIGINT) AS lifespan_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY 1 ORDER BY 1
+"""

@@ -11060,3 +11060,71 @@ QUERIES.update({
     "q_active_days": q_active_days,
     "q_hhi": q_hhi,
 })
+
+
+# ---------------------------------------------------------------------------
+# Basket-size distribution (lineitems per order)
+# ---------------------------------------------------------------------------
+def q_order_sizes(sf_dir: str):
+    """Histogram of lineitems per order — the basket-size distribution
+    feeding q_market_basket's support denominators and any batch-size
+    planning.  One order-keyed count fold (per-batch partials), then a
+    size-bounded histogram fold; order keys never reach the driver."""
+    li = _read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["l_orderkey"].astype("int64").value_counts()
+        return pd.DataFrame({"o": vc.index.to_numpy("int64"),
+                             "c": vc.to_numpy("int64")})
+
+    per_order = coarse_agg(li.map_batches(partial, batch_format="pandas"),
+                           ["o"], {"c": ("c", "sum")})
+    hist = coarse_agg(per_order.map_batches(
+        lambda b: pd.DataFrame({"basket_size": b["c"].astype("int64"),
+                                "n_orders": np.ones(len(b),
+                                                    dtype="int64")}),
+        batch_format="pandas"), ["basket_size"],
+        {"n_orders": ("n_orders", "sum")}).to_pandas()
+    hist["basket_size"] = hist["basket_size"].astype("int64")
+    hist["n_orders"] = hist["n_orders"].astype("int64")
+    return hist.sort_values("basket_size").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# User lifespan (tenure) histogram
+# ---------------------------------------------------------------------------
+def q_user_lifespan(sf_dir: str):
+    """Histogram of per-user tenure in days (last activity day minus
+    first activity day) — the retention-horizon distribution next to
+    q_active_days' intensity histogram.  One (min, max) fold per user
+    (exact integer epoch days), then a span-bounded histogram fold."""
+    ev = _read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "ts"])
+        d = (b["ts"].astype("datetime64[us]").astype("int64")
+             // 86_400_000_000)
+        g = pd.DataFrame({"u": b["user_id"].astype("int64").to_numpy(),
+                          "mn": d, "mx": d})
+        return g.groupby("u", as_index=False).agg(mn=("mn", "min"),
+                                                  mx=("mx", "max"))
+
+    per_user = coarse_agg(ev.map_batches(partial, batch_format="pandas"),
+                          ["u"], {"mn": ("mn", "min"),
+                                  "mx": ("mx", "max")})
+    hist = coarse_agg(per_user.map_batches(
+        lambda b: pd.DataFrame({
+            "lifespan_days": (b["mx"].astype("int64")
+                              - b["mn"].astype("int64")),
+            "n_users": np.ones(len(b), dtype="int64")}),
+        batch_format="pandas"), ["lifespan_days"],
+        {"n_users": ("n_users", "sum")}).to_pandas()
+    hist["lifespan_days"] = hist["lifespan_days"].astype("int64")
+    hist["n_users"] = hist["n_users"].astype("int64")
+    return hist.sort_values("lifespan_days").reset_index(drop=True)
+
+
+QUERIES.update({
+    "q_order_sizes": q_order_sizes,
+    "q_user_lifespan": q_user_lifespan,
+})
